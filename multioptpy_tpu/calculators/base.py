@@ -1,0 +1,99 @@
+"""Calculator protocol: pluggable energy backends.
+
+The reference exposes one duck-typed class per backend with
+`single_point(file_directory, ...) -> (e, g, positions, finish_flag)` driven
+by files on disk (ref: multioptpy/Calculator/tblite_calculation_tools.py:162).
+Here a calculator is a *pure function of device arrays*:
+
+    energy(coords_bohr (N,3), z (N,) int32) -> Hartree scalar
+
+For on-device backends (LJ, EMT, Tersoff, SQM) the function is traceable, so
+gradients/Hessians come from `jax.grad`/`jax.hessian`, ensembles from `vmap`,
+and multi-chip scaling from `shard_map`. Host backends (tblite/PySCF/Psi4/ASE)
+wrap their library call in `jax.pure_callback` with the same signature, so the
+drivers are backend-agnostic jitted functions either way.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+class Calculator:
+    """Base class. Subclasses implement `energy(coords, z)`.
+
+    Attributes
+    ----------
+    on_device : bool
+        True if `energy` is JAX-traceable end to end (no host callback).
+    """
+
+    on_device = True
+    name = "base"
+
+    def __init__(self, charge=0, multiplicity=1, **kwargs):
+        self.charge = int(charge)
+        self.multiplicity = int(multiplicity)
+        self.options = kwargs
+
+    def energy(self, coords, z):
+        raise NotImplementedError
+
+    def energy_and_gradient(self, coords, z):
+        """-> (E, g (N,3)). Overridden by host backends with a callback."""
+        return jax.value_and_grad(self.energy, argnums=0)(coords, z)
+
+    def gradient(self, coords, z):
+        return self.energy_and_gradient(coords, z)[1]
+
+    def hessian(self, coords, z):
+        """Exact Hessian, (3N,3N) (ref: calc_exact_hess, e.g.
+        tblite_calculation_tools.py:140). On-device: forward-over-reverse."""
+        n = coords.shape[0]
+        flat_e = lambda x: self.energy(x.reshape(n, 3), z)
+        return jax.hessian(flat_e)(coords.reshape(-1))
+
+    def numerical_hessian(self, coords, z, step=1e-3):
+        """Batched central-difference Hessian: all 6N displaced gradients in
+        ONE vmapped call (the reference loops them serially,
+        ref: tblite_calculation_tools.py:100-138)."""
+        n = coords.shape[0]
+        n3 = 3 * n
+        eye = jnp.eye(n3, dtype=coords.dtype) * step
+        flat = coords.reshape(-1)
+        plus = (flat[None, :] + eye).reshape(n3, n, 3)
+        minus = (flat[None, :] - eye).reshape(n3, n, 3)
+        grad_fn = lambda x: self.energy_and_gradient(x, z)[1].reshape(-1)
+        g_plus = jax.vmap(grad_fn)(plus)
+        g_minus = jax.vmap(grad_fn)(minus)
+        h = (g_plus - g_minus) / (2.0 * step)
+        return 0.5 * (h + h.T)
+
+
+_REGISTRY = {}
+
+
+def register_calculator(name):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        cls.name = name
+        return cls
+    return deco
+
+
+def get_calculator(name, **kwargs):
+    """Instantiate a backend by name (ref: optimization.py:1528
+    _init_calculation_module's string dispatch)."""
+    # import for registration side effects
+    from multioptpy_tpu.calculators import lj, emt, tersoff, host  # noqa: F401
+    try:
+        from multioptpy_tpu.calculators import sqm  # noqa: F401
+    except ImportError:
+        pass
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown calculator '{name}'; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def available_calculators():
+    from multioptpy_tpu.calculators import lj, emt, tersoff, host  # noqa: F401
+    return sorted(_REGISTRY)

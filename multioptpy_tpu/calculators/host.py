@@ -1,0 +1,193 @@
+"""Host-side QM backends bridged into jitted device code via `jax.pure_callback`.
+
+The reference drives tblite/PySCF/Psi4/ASE through per-step xyz files on disk
+(ref: multioptpy/Calculator/{tblite,pyscf,psi4,ase}_calculation_tools.py). Here
+the QM library call is a host callback with static output shapes, so the whole
+optimization step — bias potentials, Hessian update, RFO solve — stays inside
+one jitted function, and batched/ensemble drivers call the backend once per
+step with a whole batch of geometries (the host fans out with threads).
+
+All host backends are import-gated: constructing one raises ImportError with
+a clear message when the library is absent (this image ships none of them).
+"""
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.calculators.base import Calculator, register_calculator
+from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
+
+
+class HostCalculator(Calculator):
+    """Base for backends whose energy/gradient is computed on the host.
+
+    Subclasses implement `_host_energy_gradient(coords_bohr np, z np) ->
+    (float, (N,3) np)`. `energy_and_gradient` wraps it in `pure_callback`
+    so drivers can jit/vmap over it; vmapped calls are fanned out across a
+    thread pool (QM libraries release the GIL in their compute kernels).
+    """
+
+    on_device = False
+    _pool = None
+    max_workers = 8
+
+    def _host_energy_gradient(self, coords, z):
+        raise NotImplementedError
+
+    def _host_batched(self, coords_b, z):
+        coords_b = np.asarray(coords_b, dtype=np.float64)
+        if coords_b.ndim == 2:
+            e, g = self._host_energy_gradient(coords_b, np.asarray(z))
+            return np.float64(e), np.asarray(g, dtype=np.float64)
+        if HostCalculator._pool is None:
+            HostCalculator._pool = ThreadPoolExecutor(self.max_workers)
+        futs = [HostCalculator._pool.submit(self._host_energy_gradient, c, np.asarray(z))
+                for c in coords_b]
+        results = [f.result() for f in futs]
+        e = np.array([r[0] for r in results], dtype=np.float64)
+        g = np.stack([r[1] for r in results]).astype(np.float64)
+        return e, g
+
+    def energy_and_gradient(self, coords, z):
+        out_shapes = (
+            jax.ShapeDtypeStruct((), coords.dtype),
+            jax.ShapeDtypeStruct(coords.shape, coords.dtype),
+        )
+
+        def cb(c, zz):
+            e, g = self._host_batched(c, zz)
+            return (np.asarray(e, dtype=coords.dtype),
+                    np.asarray(g, dtype=coords.dtype))
+
+        return jax.pure_callback(cb, out_shapes, coords, z, vmap_method="broadcast_all")
+
+    def energy(self, coords, z):
+        return self.energy_and_gradient(coords, z)[0]
+
+    def hessian(self, coords, z):
+        return self.numerical_hessian(coords, z)
+
+
+@register_calculator("tblite")
+class TBLite(HostCalculator):
+    """GFN1-/GFN2-xTB via the tblite python API
+    (ref: Calculator/tblite_calculation_tools.py:25-138).
+
+    options: method ("GFN2-xTB"/"GFN1-xTB"), solvation (cpcm/alpb, solvent).
+    """
+
+    def __init__(self, method="GFN2-xTB", charge=0, multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            from tblite.interface import Calculator as _TBCalc  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "tblite is not installed; install `tblite` to use the xTB backend"
+            ) from e
+        self.method = method
+
+    def _host_energy_gradient(self, coords, z):
+        from tblite.interface import Calculator as TBCalc
+        calc = TBCalc(self.method, np.asarray(z, dtype=int), coords,
+                      charge=self.charge,
+                      uhf=self.multiplicity - 1)
+        solvation = self.options.get("solvation")
+        if solvation:
+            calc.add(solvation[0], solvation[1])
+        calc.set("verbosity", 0)
+        res = calc.singlepoint()
+        return float(res.get("energy")), np.asarray(res.get("gradient"))
+
+
+@register_calculator("pyscf")
+class PySCF(HostCalculator):
+    """HF/DFT via PySCF (ref: Calculator/pyscf_calculation_tools.py:25-152).
+
+    options: method ("B3LYP", "HF", ...), basis ("6-31G*", ...).
+    """
+
+    def __init__(self, method="B3LYP", basis="6-31G*", charge=0,
+                 multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            import pyscf  # noqa: F401
+        except ImportError as e:
+            raise ImportError("pyscf is not installed") from e
+        self.method = method
+        self.basis = basis
+
+    def _build_mf(self, coords, z):
+        from pyscf import gto, dft, scf
+        mol = gto.M(
+            atom=[(int(zi), tuple(c * BOHR2ANGSTROM)) for zi, c in zip(z, coords)],
+            basis=self.basis, charge=self.charge, spin=self.multiplicity - 1,
+            unit="Angstrom",
+        )
+        if self.method.upper() in ("HF", "RHF", "UHF"):
+            mf = scf.UHF(mol) if self.multiplicity > 1 else scf.RHF(mol)
+        else:
+            mf = dft.UKS(mol) if self.multiplicity > 1 else dft.RKS(mol)
+            mf.xc = self.method
+        return mf
+
+    def _host_energy_gradient(self, coords, z):
+        mf = self._build_mf(coords, z)
+        e = mf.kernel()
+        g = mf.nuc_grad_method().kernel()
+        return float(e), np.asarray(g)
+
+
+@register_calculator("psi4")
+class Psi4(HostCalculator):
+    """Psi4 backend (ref: Calculator/psi4_calculation_tools.py:22)."""
+
+    def __init__(self, method="b3lyp/6-31g*", charge=0, multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            import psi4  # noqa: F401
+        except ImportError as e:
+            raise ImportError("psi4 is not installed") from e
+        self.method = method
+
+    def _host_energy_gradient(self, coords, z):
+        import psi4
+        from multioptpy_tpu.periodic import z_to_symbol
+        lines = [f"{self.charge} {self.multiplicity}"]
+        for zi, c in zip(z, coords * BOHR2ANGSTROM):
+            lines.append(f"{z_to_symbol(zi)} {c[0]:.12f} {c[1]:.12f} {c[2]:.12f}")
+        mol = psi4.geometry("\n".join(lines))
+        psi4.core.be_quiet()
+        g, wfn = psi4.gradient(self.method, molecule=mol, return_wfn=True)
+        return float(wfn.energy()), np.asarray(g)
+
+
+@register_calculator("ase")
+class ASEBridge(HostCalculator):
+    """Bridge to any ASE calculator (orca/gaussian/MACE/fairchem...)
+    (ref: Calculator/ase_calculation_tools.py:67,354). Pass a constructed
+    ase calculator as `ase_calc=`."""
+
+    def __init__(self, ase_calc=None, charge=0, multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            import ase  # noqa: F401
+        except ImportError as e:
+            raise ImportError("ase is not installed") from e
+        if ase_calc is None:
+            raise ValueError("pass ase_calc=<constructed ASE calculator>")
+        self.ase_calc = ase_calc
+
+    def _host_energy_gradient(self, coords, z):
+        import ase
+        from ase import units as aseu
+        atoms = ase.Atoms(numbers=np.asarray(z, int),
+                          positions=coords * BOHR2ANGSTROM)
+        atoms.calc = self.ase_calc
+        e_ev = atoms.get_potential_energy()
+        f_ev_ang = atoms.get_forces()
+        e = e_ev / aseu.Hartree
+        g = -f_ev_ang / aseu.Hartree / ANGSTROM2BOHR
+        return float(e), np.asarray(g)
