@@ -1,0 +1,188 @@
+"""Restricted-step (image-function) rational-function-optimization steps.
+
+TPU-native redesign of the reference's RS-I-RFO engine
+(ref: multioptpy/Optimizer/rsirfo.py:285 run, :924 get_rs_step, :1374/:1505
+secular solvers, :1688 solve_rfo). Differences that matter on TPU:
+
+* ONE eigendecomposition per step. The reference builds the image projector
+  P = I - 2 sum v v^T from the Hessian's own eigenvectors and re-diagonalizes
+  H* = P H (rsirfo.py:404-433). But H* shares H's eigenvectors with the
+  selected eigenvalues negated, so the flip is done directly on (eigvals,
+  g-components) — the second O(D^3) eigh is algebraically redundant.
+* Branchless fixed-iteration solvers. brentq/Newton micro-cycles with
+  data-dependent exits (rsirfo.py:1374,:1505) become fixed-trip-count
+  bisection `lax.fori_loop`s: the secular equation f(lam) = lam + sum
+  g_i^2/(d_i - lam) is strictly increasing left of the first pole, so
+  bisection converges unconditionally, the same number of iterations in every
+  vmap lane, to f64 machine precision in ~80 halvings.
+* Everything is shaped for `vmap`: no dynamic filtering of small eigenvalues
+  (the reference drops columns, rsirfo.py:265) — excluded modes are masked to
+  zero contribution instead, keeping static shapes.
+
+All functions are pure; drivers carry (trust_radius, hessian, ...) in a
+pytree state.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_POLE_EPS = 1e-10          # mode participates in image flip (ref rsirfo.py:415)
+SMALL_EIGVAL_THRESH = 1e-6  # mode excluded from step (ref rsirfo.py:26)
+
+
+def _leftmost_secular_root(poles, g2, valid, n_iter=80):
+    """Smallest root of f(lam) = lam + sum_i g2_i / (poles_i - lam).
+
+    `valid` masks which terms participate. f is strictly increasing on
+    (-inf, p0) where p0 = min over valid poles with g2 > 0, with
+    f -> -inf / +inf at the ends, so the unique root there is found by
+    bisection with a guaranteed initial bracket.
+    """
+    dtype = poles.dtype
+    gnorm2 = jnp.sum(jnp.where(valid, g2, 0.0))
+    active = valid & (g2 > 1e-24)
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    p0 = jnp.min(jnp.where(active, poles, big))
+    # Bracket: root <= min(p0, 0) (augmented-matrix interlacing); choose the
+    # lower end far enough that f(a) < 0:  a = min(p0,0) - (||g|| + 1).
+    b = jnp.minimum(p0, 0.0)
+    a = b - (jnp.sqrt(gnorm2) + 1.0)
+
+    def f(lam):
+        den = poles - lam
+        safe = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+        return lam + jnp.sum(jnp.where(active, g2 / safe, 0.0))
+
+    def body(_, ab):
+        lo, hi = ab
+        mid = 0.5 * (lo + hi)
+        fm = f(mid)
+        return (jnp.where(fm < 0.0, mid, lo), jnp.where(fm < 0.0, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (a, b))
+    return 0.5 * (lo + hi)
+
+
+def _rfo_step_components(eigvals, g_t, valid, alpha):
+    """Step components in the eigenbasis for scaling parameter alpha
+    (ref: rsirfo.py:1688 solve_rfo). Returns (step_t, lam)."""
+    poles = eigvals / alpha
+    gt = g_t / alpha
+    lam = _leftmost_secular_root(poles, gt * gt, valid)
+    den = poles - lam
+    safe = jnp.where(jnp.abs(den) > 1e-20, den, jnp.where(den >= 0, 1e-20, -1e-20))
+    step_t = jnp.where(valid, -gt / safe, 0.0)
+    return step_t, lam
+
+
+@partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter"))
+def rs_rfo_step(gradient, hessian, trust_radius, saddle_order=0,
+                alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40):
+    """One restricted-step image-RFO step.
+
+    Parameters
+    ----------
+    gradient : (D,) flat gradient (TR/rot-projected by the caller).
+    hessian : (D, D) symmetric effective Hessian (bias included, projected).
+    trust_radius : scalar, same length unit as the geometry (Bohr internally).
+    saddle_order : static int n — seek an n-th order saddle by sign-flipping
+        the n lowest non-singular modes (image function, ref rsirfo.py:404).
+
+    Returns
+    -------
+    step : (D,) move vector, norm <= trust_radius (+tolerance)
+    aux : dict(predicted_energy_change, lambda, step_norm)
+    """
+    d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
+    # NaN guard: broken Hessian falls back to identity => steepest descent
+    # (ref: rsirfo.py:362-370)
+    bad = ~jnp.all(jnp.isfinite(d)) | ~jnp.all(jnp.isfinite(v))
+    d = jnp.where(bad, jnp.ones_like(d), d)
+    v = jnp.where(bad, jnp.eye(d.shape[0], dtype=v.dtype), v)
+
+    g_t = v.T @ gradient
+
+    # image flip of the first saddle_order non-singular modes
+    participate = jnp.abs(d) > _POLE_EPS
+    rank = jnp.cumsum(participate.astype(jnp.int32))
+    flip = participate & (rank <= saddle_order)
+    sign = jnp.where(flip, -1.0, 1.0)
+    d_im = d * sign
+    g_im = g_t * sign
+
+    # modes excluded from the step entirely (ref: rsirfo.py:265 filter)
+    valid = jnp.abs(d) >= SMALL_EIGVAL_THRESH
+
+    step0, lam0 = _rfo_step_components(d_im, g_im, valid, alpha0)
+    norm0 = jnp.linalg.norm(step0)
+
+    def needs_restriction(_):
+        # bisect log10(alpha): ||step(alpha)|| decreases monotonically with
+        # alpha (ref: rsirfo.py:1505 compute_rsprfo_step, brentq over alpha)
+        lo0 = jnp.log10(jnp.asarray(1e-6, d.dtype))
+        hi0 = jnp.log10(jnp.asarray(alpha_max, d.dtype))
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            s, _ = _rfo_step_components(d_im, g_im, valid, 10.0 ** mid)
+            too_big = jnp.linalg.norm(s) > trust_radius
+            return (jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, n_alpha_iter, body, (lo0, hi0))
+        s, lam = _rfo_step_components(d_im, g_im, valid, 10.0 ** (0.5 * (lo + hi)))
+        # exact trust-radius projection of any residual mismatch
+        sn = jnp.linalg.norm(s)
+        s = jnp.where(sn > trust_radius, s * (trust_radius / jnp.maximum(sn, 1e-30)), s)
+        return s, lam
+
+    step_t, lam = jax.lax.cond(
+        norm0 > trust_radius, needs_restriction,
+        lambda _: (step0, lam0), operand=None)
+
+    step = v @ step_t
+
+    # final NaN guard -> trust-clipped steepest descent (ref: rsirfo.py:455)
+    finite = jnp.all(jnp.isfinite(step))
+    sd = -gradient
+    sd_n = jnp.linalg.norm(sd)
+    sd = jnp.where(sd_n > trust_radius, sd * (trust_radius / jnp.maximum(sd_n, 1e-30)), sd)
+    step = jnp.where(finite, step, sd)
+
+    predicted = jnp.dot(gradient, step) + 0.5 * jnp.dot(step, hessian @ step)
+    return step, {"predicted_energy_change": predicted, "lambda": lam,
+                  "step_norm": jnp.linalg.norm(step)}
+
+
+def update_trust_radius(trust_radius, actual_change, predicted_change,
+                        tr_min=0.01, tr_max=0.5, good=0.75, poor=0.25,
+                        increase=1.2, decrease=0.5):
+    """Conventional ratio-based trust-radius control as a pure function
+    (ref: rsirfo.py:805 adjust_trust_radius; optimizer.py:534)."""
+    ok = jnp.abs(predicted_change) >= 1e-10
+    ratio = jnp.where(ok, actual_change / jnp.where(ok, predicted_change, 1.0), 1.0)
+    grown = jnp.minimum(trust_radius * increase, tr_max)
+    shrunk = jnp.maximum(trust_radius * decrease, tr_min)
+    new = jnp.where(ratio > good, grown, jnp.where(ratio < poor, shrunk, trust_radius))
+    return jnp.where(ok, new, trust_radius)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def rfo_classic_step(gradient, hessian, mode="min"):
+    """Unrestricted classic RFO step from the augmented Hessian
+    [[H, g], [g^T, 0]]: step = x[:-1]/x[-1] for the smallest (min) /
+    largest (max) eigenpair. Used by the NEB RFO optimizer
+    (ref: Optimizer/rfo_neb.py:10) and as a cheap fallback."""
+    n = gradient.shape[0]
+    aug = jnp.zeros((n + 1, n + 1), dtype=hessian.dtype)
+    aug = aug.at[:n, :n].set(0.5 * (hessian + hessian.T))
+    aug = aug.at[:n, n].set(gradient)
+    aug = aug.at[n, :n].set(gradient)
+    w, u = jnp.linalg.eigh(aug)
+    idx = 0 if mode == "min" else n
+    vec = u[:, idx]
+    denom = vec[n]
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, jnp.where(denom >= 0, 1e-12, -1e-12))
+    return vec[:n] / safe
