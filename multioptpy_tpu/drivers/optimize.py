@@ -1,0 +1,403 @@
+"""Geometry-optimization driver: pytree state + one jitted step function.
+
+TPU-native redesign of the reference's file-driven main loop
+(ref: multioptpy/optimization.py:1862-2100): instead of writing an xyz per
+iteration and re-parsing it (optimization.py:319), the whole step — energy/
+gradient (+bias), quasi-Newton Hessian update, TR/rot projection, RS-RFO or
+first-order step, convergence check, trust-radius control — is ONE compiled
+XLA program over a `OptState` pytree. Ensembles run the same step `vmap`ped
+over a leading batch axis with convergence masking (converged members idle at
+zero step), which is the TPU replacement for the reference's sequential
+conformer loops (SURVEY §2.7).
+
+Modes:
+* `optimize()` — host loop around the jitted step: early exit, per-iteration
+  history, works with host-callback QM backends.
+* `optimize_batch()` — fixed-step `lax.scan`, fully on device, batched.
+
+Convergence semantics mirror the reference exactly
+(ref: optimization.py:1240-1290 ConvergenceChecker: Gaussian-style 4
+criteria with force-coupled displacement thresholds, masked RMS).
+"""
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.geometry import project_gradient_tr_rot, tr_rot_projector
+from multioptpy_tpu.hessian.updates import auto_scale, update_hessian
+from multioptpy_tpu.steppers.first_order import (
+    cg_init,
+    cg_step,
+    fire_init,
+    fire_step,
+    fire2_step,
+    abc_fire_step,
+    lbfgs_init,
+    lbfgs_step,
+    sd_step,
+)
+from multioptpy_tpu.steppers.rfo import rs_rfo_step, update_trust_radius
+from multioptpy_tpu.units import ANGSTROM2BOHR
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizeConfig:
+    """Driver configuration (defaults = reference defaults).
+
+    ref: optimization.py:129-132 (criteria), interface.py:147 (NSTEP),
+    optimizer.py:281-303 (trust radii, Angstrom).
+    """
+
+    method: str = "rfo_fsb"          # rfo_<update> | fire | fire2 | abc_fire
+                                     # | lbfgs | cg_<variant> | sd
+    nsteps: int = 1000
+    saddle_order: int = 0
+    max_force: float = 3e-4          # Hartree/Bohr
+    rms_force: float = 2e-4
+    max_displacement: float = 1.5e-3  # Bohr (a.u., as in the reference)
+    rms_displacement: float = 1e-3
+    trust_radius_ang: Optional[float] = None  # default 0.5 (min) / 0.1 (saddle)
+    trust_radius_min_ang: float = 0.01
+    delta: float = 1.0               # first-order step scale
+    fc_count: int = -1               # exact Hessian every k steps (-1: never)
+    init_hessian: str = "auto"       # auto | exact | identity
+    project_tr_rot: bool = True
+
+    def initial_trust_bohr(self):
+        tr = self.trust_radius_ang
+        if tr is None:
+            tr = 0.1 if self.saddle_order > 0 else 0.5
+        return tr * ANGSTROM2BOHR
+
+    def criteria(self, tight=False, loose=False):
+        if tight:
+            return (1.5e-5, 1e-5, 6e-5, 4e-5)
+        if loose:
+            return (3e-3, 2e-3, 1e-2, 7e-3)
+        return (self.max_force, self.rms_force,
+                self.max_displacement, self.rms_displacement)
+
+
+class OptState(NamedTuple):
+    coords: jnp.ndarray        # (N,3) Bohr
+    energy: jnp.ndarray        # scalar (bias-included)
+    gradient: jnp.ndarray      # (N,3) effective gradient
+    raw_gradient: jnp.ndarray  # (N,3) unbiased gradient (Hessian updates)
+    prev_coords: jnp.ndarray
+    prev_energy: jnp.ndarray
+    prev_raw_gradient: jnp.ndarray
+    hessian: jnp.ndarray       # (3N,3N)
+    trust_radius: jnp.ndarray  # scalar, Bohr
+    predicted_change: jnp.ndarray
+    move: jnp.ndarray          # (N,3) last displacement
+    iteration: jnp.ndarray     # int32
+    converged: jnp.ndarray     # bool
+    fo_state: tuple            # first-order engine state (or ())
+
+
+def _masked_rms(v, thresh=1e-10):
+    """RMS over components with |v| > thresh (ref: optimization.py:1245)."""
+    mask = jnp.abs(v) > thresh
+    n = jnp.sum(mask)
+    s = jnp.sum(jnp.where(mask, v * v, 0.0))
+    return jnp.sqrt(s / jnp.maximum(n, 1))
+
+
+def check_convergence(gradient, displacement, criteria):
+    """Four Gaussian-style criteria with force-coupled displacement
+    thresholds (ref: optimization.py:1252-1290)."""
+    max_f_th, rms_f_th, max_d_th, rms_d_th = criteria
+    g = gradient.reshape(-1)
+    d = displacement.reshape(-1)
+    max_force = jnp.max(jnp.abs(g))
+    rms_force = _masked_rms(g)
+    max_disp = jnp.max(jnp.abs(d))
+    rms_disp = _masked_rms(d)
+    d_max_th = max_d_th + jnp.maximum(0.0, max_f_th - max_force)
+    d_rms_th = rms_d_th + jnp.maximum(0.0, rms_f_th - rms_force)
+    return ((max_force < max_f_th) & (rms_force < rms_f_th)
+            & (max_disp < d_max_th) & (rms_disp < d_rms_th))
+
+
+def _parse_method(method):
+    m = method.lower()
+    if m.startswith("rfo"):
+        update = m.split("_", 1)[1] if "_" in m else "auto"
+        return ("rfo", update)
+    if m.startswith("cg"):
+        variant = m.split("_", 1)[1] if "_" in m else "pr"
+        return ("cg", variant)
+    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd"):
+        return (m, None)
+    raise ValueError(f"unknown optimization method '{method}'")
+
+
+def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
+               hessian0=None):
+    """Build the initial OptState (evaluates one energy/gradient)."""
+    coords = jnp.asarray(coords)
+    n = coords.shape[0]
+    dtype = coords.dtype
+    e, g = calc.energy_and_gradient(coords, z)
+    raw_g = g
+    if bias_engine is not None and len(bias_engine):
+        be, bg = bias_engine.energy_and_gradient(coords)
+        e, g = e + be, g + bg
+
+    if hessian0 is None:
+        kind0, _ = _parse_method(config.method)
+        use_exact = (config.init_hessian == "exact"
+                     or (config.init_hessian == "auto" and calc.on_device))
+        if kind0 == "rfo" and use_exact:
+            # cheap for on-device backends; spares quasi-Newton the many
+            # steps needed to learn a wide curvature spectrum from identity
+            hessian0 = calc.hessian(coords, z)
+            if bias_engine is not None and len(bias_engine):
+                hessian0 = hessian0 + bias_engine.hessian(coords)
+        else:
+            hessian0 = jnp.eye(3 * n, dtype=dtype)
+
+    kind, _ = _parse_method(config.method)
+    if kind == "fire" or kind == "fire2" or kind == "abc_fire":
+        fo = (fire_init(3 * n, dtype),)
+    elif kind == "lbfgs":
+        fo = (lbfgs_init(3 * n, dtype=dtype),)
+    elif kind == "cg":
+        fo = (cg_init(3 * n, dtype),)
+    else:
+        fo = ()
+
+    zero = jnp.zeros_like(coords)
+    return OptState(
+        coords=coords, energy=e, gradient=g, raw_gradient=raw_g,
+        prev_coords=coords, prev_energy=e, prev_raw_gradient=raw_g,
+        hessian=jnp.asarray(hessian0, dtype),
+        trust_radius=jnp.asarray(config.initial_trust_bohr(), dtype),
+        predicted_change=jnp.asarray(0.0, dtype),
+        move=zero, iteration=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False), fo_state=fo,
+    )
+
+
+def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig()):
+    """Build the jitted `state -> state` transition.
+
+    The returned function is pure and traceable: vmap it for ensembles,
+    scan it for fully-on-device trajectories.
+    """
+    kind, sub = _parse_method(config.method)
+    criteria = config.criteria()
+    saddle_order = config.saddle_order
+    tr_max = config.initial_trust_bohr()
+    tr_min = config.trust_radius_min_ang * ANGSTROM2BOHR
+
+    def energy_gradient(coords):
+        e, g = calc.energy_and_gradient(coords, z)
+        raw_g = g
+        if bias_engine is not None and len(bias_engine):
+            be, bg = bias_engine.energy_and_gradient(coords)
+            e, g = e + be, g + bg
+        return e, g, raw_g
+
+    def exact_hessian(coords):
+        h = calc.hessian(coords, z)
+        if bias_engine is not None and len(bias_engine):
+            h = h + bias_engine.hessian(coords)
+        return h
+
+    def quasi_newton_move(state, g_flat):
+        n3 = g_flat.shape[0]
+        s = (state.coords - state.prev_coords).reshape(-1)
+        y = (state.raw_gradient - state.prev_raw_gradient).reshape(-1)
+        have_pair = (state.iteration > 0) & (jnp.linalg.norm(s) > 1e-12)
+        is_identity = jnp.all(state.hessian == jnp.eye(n3, dtype=g_flat.dtype))
+        h = auto_scale(state.hessian, s, y, is_identity & have_pair)
+        h_upd = update_hessian(h, s, y, sub)
+        h = jnp.where(have_pair, h_upd, h)
+        if config.fc_count > 0 and calc.on_device:
+            # periodic exact Hessian rebuild, branchless
+            # (ref: optimization.py:1884 FC_COUNT exact-Hessian cadence)
+            rebuild = (state.iteration % config.fc_count) == 0
+            h = jnp.where(rebuild, exact_hessian(state.coords), h)
+
+        # effective Hessian: TR/rot projected (ref: rsirfo.py:353)
+        if config.project_tr_rot:
+            p = tr_rot_projector(state.coords)
+            h_eff = p.T @ h @ p
+            h_eff = 0.5 * (h_eff + h_eff.T)
+        else:
+            h_eff = h
+        # trust-radius feedback from the PREVIOUS step's prediction
+        actual = state.energy - state.prev_energy
+        trust_new = update_trust_radius(
+            state.trust_radius, actual, state.predicted_change,
+            tr_min=tr_min, tr_max=tr_max)
+        trust_new = jnp.where(state.iteration > 0, trust_new, state.trust_radius)
+        step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
+                                saddle_order=saddle_order)
+        return step, h, trust_new, aux["predicted_energy_change"], ()
+
+    def first_order_move(state, g_flat):
+        if kind == "sd":
+            mv, fo_new = sd_step(g_flat, delta=config.delta), None
+        else:
+            fo = state.fo_state[0]
+            if kind in ("fire", "fire2", "abc_fire"):
+                fn = {"fire": fire_step, "fire2": fire2_step,
+                      "abc_fire": abc_fire_step}[kind]
+                mv, fo_new = fn(fo, g_flat)
+            elif kind == "lbfgs":
+                mv, fo_new = lbfgs_step(fo, state.coords.reshape(-1), g_flat,
+                                        delta=config.delta)
+            else:  # cg
+                mv, fo_new = cg_step(fo, g_flat, variant=sub, delta=config.delta)
+        # clamp to trust radius (ref: optimizer.py:792)
+        norm = jnp.linalg.norm(mv)
+        trust = state.trust_radius
+        mv = jnp.where(norm > trust, mv * (trust / jnp.maximum(norm, 1e-30)), mv)
+        fo = (fo_new,) if fo_new is not None else ()
+        return mv, state.hessian, trust, jnp.dot(g_flat, mv), fo
+
+    def step(state):
+        g = state.gradient
+        if config.project_tr_rot:
+            g = project_gradient_tr_rot(g, state.coords)
+        g_flat = g.reshape(-1)
+
+        if kind == "rfo":
+            mv_flat, h, trust, predicted, fo = quasi_newton_move(state, g_flat)
+        else:
+            mv_flat, h, trust, predicted, fo = first_order_move(state, g_flat)
+            if not fo:
+                fo = state.fo_state
+
+        move = mv_flat.reshape(state.coords.shape)
+        # frozen once converged (ensemble masking)
+        move = jnp.where(state.converged, 0.0, move)
+        new_coords = state.coords + move
+
+        e_new, g_new, raw_g_new = energy_gradient(new_coords)
+
+        conv_now = check_convergence(g, move, criteria)
+        converged = state.converged | conv_now
+
+        new_state = OptState(
+            coords=new_coords, energy=e_new, gradient=g_new,
+            raw_gradient=raw_g_new,
+            prev_coords=state.coords, prev_energy=state.energy,
+            prev_raw_gradient=state.raw_gradient,
+            hessian=h, trust_radius=trust,
+            predicted_change=jnp.asarray(predicted, state.energy.dtype),
+            move=move,
+            iteration=state.iteration + 1,
+            converged=converged,
+            fo_state=fo,
+        )
+
+        # --- trust-region step REJECTION (minimization only) --------------
+        # An uphill move means the quadratic model failed at this radius:
+        # revert the geometry and retry smaller. Without this, near stiff
+        # anharmonic walls the ratio feedback alone produces a sawtooth
+        # (grow trust -> overshoot -> crawl back) that never converges.
+        # The trust floor for rejections sits well below the ratio-control
+        # floor so repeated rejections always make progress possible.
+        if saddle_order == 0 and kind == "rfo":
+            reject = (~state.converged) & ~conv_now & \
+                (e_new > state.energy + 1e-14)
+            rejected_state = state._replace(
+                hessian=h,  # keep curvature info learned this iteration
+                # zero the (s, y) pair so the same update isn't re-applied
+                prev_coords=state.coords,
+                prev_raw_gradient=state.raw_gradient,
+                trust_radius=jnp.maximum(
+                    jnp.linalg.norm(mv_flat) * 0.25, 1e-5),
+                predicted_change=jnp.zeros_like(state.predicted_change),
+                iteration=state.iteration + 1,
+            )
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(reject, b, a),
+                new_state, rejected_state)
+
+        # converged members keep their state frozen entirely
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(state.converged, b, a),
+            new_state, state._replace(converged=converged))
+
+    return step
+
+
+class OptResult(NamedTuple):
+    coords: jnp.ndarray
+    energy: jnp.ndarray
+    gradient: jnp.ndarray
+    converged: jnp.ndarray
+    n_iterations: int
+    energy_history: np.ndarray
+    coords_history: Optional[np.ndarray]
+
+
+def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
+             hessian0=None, record_trajectory=False, callback=None):
+    """Host-driven optimization loop with early exit (3.1-equivalent stack)."""
+    z = jnp.asarray(z)
+    state = init_state(coords, z, calc, bias_engine, config, hessian0)
+    step = jax.jit(make_step_fn(calc, z, bias_engine, config))
+
+    energies = [float(state.energy)]
+    traj = [np.asarray(state.coords)] if record_trajectory else None
+    it = 0
+    for it in range(1, config.nsteps + 1):
+        state = step(state)
+        energies.append(float(state.energy))
+        if record_trajectory:
+            traj.append(np.asarray(state.coords))
+        if callback is not None:
+            callback(it, state)
+        if bool(state.converged):
+            break
+
+    return OptResult(
+        coords=state.coords, energy=state.energy, gradient=state.gradient,
+        converged=state.converged, n_iterations=it,
+        energy_history=np.asarray(energies),
+        coords_history=np.stack(traj) if record_trajectory else None,
+    )
+
+
+def optimize_batch(calc, coords_batch, z, bias_engine=None,
+                   config=OptimizeConfig(), n_steps=None, hessian0=None):
+    """Fully-on-device batched optimization: `vmap` over structures,
+    `lax.scan` over a fixed number of steps with convergence masking.
+
+    This is the TPU replacement for the reference's sequential conformer
+    loop (ref: Entrypoints/conformation_search.py:569). All members advance
+    in lockstep; converged members are frozen at zero cost to correctness.
+    """
+    z = jnp.asarray(z)
+    n_steps = int(n_steps if n_steps is not None else config.nsteps)
+    step = make_step_fn(calc, z, bias_engine, config)
+
+    init_one = lambda c: init_state(c, z, calc, bias_engine, config, hessian0)
+    state0 = jax.vmap(init_one)(jnp.asarray(coords_batch))
+
+    @jax.jit
+    def run(state0):
+        def body(state, _):
+            state = jax.vmap(step)(state)
+            return state, (state.energy, state.converged)
+
+        final, (e_hist, conv_hist) = jax.lax.scan(
+            body, state0, None, length=n_steps)
+        return final, e_hist, conv_hist
+
+    final, e_hist, conv_hist = run(state0)
+    return OptResult(
+        coords=final.coords, energy=final.energy, gradient=final.gradient,
+        converged=final.converged, n_iterations=n_steps,
+        energy_history=np.asarray(e_hist), coords_history=None,
+    )

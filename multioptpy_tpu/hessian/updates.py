@@ -18,27 +18,47 @@ Double damping: arXiv:2006.08877. Flowchart: Theor Chem Acc 135, 84 (2016).
 
 import jax.numpy as jnp
 
-_DENOM_EPS = 1e-10
+_DENOM_EPS = 1e-10   # reference's absolute guard (ref: hessian_update.py:26)
+_REL_EPS = 1e-12     # relative degeneracy threshold (see note below)
+_TINY = 1e-300
 
 
-def _safe_div(num, den, eps=_DENOM_EPS):
-    """num/den where |den|>=eps, else 0 (mirrors the reference's guard that
-    zeroes a term when its denominator underflows)."""
-    ok = jnp.abs(den) >= eps
+def _safe_div(num, den, scale):
+    """num/den, zero when |den| is degenerate RELATIVE to its natural scale.
+
+    The reference zeroes individual update terms on an absolute |den|<1e-10
+    test (ref: hessian_update.py:50-62). That silently corrupts updates on
+    weak-force surfaces (e.g. dispersion-bound LJ clusters) where s.y ~ 1e-11
+    is perfectly meaningful: one BFGS term gets zeroed while the other
+    survives, injecting a spurious -s s^T/|s|^2 curvature that cancels the
+    diagonal and freezes the optimizer along s. A scale-relative test keeps
+    every physically meaningful pair and only rejects true degeneracies.
+    """
+    ok = jnp.abs(den) >= _REL_EPS * scale + _TINY
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
 
 
 def bfgs_delta(h, s, y):
     """delta = y y^T/(y.s) - (H s)(H s)^T/(s.H s)
-    (ref: hessian_update.py:35 _calculate_bfgs_delta)."""
+    (ref: hessian_update.py:35 _calculate_bfgs_delta). The whole delta is
+    zeroed if EITHER denominator is degenerate — zeroing only one term is
+    never a valid update."""
     hs = h @ s
-    t1 = _safe_div(jnp.outer(y, y), jnp.dot(s, y))
-    t2 = _safe_div(jnp.outer(hs, hs), jnp.dot(s, hs))
-    return t1 - t2
+    sy = jnp.dot(s, y)
+    shs = jnp.dot(s, hs)
+    ok = ((jnp.abs(sy) >= _REL_EPS * _norm(s) * _norm(y) + _TINY)
+          & (jnp.abs(shs) >= _REL_EPS * _norm(s) * _norm(hs) + _TINY))
+    t1 = jnp.outer(y, y) / jnp.where(ok, sy, 1.0)
+    t2 = jnp.outer(hs, hs) / jnp.where(ok, shs, 1.0)
+    return jnp.where(ok, t1 - t2, 0.0)
+
+
+def _norm(x):
+    return jnp.linalg.norm(x)
 
 
 def _sr1_delta_from_a(a, s):
-    return _safe_div(jnp.outer(a, a), jnp.dot(a, s))
+    return _safe_div(jnp.outer(a, a), jnp.dot(a, s), _norm(a) * _norm(s))
 
 
 def sr1_delta(h, s, y):
@@ -50,17 +70,18 @@ def psb_delta(h, s, y):
     """Powell symmetric Broyden (ref: hessian_update.py:88)."""
     a = y - h @ s
     ss = jnp.dot(s, s)
-    outer_ss = jnp.outer(s, s)
-    term = _safe_div(-jnp.dot(a, s) * outer_ss, ss * ss) \
-        + _safe_div(jnp.outer(a, s) + jnp.outer(s, a), ss)
-    return jnp.where(jnp.abs(ss) >= _DENOM_EPS, term, 0.0)
+    ok = ss >= _TINY
+    ss_safe = jnp.where(ok, ss, 1.0)
+    term = (-jnp.dot(a, s) * jnp.outer(s, s) / ss_safe ** 2
+            + (jnp.outer(a, s) + jnp.outer(s, a)) / ss_safe)
+    return jnp.where(ok, term, 0.0)
 
 
 def _bofill_const(a, s):
     """phi^2 = (a.s)^2 / ((a.a)(s.s)) (ref: hessian_update.py:110)."""
     num = jnp.dot(a, s) ** 2
     den = jnp.dot(a, a) * jnp.dot(s, s)
-    return _safe_div(num, den)
+    return jnp.clip(_safe_div(num, den, den + _TINY), 0.0, 1.0)
 
 
 def fsb_delta(h, s, y, cfd=False):
@@ -88,9 +109,8 @@ def msp_delta(h, s, y):
     a = y - h @ s
     d_ms = _sr1_delta_from_a(a, s)
     d_p = psb_delta(h, s, y)
-    cos_arg = jnp.clip(
-        _safe_div(jnp.dot(s, a), jnp.linalg.norm(a) * jnp.linalg.norm(s)),
-        -1.0, 1.0)
+    den = jnp.linalg.norm(a) * jnp.linalg.norm(s)
+    cos_arg = jnp.clip(_safe_div(jnp.dot(s, a), den, den + _TINY), -1.0, 1.0)
     phi = 1.0 - cos_arg ** 2
     return phi * d_p + (1.0 - phi) * d_ms
 
@@ -105,8 +125,10 @@ def flowchart_delta(h, s, y):
     the paper's y - H s, noted at hessian_update.py:167-169).
     """
     z = y - h @ y
-    zs = _safe_div(jnp.dot(z, s), jnp.linalg.norm(s) * jnp.linalg.norm(z))
-    ys = _safe_div(jnp.dot(y, s), jnp.linalg.norm(s) * jnp.linalg.norm(y))
+    den_z = jnp.linalg.norm(s) * jnp.linalg.norm(z)
+    den_y = jnp.linalg.norm(s) * jnp.linalg.norm(y)
+    zs = _safe_div(jnp.dot(z, s), den_z, den_z + _TINY)
+    ys = _safe_div(jnp.dot(y, s), den_y, den_y + _TINY)
     d_sr1 = sr1_delta(h, s, y)
     d_bfgs = bfgs_delta(h, s, y)
     d_fsb = fsb_delta(h, s, y)
@@ -132,9 +154,10 @@ def auto_scale(h, s, y, is_identity):
     ss = jnp.dot(s, s)
     yy = jnp.dot(y, y)
     ys = jnp.abs(jnp.dot(y, s))
-    ok = (jnp.abs(ss) > _DENOM_EPS) & (jnp.abs(yy) > _DENOM_EPS) & (ys > _DENOM_EPS)
-    scale = jnp.where(ok & is_identity, _safe_div(yy, ys), 1.0)
-    scale = jnp.where(scale == 0.0, 1.0, scale)
+    # relative degeneracy test (see _safe_div note): the reference's absolute
+    # 1e-10 floors (hessian_update.py:148) reject valid weak-force pairs
+    ok = (ss > _TINY) & (yy > _TINY) & (ys > _REL_EPS * jnp.sqrt(ss * yy))
+    scale = jnp.where(ok & is_identity, yy / jnp.where(ok, ys, 1.0), 1.0)
     return h * scale
 
 

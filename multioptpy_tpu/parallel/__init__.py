@@ -1,0 +1,5 @@
+from multioptpy_tpu.parallel.mesh import (  # noqa: F401
+    ensemble_mesh,
+    shard_batch,
+    sharded_optimize_batch,
+)

@@ -42,7 +42,12 @@ def _leftmost_secular_root(poles, g2, valid, n_iter=80):
     """
     dtype = poles.dtype
     gnorm2 = jnp.sum(jnp.where(valid, g2, 0.0))
-    active = valid & (g2 > 1e-24)
+    # A pole only bounds the root if its gradient component carries signal.
+    # Quasi-Newton Hessians grow spurious small negative eigenvalues whose
+    # g-components are numerical noise (~1e-9 of ||g||); letting such a pole
+    # pin lambda makes the step ride a fake mode and stalls minimizations
+    # near stiff walls. Relative cutoff: |g_i| > 1e-5 ||g||.
+    active = valid & (g2 > jnp.maximum(1e-24, 1e-10 * gnorm2))
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     p0 = jnp.min(jnp.where(active, poles, big))
     # Bracket: root <= min(p0, 0) (augmented-matrix interlacing); choose the
