@@ -65,7 +65,9 @@ class OptimizeConfig:
     trust_radius_min_ang: float = 0.01
     delta: float = 1.0               # first-order step scale
     fc_count: int = -1               # exact Hessian every k steps (-1: never)
-    init_hessian: str = "auto"       # auto | exact | identity
+    mfc_count: int = -1              # model-Hessian rebuild cadence
+                                     # (ref: optimization.py:1884 mFC_COUNT)
+    init_hessian: str = "auto"       # auto | exact | identity | model:<kind>
     project_tr_rot: bool = True
 
     def initial_trust_bohr(self):
@@ -153,7 +155,14 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         kind0, _ = _parse_method(config.method)
         use_exact = (config.init_hessian == "exact"
                      or (config.init_hessian == "auto" and calc.on_device))
-        if kind0 == "rfo" and use_exact:
+        if kind0 != "rfo":
+            hessian0 = jnp.eye(3 * n, dtype=dtype)
+        elif config.init_hessian.startswith("model:"):
+            # model guess Hessian (ref: ModelHessian/approx_hessian.py:30)
+            from multioptpy_tpu.hessian.model import model_hessian
+            hessian0 = model_hessian(coords, np.asarray(z),
+                                     kind=config.init_hessian.split(":", 1)[1])
+        elif use_exact:
             # cheap for on-device backends; spares quasi-Newton the many
             # steps needed to learn a wide curvature spectrum from identity
             hessian0 = calc.hessian(coords, z)
@@ -184,7 +193,8 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
     )
 
 
-def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig()):
+def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
+                 model_hessian_fn=None):
     """Build the jitted `state -> state` transition.
 
     The returned function is pure and traceable: vmap it for ensembles,
@@ -224,6 +234,10 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig()):
             # (ref: optimization.py:1884 FC_COUNT exact-Hessian cadence)
             rebuild = (state.iteration % config.fc_count) == 0
             h = jnp.where(rebuild, exact_hessian(state.coords), h)
+        if config.mfc_count > 0 and model_hessian_fn is not None:
+            # periodic model-Hessian rebuild (ref: optimization.py:1884)
+            rebuild = (state.iteration % config.mfc_count) == 0
+            h = jnp.where(rebuild, model_hessian_fn(state.coords), h)
 
         # effective Hessian: TR/rot projected (ref: rsirfo.py:353)
         if config.project_tr_rot:
@@ -346,7 +360,15 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
     """Host-driven optimization loop with early exit (3.1-equivalent stack)."""
     z = jnp.asarray(z)
     state = init_state(coords, z, calc, bias_engine, config, hessian0)
-    step = jax.jit(make_step_fn(calc, z, bias_engine, config))
+    model_fn = None
+    if config.mfc_count > 0:
+        from multioptpy_tpu.coords.internals import detect_primitives
+        from multioptpy_tpu.hessian.model import make_model_hessian_fn
+        kind = (config.init_hessian.split(":", 1)[1]
+                if config.init_hessian.startswith("model:") else "lindh")
+        b, a, t = detect_primitives(np.asarray(coords), np.asarray(z))
+        model_fn = make_model_hessian_fn(np.asarray(z), b, a, t, kind)
+    step = jax.jit(make_step_fn(calc, z, bias_engine, config, model_fn))
 
     energies = [float(state.energy)]
     traj = [np.asarray(state.coords)] if record_trajectory else None

@@ -1,0 +1,144 @@
+"""Internal coordinates (autodiff Wilson B) and model Hessians."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multioptpy_tpu.coords import InternalCoordinates, auto_internals, detect_primitives
+from multioptpy_tpu.hessian.model import (
+    MODEL_HESSIAN_KINDS,
+    model_hessian,
+    smooth_eigenvalues,
+)
+from multioptpy_tpu.units import ANGSTROM2BOHR
+
+
+@pytest.fixture(scope="module")
+def water():
+    coords = jnp.asarray(np.array([
+        [0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692], [0.0, -0.7572, -0.4692],
+    ]) * ANGSTROM2BOHR)
+    z = np.array([8, 1, 1])
+    return coords, z
+
+
+@pytest.fixture(scope="module")
+def h2o2():
+    # non-planar H2O2: includes a torsion primitive
+    coords = jnp.asarray(np.array([
+        [0.0, 0.73, -0.05], [0.0, -0.73, -0.05],
+        [0.83, 0.88, 0.44], [-0.83, -0.88, 0.44],
+    ]) * ANGSTROM2BOHR)
+    z = np.array([8, 8, 1, 1])
+    return coords, z
+
+
+class TestPrimitives:
+    def test_water_detection(self, water):
+        coords, z = water
+        bonds, angles, torsions = detect_primitives(np.asarray(coords), z)
+        assert len(bonds) == 2
+        assert len(angles) == 1
+        assert len(torsions) == 0
+
+    def test_h2o2_has_torsion(self, h2o2):
+        coords, z = h2o2
+        bonds, angles, torsions = detect_primitives(np.asarray(coords), z)
+        assert len(bonds) == 3
+        assert len(angles) == 2
+        assert len(torsions) == 1
+
+    def test_q_values(self, water):
+        coords, z = water
+        ic = auto_internals(np.asarray(coords), z)
+        q = ic.q(coords)
+        oh = 0.9572 * ANGSTROM2BOHR
+        np.testing.assert_allclose(np.asarray(q[:2]), oh, rtol=1e-3)
+        assert float(q[2]) == pytest.approx(104.52 * np.pi / 180.0, rel=1e-3)
+
+    def test_fragment_linking(self):
+        # two He atoms far apart: link bond still created
+        coords = np.array([[0.0, 0.0, 0.0], [8.0, 0.0, 0.0]])
+        bonds, _, _ = detect_primitives(coords, np.array([2, 2]))
+        assert len(bonds) == 1
+
+
+class TestWilsonB:
+    def test_b_matrix_matches_fd(self, h2o2):
+        coords, z = h2o2
+        ic = auto_internals(np.asarray(coords), z)
+        b = ic.b_matrix(coords)
+        assert b.shape == (ic.n_primitives, 12)
+        x = np.asarray(coords).reshape(-1)
+        eps = 1e-6
+        for col in range(12):
+            xp, xm = x.copy(), x.copy()
+            xp[col] += eps
+            xm[col] -= eps
+            fd = (np.asarray(ic.q_flat(jnp.asarray(xp)))
+                  - np.asarray(ic.q_flat(jnp.asarray(xm)))) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(b[:, col]), fd, atol=1e-6)
+
+    def test_gradient_roundtrip(self, h2o2, rng):
+        coords, z = h2o2
+        ic = auto_internals(np.asarray(coords), z)
+        # gradient of a function expressible in internals: sum of q^2
+        fn = lambda c: jnp.sum(ic.q(c) ** 2)
+        g_cart = jax.grad(fn)(coords)
+        g_q = ic.cart_to_internal_gradient(g_cart, coords)
+        g_back = ic.internal_to_cart_gradient(g_q, coords)
+        np.testing.assert_allclose(np.asarray(g_back), np.asarray(g_cart),
+                                   atol=1e-8)
+
+    def test_hessian_transform_consistency(self, h2o2):
+        coords, z = h2o2
+        ic = auto_internals(np.asarray(coords), z)
+        fn = lambda c: jnp.sum(ic.q(c) ** 2) + jnp.sum(jnp.cos(ic.q(c)))
+        h_x = jax.hessian(lambda x: fn(x.reshape(4, 3)))(coords.reshape(-1))
+        g_cart = jax.grad(fn)(coords)
+        h_q = ic.internal_hessian_from_cart(h_x, g_cart, coords)
+        g_q = ic.cart_to_internal_gradient(g_cart, coords)
+        h_back = ic.cart_hessian_from_internal(h_q, g_q, coords)
+        # roundtrip reproduces H_x on the non-TR/rot subspace
+        from multioptpy_tpu.geometry import project_hessian_tr_rot
+        np.testing.assert_allclose(
+            np.asarray(project_hessian_tr_rot(h_back, coords)),
+            np.asarray(project_hessian_tr_rot(h_x, coords)), atol=1e-6)
+
+    def test_back_transform(self, h2o2):
+        coords, z = h2o2
+        ic = auto_internals(np.asarray(coords), z)
+        q0 = ic.q(coords)
+        q_target = q0.at[0].add(0.1)  # stretch one O-O/O-H bond by 0.1 Bohr
+        x_new = ic.to_cartesian(q_target, coords)
+        np.testing.assert_allclose(np.asarray(ic.q(x_new)),
+                                   np.asarray(q_target), atol=1e-8)
+
+
+class TestModelHessians:
+    @pytest.mark.parametrize("kind", MODEL_HESSIAN_KINDS)
+    def test_symmetric_projected_finite(self, h2o2, kind):
+        coords, z = h2o2
+        h = model_hessian(coords, z, kind=kind)
+        h = np.asarray(h)
+        assert h.shape == (12, 12)
+        assert np.all(np.isfinite(h))
+        np.testing.assert_allclose(h, h.T, atol=1e-10)
+        w = np.linalg.eigvalsh(h)
+        assert np.sum(np.abs(w) < 1e-8) >= 6  # TR/rot projected out
+        # vibrational modes should be overwhelmingly positive for a minimum
+        assert np.sum(w > 1e-6) >= 5
+
+    def test_lindh_bond_scale(self, water):
+        # near-equilibrium O-H stretch force constant should be O(0.1-1)
+        coords, z = water
+        h = np.asarray(model_hessian(coords, z, kind="lindh"))
+        w = np.linalg.eigvalsh(h)
+        assert 0.05 < np.max(w) < 3.0
+
+    def test_smooth_eigenvalues(self, rng):
+        m = rng.normal(size=(6, 6))
+        h = jnp.asarray(m @ m.T) * 10.0
+        hs = smooth_eigenvalues(h)
+        assert float(jnp.max(jnp.linalg.eigvalsh(hs))) < 2.0
