@@ -1,0 +1,267 @@
+"""NEB — nudged elastic band with the whole path as one batched tensor.
+
+TPU-native redesign of the reference's NEB stack (ref: multioptpy/neb.py:380
+driver loop :489, MEP/pathopt_neb_force.py force laws, per-image sequential
+QM at Calculator/tblite_calculation_tools.py:312): here the path is an
+(I, N, 3) array, per-image energies/gradients come from ONE vmapped backend
+call, and tangents/springs/projections are whole-array ops — a single jitted
+step advances every image in lockstep. Endpoint images are frozen by a mask
+(the reference optionally relaxes them).
+
+Force laws (selected by `variant`):
+  "neb"   improved-tangent NEB, Henkelman & Jonsson, JCP 113 (2000) 9978
+          (ref: MEP/pathopt_neb_force.py:18 CaluculationNEB2)
+  "cineb" + climbing image after `climbing_start` iterations, JCP 113
+          (2000) 9901 (ref: neb.py:562)
+  "dneb"  doubly nudged, Trygubenko & Wales, JCP 120 (2004) 2082
+          (ref: MEP/pathopt_bneb_force.py CaluculationDNEB)
+  "lup"   locally-updated-planes: perpendicular gradient only
+          (ref: MEP/ CaluculationLUP)
+  "om"    Onsager-Machlup action-based force (ref: MEP/ CaluculationOM)
+          — implemented as NEB with energy-weighted springs.
+
+IDPP initial paths: Smidstrup et al., JCP 140 (2014) 214106
+(ref: Potential/idpp.py:10).
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.steppers.first_order import FireState, fire_init, fire_step
+
+
+def _image_dot(a, b):
+    """Per-image inner product: (I,N,3)x(I,N,3) -> (I,1,1)."""
+    return jnp.sum(a * b, axis=(-1, -2), keepdims=True)
+
+
+def _normalize(v, eps=1e-14):
+    n = jnp.sqrt(_image_dot(v, v) + eps)
+    return v / n
+
+
+def improved_tangents(coords, energies):
+    """(I,N,3),(I,) -> unit tangents (I,N,3), Henkelman improved tangent."""
+    x_prev = jnp.roll(coords, 1, axis=0)
+    x_next = jnp.roll(coords, -1, axis=0)
+    d_plus = x_next - coords   # to next image
+    d_minus = coords - x_prev  # from previous image
+
+    e = energies
+    e_prev = jnp.roll(e, 1)
+    e_next = jnp.roll(e, -1)
+
+    uphill = (e_next > e) & (e > e_prev)
+    downhill = (e_next < e) & (e < e_prev)
+
+    de_max = jnp.maximum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
+    de_min = jnp.minimum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
+    next_higher = e_next > e_prev
+    w_plus = jnp.where(next_higher, de_max, de_min)[:, None, None]
+    w_minus = jnp.where(next_higher, de_min, de_max)[:, None, None]
+
+    tau = jnp.where(uphill[:, None, None], d_plus,
+                    jnp.where(downhill[:, None, None], d_minus,
+                              w_plus * d_plus + w_minus * d_minus))
+    return _normalize(tau)
+
+
+def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
+               climbing=False, optimize_endpoints=False):
+    """Whole-path NEB force, (I,N,3). Endpoints get -g (masked by caller if
+    frozen). `climbing` may be a traced bool enabling CI on the highest
+    interior image."""
+    n_images = coords.shape[0]
+    tau = improved_tangents(coords, energies)
+
+    g = gradients
+    g_par = _image_dot(g, tau) * tau
+    g_perp = g - g_par
+
+    x_prev = jnp.roll(coords, 1, axis=0)
+    x_next = jnp.roll(coords, -1, axis=0)
+    d_plus_n = jnp.sqrt(_image_dot(x_next - coords, x_next - coords) + 1e-14)
+    d_minus_n = jnp.sqrt(_image_dot(coords - x_prev, coords - x_prev) + 1e-14)
+
+    if variant == "lup":
+        force = -g_perp
+    elif variant == "om":
+        # Onsager-Machlup-flavoured: energy-weighted spring constants
+        e_w = 1.0 + (energies - jnp.min(energies)) / (
+            jnp.max(energies) - jnp.min(energies) + 1e-12)
+        k_i = (k_spring * e_w)[:, None, None]
+        f_spring = k_i * (d_plus_n - d_minus_n) * tau
+        force = -g_perp + f_spring
+    else:
+        f_spring = k_spring * (d_plus_n - d_minus_n) * tau
+        force = -g_perp + f_spring
+        if variant == "dneb":
+            # doubly nudged: keep the perpendicular spring component minus
+            # its projection onto the perpendicular gradient direction
+            f_spring_full = k_spring * ((x_next - coords) - (coords - x_prev))
+            f_s_perp = f_spring_full - _image_dot(f_spring_full, tau) * tau
+            g_perp_hat = _normalize(g_perp)
+            f_dneb = f_s_perp - _image_dot(f_s_perp, g_perp_hat) * g_perp_hat
+            force = force + f_dneb
+
+    # climbing image: highest interior image feels -g + 2 g_par
+    # (ref: neb.py:562; JCP 113, 9901)
+    interior = (jnp.arange(n_images) > 0) & (jnp.arange(n_images) < n_images - 1)
+    e_interior = jnp.where(interior, energies, -jnp.inf)
+    ci_idx = jnp.argmax(e_interior)
+    is_ci = (jnp.arange(n_images) == ci_idx)[:, None, None] & jnp.asarray(climbing)
+    ci_force = -g + 2.0 * g_par
+    force = jnp.where(is_ci, ci_force, force)
+
+    # endpoints: plain -g (relaxed) or zero (frozen)
+    is_end = ((jnp.arange(n_images) == 0)
+              | (jnp.arange(n_images) == n_images - 1))[:, None, None]
+    end_force = -g if optimize_endpoints else jnp.zeros_like(g)
+    return jnp.where(is_end, end_force, force)
+
+
+# --------------------------------------------------------------------------
+# initial-path generation
+# --------------------------------------------------------------------------
+
+def interpolate_linear(start, end, n_images):
+    """(N,3),(N,3) -> (I,N,3) linear interpolation including endpoints
+    (ref: neb.py:1000 make_geometry_list)."""
+    t = jnp.linspace(0.0, 1.0, n_images)[:, None, None]
+    return (1.0 - t) * start[None] + t * end[None]
+
+
+def idpp_path(start, end, n_images, n_steps=300, dt_scale=0.05):
+    """IDPP preprocessing: relax each interior image on the image-dependent
+    pair potential sum_{i<j} w_ij (d_ij - d_ij^target)^2, w = d^-4
+    (Smidstrup 2014; ref: Potential/idpp.py:10). Fully on device."""
+    path0 = interpolate_linear(start, end, n_images)
+    n = start.shape[0]
+    mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+
+    def dists(x):
+        d = x[:, None, :] - x[None, :, :]
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    d_start = dists(start)
+    d_end = dists(end)
+    t = jnp.linspace(0.0, 1.0, n_images)
+    d_target = (1 - t)[:, None, None] * d_start[None] + t[:, None, None] * d_end[None]
+
+    def idpp_energy(x, d_tgt):
+        d = dists(x)
+        w = jnp.where(mask, 1.0 / (d ** 4), 0.0)
+        return 0.5 * jnp.sum(jnp.where(mask, w * (d - d_tgt) ** 2, 0.0))
+
+    grad_fn = jax.vmap(jax.grad(idpp_energy), in_axes=(0, 0))
+
+    interior = ((jnp.arange(n_images) > 0)
+                & (jnp.arange(n_images) < n_images - 1))[:, None, None]
+
+    def body(carry, _):
+        path, v, dt = carry
+        g = grad_fn(path, d_target)
+        g = jnp.where(interior, g, 0.0)
+        # simple FIRE-flavoured damped dynamics, shared clock
+        power = jnp.sum(-g * v)
+        v = jnp.where(power > 0, 0.9 * v - dt * g, -dt * g)
+        path = path + dt * v
+        return (path, v, dt), None
+
+    dt = jnp.asarray(dt_scale, start.dtype)
+    (path, _, _), _ = jax.lax.scan(
+        body, (path0, jnp.zeros_like(path0), dt), None, length=n_steps)
+    return path
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NEBConfig:
+    """ref defaults: neb.py:75 NEBConfig (NSTEP=10 default there; more here),
+    spring k, CI start iteration (ref: APPLY_CI_NEB)."""
+
+    variant: str = "cineb"
+    n_steps: int = 100
+    k_spring: float = 0.01
+    climbing_start: int = 10
+    optimize_endpoints: bool = False
+    fmax: float = 4.5e-4          # max |force| component convergence
+    dt0: float = 0.3
+    dt_max: float = 1.0
+
+
+class NEBResult(NamedTuple):
+    path: jnp.ndarray          # (I,N,3)
+    energies: jnp.ndarray      # (I,)
+    converged: jnp.ndarray
+    n_iterations: int
+    energy_history: np.ndarray
+    ts_index: int              # highest-energy image
+
+
+def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
+    """One jitted NEB iteration: (path, fire_state, it) -> ..."""
+    base_variant = "neb" if config.variant == "cineb" else config.variant
+
+    def energy_grad_all(path):
+        def one(x):
+            e, g = calc.energy_and_gradient(x, z)
+            if bias_engine is not None and len(bias_engine):
+                be, bg = bias_engine.energy_and_gradient(x)
+                e, g = e + be, g + bg
+            return e, g
+        return jax.vmap(one)(path)
+
+    def step(path, fire_state, iteration):
+        energies, grads = energy_grad_all(path)
+        climbing = (config.variant == "cineb") & (iteration >= config.climbing_start)
+        forces = neb_forces(path, energies, grads, config.k_spring,
+                            base_variant, climbing,
+                            config.optimize_endpoints)
+        # one FIRE clock for the whole path (treated as a single vector)
+        move, fire_new = fire_step(fire_state, -forces.reshape(-1),
+                                   dt_max=config.dt_max)
+        path_new = path + move.reshape(path.shape)
+        fmax = jnp.max(jnp.abs(forces))
+        return path_new, fire_new, energies, fmax
+
+    return step
+
+
+def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
+    """Run NEB on an (I,N,3) initial path. Host loop with early exit; the
+    heavy step is one compiled program (3.2-equivalent stack)."""
+    path = jnp.asarray(path0)
+    z = jnp.asarray(z)
+    n_dof = path.size
+    step = jax.jit(make_neb_step(calc, z, config, bias_engine))
+
+    fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
+    e_hist = []
+    converged = False
+    it = 0
+    energies = None
+    for it in range(1, config.n_steps + 1):
+        path, fire_state, energies, fmax = step(
+            path, fire_state, jnp.asarray(it))
+        e_hist.append(np.asarray(energies))
+        if callback is not None:
+            callback(it, path, energies, fmax)
+        if float(fmax) < config.fmax:
+            converged = True
+            break
+
+    e_np = np.asarray(energies)
+    ts_index = int(np.argmax(e_np[1:-1])) + 1 if len(e_np) > 2 else 0
+    return NEBResult(
+        path=path, energies=energies, converged=jnp.asarray(converged),
+        n_iterations=it, energy_history=np.asarray(e_hist),
+        ts_index=ts_index,
+    )

@@ -1,0 +1,97 @@
+"""NEB: tangents, force laws, IDPP, and end-to-end on Muller-Brown."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multioptpy_tpu.calculators.model_surfaces import (
+    MB_MIN_A,
+    MB_MIN_C,
+    MB_TS_BC,
+    MullerBrown,
+    muller_brown_energy,
+)
+from multioptpy_tpu.drivers.neb import (
+    NEBConfig,
+    idpp_path,
+    improved_tangents,
+    interpolate_linear,
+    neb,
+    neb_forces,
+)
+
+
+def _mb_path(n_images):
+    start = jnp.array([[MB_MIN_A[0], MB_MIN_A[1], 0.0]])
+    end = jnp.array([[MB_MIN_C[0], MB_MIN_C[1], 0.0]])
+    return interpolate_linear(start, end, n_images)
+
+
+class TestComponents:
+    def test_tangents_unit_norm(self, rng):
+        coords = jnp.asarray(rng.normal(size=(6, 4, 3)))
+        energies = jnp.asarray(rng.normal(size=6))
+        tau = improved_tangents(coords, energies)
+        norms = np.asarray(jnp.sqrt(jnp.sum(tau * tau, axis=(1, 2))))
+        np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+    def test_endpoints_frozen(self, rng):
+        coords = jnp.asarray(rng.normal(size=(5, 3, 3)))
+        energies = jnp.asarray(rng.normal(size=5))
+        grads = jnp.asarray(rng.normal(size=(5, 3, 3)))
+        f = neb_forces(coords, energies, grads)
+        np.testing.assert_allclose(np.asarray(f[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(f[-1]), 0.0)
+
+    def test_interior_force_perpendicular_without_springs(self, rng):
+        coords = jnp.asarray(rng.normal(size=(5, 3, 3)))
+        energies = jnp.asarray(rng.normal(size=5))
+        grads = jnp.asarray(rng.normal(size=(5, 3, 3)))
+        f = neb_forces(coords, energies, grads, k_spring=0.0, variant="lup")
+        tau = improved_tangents(coords, energies)
+        for i in range(1, 4):
+            dot = float(jnp.sum(f[i] * tau[i]))
+            assert abs(dot) < 1e-8
+
+    def test_idpp_endpoints_preserved(self, rng):
+        start = jnp.asarray(rng.normal(size=(4, 3)) * 3.0)
+        end = start + jnp.asarray(rng.normal(size=(4, 3)))
+        path = idpp_path(start, end, 8, n_steps=60)
+        assert path.shape == (8, 4, 3)
+        np.testing.assert_allclose(np.asarray(path[0]), np.asarray(start),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(path[-1]), np.asarray(end),
+                                   atol=1e-10)
+        assert np.all(np.isfinite(np.asarray(path)))
+
+
+class TestMullerBrownNEB:
+    def test_cineb_finds_highest_saddle(self):
+        calc = MullerBrown()
+        path0 = _mb_path(14)
+        z = jnp.array([0])
+        res = neb(calc, path0, z, NEBConfig(
+            variant="cineb", n_steps=400, k_spring=5e-4,
+            climbing_start=50, fmax=2e-4, dt0=0.05, dt_max=0.4))
+        e = np.asarray(res.energies) / 1e-3  # back to MB units
+        # the A->C path crosses both saddles; the climbing image must land
+        # on the higher barrier
+        ts_e_expected = float(muller_brown_energy(*MB_TS_BC))
+        e_saddles = [-40.665, -72.249]
+        ts_found = e[res.ts_index]
+        assert ts_found == pytest.approx(max(e_saddles), abs=1.5)
+        # endpoints unmoved
+        np.testing.assert_allclose(np.asarray(res.path[0, 0, :2]),
+                                   MB_MIN_A, atol=1e-8)
+
+    def test_energy_profile_shape(self):
+        calc = MullerBrown()
+        path0 = _mb_path(10)
+        z = jnp.array([0])
+        res = neb(calc, path0, z, NEBConfig(
+            variant="neb", n_steps=150, k_spring=5e-4, dt0=0.05,
+            dt_max=0.3, fmax=5e-4))
+        e = np.asarray(res.energies)
+        # interior max must exceed both endpoints (it's a barrier)
+        assert e[res.ts_index] > e[0] and e[res.ts_index] > e[-1]
