@@ -194,7 +194,8 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
 
 
 def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
-                 model_hessian_fn=None):
+                 model_hessian_fn=None, constraints=None,
+                 constraint_targets=None):
     """Build the jitted `state -> state` transition.
 
     The returned function is pure and traceable: vmap it for ensembles,
@@ -246,6 +247,8 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             h_eff = 0.5 * (h_eff + h_eff.T)
         else:
             h_eff = h
+        if constraints is not None and constraints.has_any():
+            h_eff = constraints.project_hessian(h_eff, state.coords)
         # trust-radius feedback from the PREVIOUS step's prediction
         actual = state.energy - state.prev_energy
         trust_new = update_trust_radius(
@@ -281,6 +284,10 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         g = state.gradient
         if config.project_tr_rot:
             g = project_gradient_tr_rot(g, state.coords)
+        if constraints is not None and constraints.has_any():
+            # remove constraint-violating directions + freezes
+            # (ref: optimization.py:1934,1991 ProjectOutConstrain apply)
+            g = constraints.project_gradient(g, state.coords)
         g_flat = g.reshape(-1)
 
         if kind == "rfo":
@@ -293,7 +300,16 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         move = mv_flat.reshape(state.coords.shape)
         # frozen once converged (ensemble masking)
         move = jnp.where(state.converged, 0.0, move)
-        new_coords = state.coords + move
+        if constraints is not None and constraints.has_any():
+            move = move * constraints.mask(move.dtype)
+            new_coords = state.coords + move
+            if constraint_targets is not None and constraints.n_constraints:
+                # SHAKE the geometry back onto the constraint manifold
+                # (ref: constraint_condition.py:62)
+                new_coords = constraints.shake(new_coords, constraint_targets)
+                move = new_coords - state.coords
+        else:
+            new_coords = state.coords + move
 
         e_new, g_new, raw_g_new = energy_gradient(new_coords)
 
@@ -356,9 +372,19 @@ class OptResult(NamedTuple):
 
 
 def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
-             hessian0=None, record_trajectory=False, callback=None):
+             hessian0=None, record_trajectory=False, callback=None,
+             constraints=None):
     """Host-driven optimization loop with early exit (3.1-equivalent stack)."""
     z = jnp.asarray(z)
+    coords = jnp.asarray(coords)
+    constraint_targets = None
+    if constraints is not None:
+        if constraints.n_atoms is None:
+            constraints.n_atoms = coords.shape[0]
+        if constraints.n_constraints:
+            constraint_targets = constraints.targets(coords)
+            # start ON the constraint manifold
+            coords = constraints.shake(coords, constraint_targets)
     state = init_state(coords, z, calc, bias_engine, config, hessian0)
     model_fn = None
     if config.mfc_count > 0:
@@ -368,7 +394,8 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
                 if config.init_hessian.startswith("model:") else "lindh")
         b, a, t = detect_primitives(np.asarray(coords), np.asarray(z))
         model_fn = make_model_hessian_fn(np.asarray(z), b, a, t, kind)
-    step = jax.jit(make_step_fn(calc, z, bias_engine, config, model_fn))
+    step = jax.jit(make_step_fn(calc, z, bias_engine, config, model_fn,
+                                constraints, constraint_targets))
 
     energies = [float(state.energy)]
     traj = [np.asarray(state.coords)] if record_trajectory else None

