@@ -1,0 +1,152 @@
+"""Normal-mode analysis and RRHO thermochemistry.
+
+ref: multioptpy/Thermo/normal_mode_analyzer.py: MolecularVibrations :133,
+mass-weighted modes :183, RRHO (ZPE/H/S/G) :250, rotational constants :357.
+Pure jitted functions over (hessian, coords, z); frequencies follow the
+quantum-chemistry convention (imaginary modes reported as negative cm^-1).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.geometry import (
+    center_of_mass,
+    masses_from_z,
+    project_hessian_tr_rot,
+)
+from multioptpy_tpu.units import (
+    AMU2KG,
+    AU2SEC,
+    BOHR2M,
+    HARTREE2J,
+    KB_HARTREE,
+    LIGHT_SPEED_M_S,
+    PLANCK_J_S,
+)
+
+# sqrt(Hartree / (Bohr^2 amu)) -> angular frequency (1/s)
+_OMEGA_SI = np.sqrt(HARTREE2J / (BOHR2M ** 2 * AMU2KG))
+# angular frequency -> wavenumber (cm^-1)
+_TO_CM1 = 1.0 / (2.0 * np.pi * LIGHT_SPEED_M_S * 100.0)
+
+
+class NormalModes(NamedTuple):
+    frequencies_cm1: jnp.ndarray   # (3N,), TR/rot ~0, imaginary negative
+    modes: jnp.ndarray             # (3N, N, 3) cartesian displacement modes
+    eigenvalues: jnp.ndarray       # mass-weighted Hessian eigenvalues
+
+
+def normal_modes(hessian, coords, z):
+    """Mass-weighted, TR/rot-projected normal modes
+    (ref: normal_mode_analyzer.py:183)."""
+    masses = masses_from_z(jnp.asarray(z)).astype(coords.dtype)
+    sm = jnp.repeat(jnp.sqrt(masses), 3)
+    h_mw = hessian / sm[:, None] / sm[None, :]
+    if coords.shape[0] > 1:
+        # single-particle model surfaces live in the translation subspace
+        h_mw = project_hessian_tr_rot(h_mw, coords, masses)
+    w, v = jnp.linalg.eigh(h_mw)
+    freq = jnp.sign(w) * jnp.sqrt(jnp.abs(w)) * (_OMEGA_SI * _TO_CM1)
+    n = coords.shape[0]
+    cart_modes = (v / sm[:, None]).T.reshape(3 * n, n, 3)
+    return NormalModes(frequencies_cm1=freq, modes=cart_modes, eigenvalues=w)
+
+
+def count_imaginary(freqs_cm1, thresh=-5.0):
+    """Number of true imaginary modes (below -5 cm^-1 to skip TR/rot noise)."""
+    return int(jnp.sum(freqs_cm1 < thresh))
+
+
+def rotational_constants(coords, z):
+    """Principal moments of inertia -> rotational constants (cm^-1)
+    (ref: normal_mode_analyzer.py:357)."""
+    masses = masses_from_z(jnp.asarray(z)).astype(coords.dtype)
+    xyz = coords - center_of_mass(coords, masses)
+    x, y, zz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    m = masses
+    ixx = jnp.sum(m * (y * y + zz * zz))
+    iyy = jnp.sum(m * (x * x + zz * zz))
+    izz = jnp.sum(m * (x * x + y * y))
+    ixy = -jnp.sum(m * x * y)
+    ixz = -jnp.sum(m * x * zz)
+    iyz = -jnp.sum(m * y * zz)
+    inertia = jnp.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+    moments = jnp.linalg.eigvalsh(inertia)  # amu Bohr^2
+    moments_si = moments * AMU2KG * BOHR2M ** 2
+    b = PLANCK_J_S / (8.0 * np.pi ** 2 * LIGHT_SPEED_M_S * 100.0 *
+                      jnp.maximum(moments_si, 1e-60))
+    return b, moments  # cm^-1, amu Bohr^2
+
+
+class Thermochemistry(NamedTuple):
+    zpe: float                 # Hartree
+    e_thermal: float           # U_vib + U_rot + U_trans (incl. ZPE)
+    enthalpy: float            # H = U + kT
+    entropy: float             # Hartree/K
+    gibbs: float               # G = H - T S
+    frequencies_cm1: np.ndarray
+
+
+def rrho_thermochemistry(hessian, coords, z, temperature=298.15,
+                         pressure=101325.0, multiplicity=1, sigma_rot=1,
+                         freq_cutoff=10.0):
+    """Rigid-rotor harmonic-oscillator thermochemistry
+    (ref: normal_mode_analyzer.py:250). Returns Hartree quantities.
+    Modes below `freq_cutoff` cm^-1 (TR/rot residue) are dropped."""
+    nm = normal_modes(hessian, coords, z)
+    freqs = np.asarray(nm.frequencies_cm1)
+    vib = freqs[freqs > freq_cutoff]
+
+    kT = KB_HARTREE * temperature
+    # vibrational: hbar w in Hartree = freq_cm1 * c * 100 * h / HARTREE2J
+    hw = vib * LIGHT_SPEED_M_S * 100.0 * PLANCK_J_S / HARTREE2J
+    zpe = float(0.5 * np.sum(hw))
+    x = hw / kT
+    u_vib = float(np.sum(hw * (0.5 + 1.0 / np.expm1(np.clip(x, 1e-12, 700)))))
+    s_vib = float(KB_HARTREE * np.sum(
+        x / np.expm1(np.clip(x, 1e-12, 700)) - np.log1p(-np.exp(-np.clip(x, 1e-12, 700)))))
+
+    n_atoms = coords.shape[0]
+    masses = np.asarray(masses_from_z(jnp.asarray(z)))
+    m_total_kg = np.sum(masses) * AMU2KG
+
+    # translation (Sackur-Tetrode)
+    u_trans = 1.5 * kT
+    q_trans = ((2.0 * np.pi * m_total_kg * (KB_HARTREE * HARTREE2J) *
+                temperature) / PLANCK_J_S ** 2) ** 1.5 * \
+        (KB_HARTREE * HARTREE2J * temperature / pressure)
+    s_trans = KB_HARTREE * (np.log(q_trans) + 2.5)
+
+    # rotation
+    if n_atoms == 1:
+        u_rot, s_rot = 0.0, 0.0
+    else:
+        b_cm, moments = rotational_constants(jnp.asarray(coords), z)
+        moments = np.sort(np.asarray(moments))
+        linear = moments[0] < 1e-3 * moments[2]
+        b_joule = np.asarray(b_cm) * LIGHT_SPEED_M_S * 100.0 * PLANCK_J_S
+        kT_j = KB_HARTREE * HARTREE2J * temperature
+        if linear:
+            u_rot = kT
+            # the finite rotational constant belongs to the two large
+            # moments; the near-zero moment's B diverges — take the min
+            q_rot = kT_j / (np.min(b_joule) * sigma_rot)
+            s_rot = KB_HARTREE * (np.log(q_rot) + 1.0)
+        else:
+            u_rot = 1.5 * kT
+            q_rot = (np.sqrt(np.pi) / sigma_rot) * np.sqrt(
+                kT_j ** 3 / np.prod(b_joule))
+            s_rot = KB_HARTREE * (np.log(q_rot) + 1.5)
+
+    s_elec = KB_HARTREE * np.log(max(multiplicity, 1))
+
+    u_total = u_vib + u_rot + u_trans
+    h_total = u_total + kT
+    s_total = s_vib + s_rot + s_trans + s_elec
+    g_total = h_total - temperature * s_total
+
+    return Thermochemistry(
+        zpe=zpe, e_thermal=u_total, enthalpy=h_total, entropy=s_total,
+        gibbs=g_total, frequencies_cm1=freqs)

@@ -241,7 +241,7 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             h = jnp.where(rebuild, model_hessian_fn(state.coords), h)
 
         # effective Hessian: TR/rot projected (ref: rsirfo.py:353)
-        if config.project_tr_rot:
+        if config.project_tr_rot and state.coords.shape[0] > 1:
             p = tr_rot_projector(state.coords)
             h_eff = p.T @ h @ p
             h_eff = 0.5 * (h_eff + h_eff.T)
@@ -282,7 +282,9 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
 
     def step(state):
         g = state.gradient
-        if config.project_tr_rot:
+        # single-particle model surfaces live in the translation subspace —
+        # never project those
+        if config.project_tr_rot and state.coords.shape[0] > 1:
             g = project_gradient_tr_rot(g, state.coords)
         if constraints is not None and constraints.has_any():
             # remove constraint-violating directions + freezes

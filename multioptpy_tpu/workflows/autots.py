@@ -1,0 +1,141 @@
+"""AutoTS — automated transition-state pipeline.
+
+ref: multioptpy/Wrapper/autots.py:30 AutoTSWorkflow (v1): step1 AFIR-biased
+relaxation :81 -> step2 NEB on the biased path :110 -> step3 saddle
+refinement with saddle_order=1 :193 -> step4 IRC + endpoint optimization
+:237. The reference passes geometries between steps via xyz files on disk;
+here they are arrays, and every stage runs on device.
+
+Entry points:
+  autots(...)            full pipeline from reactant (+ AFIR spec or an
+                         explicit product geometry)
+  refine_saddle(...)     step-3 equivalent: RS-I-RFO with saddle_order=1
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.analysis import normal_modes
+from multioptpy_tpu.analysis.vibrations import count_imaginary
+from multioptpy_tpu.drivers.irc import IRCConfig, IRCResult, irc
+from multioptpy_tpu.drivers.neb import NEBConfig, idpp_path, interpolate_linear, neb
+from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+from multioptpy_tpu.potentials import BiasEngine, get_potential
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoTSConfig:
+    # step 1: AFIR exploration (ignored when product_coords given)
+    afir_gamma: float = 150.0
+    afir_fragm_1: Sequence[int] = ()
+    afir_fragm_2: Sequence[int] = ()
+    # step 2: NEB
+    n_images: int = 12
+    neb: NEBConfig = dataclasses.field(default_factory=lambda: NEBConfig(
+        variant="cineb", n_steps=300, k_spring=5e-4, climbing_start=30,
+        fmax=5e-4, dt0=0.05, dt_max=0.4))
+    use_idpp: bool = False
+    # step 3: saddle refinement
+    saddle: OptimizeConfig = dataclasses.field(
+        default_factory=lambda: OptimizeConfig(
+            method="rfo_bofill", saddle_order=1, nsteps=100, fc_count=5,
+            init_hessian="exact"))
+    # step 4: IRC
+    irc: IRCConfig = dataclasses.field(default_factory=IRCConfig)
+    optimize_endpoints: bool = True
+    endpoint_opt: OptimizeConfig = dataclasses.field(
+        default_factory=lambda: OptimizeConfig(method="rfo_fsb", nsteps=200))
+
+
+class AutoTSResult(NamedTuple):
+    ts_coords: jnp.ndarray
+    ts_energy: float
+    n_imaginary: int
+    barrier_forward: float       # E_ts - E(reactant-side IRC end)
+    barrier_backward: float
+    irc_result: IRCResult
+    reactant_coords: jnp.ndarray
+    product_coords: jnp.ndarray
+    reactant_energy: float
+    product_energy: float
+    neb_path: jnp.ndarray
+    neb_energies: np.ndarray
+    afir_trajectory: Optional[np.ndarray]
+
+
+def refine_saddle(calc, ts_guess, z, config=None, bias_engine=None):
+    """Step-3 equivalent (ref: autots.py:193): first-order saddle refinement
+    via the image-function RS-RFO."""
+    config = config or OptimizeConfig(method="rfo_bofill", saddle_order=1,
+                                      nsteps=100, fc_count=5,
+                                      init_hessian="exact")
+    return optimize(calc, ts_guess, z, bias_engine=bias_engine, config=config)
+
+
+def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
+           bias_engine=None):
+    """Full AutoTS pipeline (ref: autots.py:477 run_workflow)."""
+    reactant = jnp.asarray(reactant)
+    z = jnp.asarray(z)
+    afir_traj = None
+
+    # ---- step 1: product generation via AFIR (ref: autots.py:81) --------
+    if product_coords is None:
+        if not len(config.afir_fragm_1) or not len(config.afir_fragm_2):
+            raise ValueError("give product_coords or AFIR fragments")
+        afir = BiasEngine([get_potential(
+            "afir", gamma=config.afir_gamma, fragm_1=list(config.afir_fragm_1),
+            fragm_2=list(config.afir_fragm_2), element_z=np.asarray(z))])
+        res1 = optimize(calc, reactant, z, bias_engine=afir,
+                        config=OptimizeConfig(method="rfo_fsb", nsteps=300,
+                                              fc_count=10),
+                        record_trajectory=True)
+        product_coords = res1.coords
+        afir_traj = res1.coords_history
+        # relax the AFIR product on the unbiased surface
+        res1b = optimize(calc, product_coords, z,
+                         config=config.endpoint_opt)
+        product_coords = res1b.coords
+    product_coords = jnp.asarray(product_coords)
+
+    # ---- step 2: NEB between endpoints (ref: autots.py:110) -------------
+    if config.use_idpp:
+        path0 = idpp_path(reactant, product_coords, config.n_images)
+    else:
+        path0 = interpolate_linear(reactant, product_coords, config.n_images)
+    neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
+    ts_guess = neb_res.path[neb_res.ts_index]
+
+    # ---- step 3: saddle refinement (ref: autots.py:193) -----------------
+    res3 = refine_saddle(calc, ts_guess, z, config.saddle, bias_engine)
+    ts_coords = res3.coords
+    ts_energy = float(res3.energy)
+
+    # frequency sanity: exactly one imaginary mode expected
+    h_ts = calc.hessian(ts_coords, z)
+    nm = normal_modes(h_ts, ts_coords, z)
+    n_imag = count_imaginary(nm.frequencies_cm1)
+
+    # ---- step 4: IRC + endpoint optimization (ref: autots.py:237) -------
+    irc_res = irc(calc, ts_coords, z, hessian=h_ts, config=config.irc,
+                  bias_engine=bias_engine)
+    end_f = jnp.asarray(irc_res.forward_path[-1])
+    end_b = jnp.asarray(irc_res.backward_path[-1])
+    if config.optimize_endpoints:
+        end_f = optimize(calc, end_f, z, config=config.endpoint_opt).coords
+        end_b = optimize(calc, end_b, z, config=config.endpoint_opt).coords
+    e_f = float(calc.energy(end_f, z))
+    e_b = float(calc.energy(end_b, z))
+
+    return AutoTSResult(
+        ts_coords=ts_coords, ts_energy=ts_energy, n_imaginary=n_imag,
+        barrier_forward=ts_energy - e_f, barrier_backward=ts_energy - e_b,
+        irc_result=irc_res,
+        reactant_coords=end_f, product_coords=end_b,
+        reactant_energy=e_f, product_energy=e_b,
+        neb_path=neb_res.path, neb_energies=np.asarray(neb_res.energies),
+        afir_trajectory=afir_traj,
+    )
