@@ -1,0 +1,510 @@
+"""Command-line entry points (ref: multioptpy/interface.py argparse builders
+:40-341, Entrypoints/core.py:4-33, pyproject console scripts).
+
+One shared parser carries the flags common to every workload (input file,
+backend, charge/multiplicity, bias potentials, constraints); each entry
+point adds its own. Atom selections accept the reference's "1,2,4-7"
+syntax (ref: interface.py:408 num_parse).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def num_parse(spec):
+    """'1,2,4-7' -> [1, 2, 4, 5, 6, 7] (1-based, ref: interface.py:408)."""
+    out = []
+    for tok in str(spec).split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "-" in tok:
+            a, b = tok.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(tok))
+    return out
+
+
+def _base_parser(description):
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("input", help="xyz input file")
+    p.add_argument("-bs", "--basisset", default="6-31G*")
+    p.add_argument("-func", "--functional", default="B3LYP")
+    p.add_argument("-c", "--charge", type=int, default=0)
+    p.add_argument("-m", "--multiplicity", type=int, default=1)
+    p.add_argument("-xtb", "--xtb", default=None,
+                   help="use tblite backend with this method (GFN2-xTB)")
+    p.add_argument("-pyscf", "--usepyscf", action="store_true")
+    p.add_argument("-calc", "--calculator", default=None,
+                   help="explicit backend: lj | emt | tersoff | tblite | "
+                        "pyscf | psi4 | muller_brown")
+    p.add_argument("-ns", "--NSTEP", type=int, default=1000)
+    p.add_argument("-o", "--opt_method", nargs="*", default=["rfo_fsb"])
+    p.add_argument("-fc", "--fc_count", type=int, default=-1)
+    p.add_argument("-mfc", "--mfc_count", type=int, default=-1)
+    p.add_argument("-mh", "--model_hessian", default=None,
+                   help="lindh | fischer | schlegel | swart")
+    p.add_argument("-order", "--saddle_order", type=int, default=0)
+    p.add_argument("-tight", "--tight_convergence_criteria",
+                   action="store_true")
+    p.add_argument("-loose", "--loose_convergence_criteria",
+                   action="store_true")
+    p.add_argument("-tr", "--trust_radius", type=float, default=None)
+    # bias potentials (subset of ref: interface.py:205 parser_for_biasforce)
+    p.add_argument("-ma", "--manual_AFIR", nargs="*", default=[],
+                   help="gamma(kJ/mol) fragm1 fragm2 (repeatable triplets)")
+    p.add_argument("-kp", "--keep_pot", nargs="*", default=[],
+                   help="k r0(ang) atom1,atom2 (repeatable triplets)")
+    p.add_argument("-ka", "--keep_angle", nargs="*", default=[],
+                   help="k angle(deg) a1,a2,a3")
+    p.add_argument("-kda", "--keep_dihedral_angle", nargs="*", default=[],
+                   help="k angle(deg) a1,a2,a3,a4")
+    p.add_argument("-fix", "--fix_atoms", default="",
+                   help="frozen atoms, e.g. 1,2,5-8")
+    p.add_argument("-pc", "--projection_constrain", nargs="*", default=[],
+                   help="bond i,j [value_ang] | angle i,j,k [deg] | "
+                        "dihedral i,j,k,l [deg]")
+    p.add_argument("-x64", "--float64", action="store_true", default=True)
+    p.add_argument("-out", "--output_dir", default=None)
+    return p
+
+
+def _load_system(args):
+    import jax
+
+    if args.float64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.io import read_xyz
+    from multioptpy_tpu.periodic import symbols_to_z
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    symbols, coords_ang = read_xyz(args.input)
+    z = symbols_to_z(symbols)
+    coords = jnp.asarray(coords_ang * ANGSTROM2BOHR)
+    return symbols, coords, jnp.asarray(z)
+
+
+def _make_calculator(args):
+    from multioptpy_tpu.calculators import get_calculator
+
+    if args.calculator:
+        name, kw = args.calculator, {}
+    elif args.xtb:
+        name, kw = "tblite", {"method": args.xtb}
+    elif args.usepyscf:
+        name, kw = "pyscf", {"method": args.functional,
+                             "basis": args.basisset}
+    else:
+        name, kw = "lj", {}
+    return get_calculator(name, charge=args.charge,
+                          multiplicity=args.multiplicity, **kw)
+
+
+def _make_bias(args, z):
+    """flags -> BiasEngine (ref: interface.py:407 force_data_parser)."""
+    from multioptpy_tpu.potentials import BiasEngine, get_potential
+
+    pots = []
+    ma = args.manual_AFIR
+    for i in range(0, len(ma), 3):
+        pots.append(get_potential(
+            "afir", gamma=float(ma[i]), fragm_1=num_parse(ma[i + 1]),
+            fragm_2=num_parse(ma[i + 2]), element_z=np.asarray(z)))
+    kp = args.keep_pot
+    for i in range(0, len(kp), 3):
+        pots.append(get_potential(
+            "keep", spring_const=float(kp[i]), distance=float(kp[i + 1]),
+            atom_pair=num_parse(kp[i + 2])))
+    ka = args.keep_angle
+    for i in range(0, len(ka), 3):
+        pots.append(get_potential(
+            "keep_angle", spring_const=float(ka[i]), angle=float(ka[i + 1]),
+            atoms=num_parse(ka[i + 2])))
+    kda = args.keep_dihedral_angle
+    for i in range(0, len(kda), 3):
+        pots.append(get_potential(
+            "keep_dihedral", spring_const=float(kda[i]),
+            angle=float(kda[i + 1]), atoms=num_parse(kda[i + 2])))
+    return BiasEngine(pots) if pots else None
+
+
+def _make_constraints(args):
+    from multioptpy_tpu.constraints import Constraints
+
+    fixed = num_parse(args.fix_atoms) if args.fix_atoms else []
+    bonds, angles, dihedrals = [], [], []
+    pc = list(args.projection_constrain)
+    i = 0
+    while i < len(pc):
+        kind = pc[i]
+        atoms = num_parse(pc[i + 1])
+        val = None
+        if i + 2 < len(pc) and _is_number(pc[i + 2]):
+            val = float(pc[i + 2])
+            i += 3
+        else:
+            i += 2
+        if kind == "bond":
+            bonds.append((atoms[0], atoms[1], val))
+        elif kind == "angle":
+            angles.append((atoms[0], atoms[1], atoms[2], val))
+        elif kind == "dihedral":
+            dihedrals.append((atoms[0], atoms[1], atoms[2], atoms[3], val))
+    if not (fixed or bonds or angles or dihedrals):
+        return None
+    return Constraints(bonds=bonds, angles=angles, dihedrals=dihedrals,
+                       fixed_atoms=fixed)
+
+
+def _is_number(s):
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _opt_config(args):
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig
+
+    kw = dict(method=args.opt_method[0], nsteps=args.NSTEP,
+              saddle_order=args.saddle_order, fc_count=args.fc_count,
+              mfc_count=args.mfc_count, trust_radius_ang=args.trust_radius)
+    if args.model_hessian:
+        kw["init_hessian"] = f"model:{args.model_hessian}"
+    if args.tight_convergence_criteria:
+        kw.update(max_force=1.5e-5, rms_force=1e-5, max_displacement=6e-5,
+                  rms_displacement=4e-5)
+    elif args.loose_convergence_criteria:
+        kw.update(max_force=3e-3, rms_force=2e-3, max_displacement=1e-2,
+                  rms_displacement=7e-3)
+    return OptimizeConfig(**kw)
+
+
+def _outdir(args, suffix):
+    base = args.output_dir or (os.path.splitext(args.input)[0] + suffix)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+# --------------------------------------------------------------------------
+# entry points
+# --------------------------------------------------------------------------
+
+def run_optmain(argv=None):
+    """Geometry optimization (ref: Entrypoints/core.py:4 run_optmain)."""
+    args = _base_parser("multioptpy_tpu geometry optimization").parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    bias = _make_bias(args, z)
+    cons = _make_constraints(args)
+    from multioptpy_tpu.drivers.optimize import optimize
+    from multioptpy_tpu.io import write_trajectory, write_xyz
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+
+    def cb(it, st):
+        print(f"# iter {it:4d}  E = {float(st.energy):+.10f}  "
+              f"max|g| = {float(abs(st.gradient).max()):.3e}  "
+              f"trust = {float(st.trust_radius):.4f}")
+
+    res = optimize(calc, coords, z, bias_engine=bias, config=_opt_config(args),
+                   constraints=cons, record_trajectory=True, callback=cb)
+    out = _outdir(args, "_opt")
+    write_xyz(os.path.join(out, "optimized.xyz"), symbols,
+              np.asarray(res.coords) * BOHR2ANGSTROM,
+              f"E = {float(res.energy):.10f}")
+    write_trajectory(os.path.join(out, "trajectory.xyz"), symbols,
+                     res.coords_history * BOHR2ANGSTROM)
+    np.savetxt(os.path.join(out, "energies.csv"), res.energy_history,
+               header="energy_hartree")
+    print(f"converged: {bool(res.converged)} after {res.n_iterations} steps; "
+          f"E = {float(res.energy):.10f} Ha -> {out}/")
+    return 0 if bool(res.converged) else 1
+
+
+def run_nebmain(argv=None):
+    """NEB path optimization (ref: Entrypoints/core.py:28)."""
+    p = _base_parser("multioptpy_tpu NEB")
+    p.add_argument("-i2", "--end_input", default=None,
+                   help="product xyz (else `input` must be a trajectory)")
+    p.add_argument("-nimg", "--n_images", type=int, default=12)
+    p.add_argument("-nebv", "--neb_variant", default="cineb")
+    p.add_argument("-k", "--spring_const", type=float, default=0.01)
+    p.add_argument("-cist", "--ci_start", type=int, default=20)
+    p.add_argument("-idpp", "--use_idpp", action="store_true")
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.drivers.neb import (
+        NEBConfig, idpp_path, interpolate_linear, neb)
+    from multioptpy_tpu.io import read_trajectory, read_xyz, write_trajectory
+    from multioptpy_tpu.periodic import symbols_to_z
+    from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
+
+    if args.end_input:
+        symbols, start_ang = read_xyz(args.input)
+        _, end_ang = read_xyz(args.end_input)
+        start = jnp.asarray(start_ang * ANGSTROM2BOHR)
+        end = jnp.asarray(end_ang * ANGSTROM2BOHR)
+        path0 = (idpp_path(start, end, args.n_images) if args.use_idpp
+                 else interpolate_linear(start, end, args.n_images))
+    else:
+        symbols, frames, _ = read_trajectory(args.input)
+        path0 = jnp.asarray(frames * ANGSTROM2BOHR)
+    z = jnp.asarray(symbols_to_z(symbols))
+    calc = _make_calculator(args)
+    bias = _make_bias(args, z)
+    cfg = NEBConfig(variant=args.neb_variant, n_steps=args.NSTEP,
+                    k_spring=args.spring_const, climbing_start=args.ci_start)
+
+    def cb(it, path, energies, fmax):
+        print(f"# neb iter {it:4d}  max|F| = {float(fmax):.3e}  "
+              f"E_max = {float(energies.max()):+.8f}")
+
+    res = neb(calc, path0, z, cfg, bias_engine=bias, callback=cb)
+    out = _outdir(args, "_neb")
+    write_trajectory(os.path.join(out, "neb_path.xyz"), symbols,
+                     np.asarray(res.path) * BOHR2ANGSTROM,
+                     [f"E = {e:.10f}" for e in np.asarray(res.energies)])
+    np.savetxt(os.path.join(out, "energy_plot.csv"),
+               np.asarray(res.energies), header="energy_hartree")
+    print(f"converged: {bool(res.converged)}; TS guess = image "
+          f"{res.ts_index}; E = {float(res.energies[res.ts_index]):.8f}")
+    return 0
+
+
+def run_mdmain(argv=None):
+    """Molecular dynamics (ref: Entrypoints/core.py run_mdmain)."""
+    p = _base_parser("multioptpy_tpu molecular dynamics")
+    p.add_argument("-temp", "--temperature", type=float, default=300.0)
+    p.add_argument("-dt", "--timestep", type=float, default=0.5)
+    p.add_argument("-thermo", "--thermostat", default="nosehoover")
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    bias = _make_bias(args, z)
+    from multioptpy_tpu.drivers.md import MDConfig, run_md
+    from multioptpy_tpu.io import write_trajectory
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+
+    res = run_md(calc, coords, z, MDConfig(
+        timestep_fs=args.timestep, n_steps=args.NSTEP,
+        temperature=args.temperature, thermostat=args.thermostat),
+        bias_engine=bias)
+    out = _outdir(args, "_md")
+    write_trajectory(os.path.join(out, "md_traj.xyz"), symbols,
+                     res.trajectory * BOHR2ANGSTROM)
+    np.savetxt(os.path.join(out, "md_energies.csv"),
+               np.stack([res.energies, res.temperatures], 1),
+               header="potential_hartree temperature_K")
+    print(f"MD finished: {args.NSTEP} steps; "
+          f"<T> = {float(res.temperatures.mean()):.1f} K -> {out}/")
+    return 0
+
+
+def run_ircmain(argv=None):
+    """IRC from a saddle point (ref: irc.py driver via optmain -irc)."""
+    p = _base_parser("multioptpy_tpu IRC")
+    p.add_argument("-im", "--irc_method", default="lqa")
+    p.add_argument("-is", "--irc_step", type=float, default=0.05)
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    from multioptpy_tpu.drivers.irc import IRCConfig, irc
+    from multioptpy_tpu.io import write_trajectory
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+
+    res = irc(calc, coords, z, config=IRCConfig(
+        method=args.irc_method, step_size=args.irc_step,
+        n_steps=args.NSTEP if args.NSTEP < 1000 else 200))
+    out = _outdir(args, "_irc")
+    write_trajectory(os.path.join(out, "irc_forward.xyz"), symbols,
+                     res.forward_path * BOHR2ANGSTROM)
+    write_trajectory(os.path.join(out, "irc_backward.xyz"), symbols,
+                     res.backward_path * BOHR2ANGSTROM)
+    np.savetxt(os.path.join(out, "irc_energies.csv"),
+               np.stack([res.forward_energies, res.backward_energies], 1),
+               header="forward backward")
+    print(f"IRC done; TS E = {res.ts_energy:.8f} -> {out}/")
+    return 0
+
+
+def run_confsearch(argv=None):
+    """Conformer search (ref: Entrypoints/conformation_search.py:13)."""
+    p = _base_parser("multioptpy_tpu conformer search")
+    p.add_argument("-bf", "--base_force", type=float, default=200.0)
+    p.add_argument("-nsample", "--max_samples", type=int, default=8)
+    p.add_argument("-bsize", "--batch_size", type=int, default=16)
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    from multioptpy_tpu.io import write_trajectory
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+    from multioptpy_tpu.workflows.confsearch import (
+        ConfSearchConfig, conformer_search)
+
+    res = conformer_search(calc, coords, z, ConfSearchConfig(
+        n_rounds=args.max_samples, batch_size=args.batch_size,
+        base_gamma=args.base_force))
+    out = _outdir(args, "_confsearch")
+    write_trajectory(os.path.join(out, "conformers.xyz"), symbols,
+                     res.conformers * BOHR2ANGSTROM,
+                     [f"E = {e:.10f}" for e in res.energies])
+    np.savetxt(os.path.join(out, "EQ_energy.csv"), res.energies,
+               header="energy_hartree")
+    print(f"{len(res.energies)} unique conformers "
+          f"({res.n_generated} candidates) -> {out}/")
+    return 0
+
+
+def run_relaxedscan(argv=None):
+    """Relaxed PES scan (ref: Entrypoints/relaxed_scan.py:10)."""
+    p = _base_parser("multioptpy_tpu relaxed scan")
+    p.add_argument("-sk", "--scan_kind", default="bond")
+    p.add_argument("-sa", "--scan_atoms", required=True,
+                   help="e.g. 1,2 for a bond")
+    p.add_argument("-sr", "--scan_range", required=True,
+                   help="start,stop,npoints")
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    start, stop, npts = args.scan_range.split(",")
+    from multioptpy_tpu.io import write_trajectory
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+    from multioptpy_tpu.workflows import relaxed_scan
+
+    res = relaxed_scan(calc, coords, z, args.scan_kind,
+                       num_parse(args.scan_atoms), float(start), float(stop),
+                       int(npts), config=_opt_config(args))
+    out = _outdir(args, "_scan")
+    write_trajectory(os.path.join(out, "scan.xyz"), symbols,
+                     res.geometries * BOHR2ANGSTROM,
+                     [f"{v:.4f} -> E = {e:.10f}"
+                      for v, e in zip(res.values, res.energies)])
+    np.savetxt(os.path.join(out, "scan_profile.csv"),
+               np.stack([res.values, res.energies], 1),
+               header="value energy_hartree")
+    print(f"scan done ({int(npts)} points) -> {out}/")
+    return 0
+
+
+def run_autots_cli(argv=None):
+    """AutoTS pipeline (ref: Entrypoints/autots.py:10)."""
+    p = _base_parser("multioptpy_tpu AutoTS")
+    p.add_argument("-cfg", "--config", default=None, help="JSON config")
+    p.add_argument("-prod", "--product", default=None, help="product xyz")
+    p.add_argument("-nimg", "--n_images", type=int, default=12)
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    from multioptpy_tpu.io import read_xyz, write_xyz
+    from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
+    from multioptpy_tpu.workflows.autots import AutoTSConfig, autots
+    import jax.numpy as jnp
+
+    kw = {"n_images": args.n_images}
+    if args.config:
+        with open(args.config) as f:
+            kw.update(json.load(f).get("autots", {}))
+    if args.manual_AFIR:
+        kw["afir_gamma"] = float(args.manual_AFIR[0])
+        kw["afir_fragm_1"] = num_parse(args.manual_AFIR[1])
+        kw["afir_fragm_2"] = num_parse(args.manual_AFIR[2])
+    product = None
+    if args.product:
+        _, prod_ang = read_xyz(args.product)
+        product = jnp.asarray(prod_ang * ANGSTROM2BOHR)
+    res = autots(calc, coords, z, AutoTSConfig(**kw), product_coords=product)
+    out = _outdir(args, "_autots")
+    write_xyz(os.path.join(out, "ts.xyz"), symbols,
+              np.asarray(res.ts_coords) * BOHR2ANGSTROM,
+              f"E = {res.ts_energy:.10f}, n_imag = {res.n_imaginary}")
+    write_xyz(os.path.join(out, "irc_end_1.xyz"), symbols,
+              np.asarray(res.reactant_coords) * BOHR2ANGSTROM)
+    write_xyz(os.path.join(out, "irc_end_2.xyz"), symbols,
+              np.asarray(res.product_coords) * BOHR2ANGSTROM)
+    print(f"AutoTS: TS E = {res.ts_energy:.8f} ({res.n_imaginary} imaginary)"
+          f"; barriers {res.barrier_forward:.6f} / "
+          f"{res.barrier_backward:.6f} Ha -> {out}/")
+    return 0
+
+
+def run_orientsearch(argv=None):
+    """Orientation sampling (ref: Entrypoints/orientation_search.py:10)."""
+    p = _base_parser("multioptpy_tpu orientation search")
+    p.add_argument("-part", "--fragment", required=True,
+                   help="atoms of the mobile fragment, e.g. 5-9")
+    p.add_argument("-nsample", "--n_samples", type=int, default=16)
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    from multioptpy_tpu.io import write_trajectory
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+    from multioptpy_tpu.workflows.orientsearch import orientation_search
+
+    res = orientation_search(calc, coords, z, num_parse(args.fragment),
+                             n_samples=args.n_samples,
+                             config=_opt_config(args))
+    out = _outdir(args, "_orient")
+    write_trajectory(os.path.join(out, "orientations.xyz"), symbols,
+                     res.geometries * BOHR2ANGSTROM,
+                     [f"E = {e:.10f}" for e in res.energies])
+    print(f"{len(res.energies)} orientations -> {out}/")
+    return 0
+
+
+def run_ieipmain(argv=None):
+    """Double-ended TS search (ref: ieip.py:191)."""
+    p = _base_parser("multioptpy_tpu iEIP / double-ended methods")
+    p.add_argument("-i2", "--end_input", required=True)
+    p.add_argument("-em", "--engine", default="eip",
+                   help="eip | dimer | spring_pair")
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.drivers.ieip import IEIPConfig, ieip
+    from multioptpy_tpu.io import read_xyz, write_xyz
+    from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
+
+    _, end_ang = read_xyz(args.end_input)
+    end = jnp.asarray(end_ang * ANGSTROM2BOHR)
+    res = ieip(calc, coords, end, z, IEIPConfig(engine=args.engine,
+                                                n_steps=args.NSTEP))
+    out = _outdir(args, "_ieip")
+    write_xyz(os.path.join(out, "ts_guess.xyz"), symbols,
+              np.asarray(res.ts_guess) * BOHR2ANGSTROM,
+              f"E = {res.ts_energy:.10f}")
+    print(f"iEIP ({args.engine}): TS guess E = {res.ts_energy:.8f} -> {out}/")
+    return 0
+
+
+def run_mapper_cli(argv=None):
+    """Reaction-network mapping (ref: Wrapper/mapper.py:1220)."""
+    p = _base_parser("multioptpy_tpu reaction network mapper")
+    p.add_argument("-cfg", "--config", default=None)
+    p.add_argument("-maxnodes", "--max_nodes", type=int, default=10)
+    args = p.parse_args(argv)
+    symbols, coords, z = _load_system(args)
+    calc = _make_calculator(args)
+    from multioptpy_tpu.workflows.mapper import MapperConfig, map_network
+
+    kw = {}
+    if args.config:
+        with open(args.config) as f:
+            kw.update(json.load(f).get("mapper", {}))
+    res = map_network(calc, coords, z, MapperConfig(
+        max_nodes=args.max_nodes, **kw))
+    out = _outdir(args, "_mapper")
+    res.save(os.path.join(out, "network.json"), symbols)
+    print(f"network: {len(res.nodes)} EQ nodes, {len(res.edges)} TS edges "
+          f"-> {out}/network.json")
+    return 0

@@ -1,0 +1,156 @@
+"""Double-ended and single-ended TS-search engines: iEIP, dimer, spring pair.
+
+ref: multioptpy/ieip.py:191 (driver reading *_A.xyz / *_B.xyz pairs),
+OtherMethod/elastic_image_pair.py:10 (iEIP, JCTC 2023, 10.1021/acs.jctc.3c00293),
+OtherMethod/dimer.py:12 (dimer method, Henkelman & Jonsson JCP 111, 7010),
+OtherMethod/spring_pair_method.py:8.
+
+All engines are jitted fixed-iteration loops over a pair-of-images (or
+image+orientation) pytree — the pair advances as a batch of 2 where the
+reference loops sequentially.
+"""
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class IEIPConfig:
+    engine: str = "eip"            # eip | dimer | spring_pair
+    n_steps: int = 300
+    step_size: float = 0.05        # Bohr per iteration
+    pull_strength: float = 0.05    # image-pair attraction (eip/spring_pair)
+    min_pair_distance: float = 0.3  # Bohr: stop when images meet
+    dimer_separation: float = 0.01  # dimer half-length
+    fmax: float = 1e-4
+
+
+class IEIPResult(NamedTuple):
+    ts_guess: jnp.ndarray
+    ts_energy: float
+    image_a: jnp.ndarray
+    image_b: jnp.ndarray
+    n_iterations: int
+    converged: bool
+
+
+def _perp(v, d_hat):
+    return v - jnp.sum(v * d_hat) * d_hat
+
+
+def ieip(calc, coords_a, coords_b, z, config=IEIPConfig(), bias_engine=None):
+    """Run the selected double-ended engine from an (A, B) geometry pair."""
+    z = jnp.asarray(z)
+    a = jnp.asarray(coords_a)
+    b = jnp.asarray(coords_b)
+
+    def energy_grad(x):
+        e, g = calc.energy_and_gradient(x, z)
+        if bias_engine is not None and len(bias_engine):
+            be, bg = bias_engine.energy_and_gradient(x)
+            e, g = e + be, g + bg
+        return e, g
+
+    if config.engine in ("eip", "spring_pair"):
+        return _elastic_image_pair(energy_grad, a, b, config)
+    if config.engine == "dimer":
+        mid = 0.5 * (a + b)
+        direction = (b - a) / (jnp.linalg.norm(b - a) + 1e-30)
+        return _dimer(energy_grad, mid, direction, config)
+    raise ValueError(f"unknown iEIP engine '{config.engine}'")
+
+
+def _elastic_image_pair(energy_grad, a, b, config):
+    """iEIP core (ref: elastic_image_pair.py:347 iteration): both images
+    relax perpendicular to the pair axis while a pulling force closes the
+    gap; near-meeting midpoint approximates the TS."""
+    ds = config.step_size
+    pull = config.pull_strength
+
+    @jax.jit
+    def step(pair):
+        a, b = pair
+        e_a, g_a = energy_grad(a)
+        e_b, g_b = energy_grad(b)
+        d = b - a
+        dist = jnp.linalg.norm(d) + 1e-30
+        d_hat = d / dist
+
+        # perpendicular relaxation + along-axis pull (higher image is pulled
+        # less so the pair climbs toward the saddle between them)
+        f_a = -_perp(g_a, d_hat) + pull * dist * d_hat
+        f_b = -_perp(g_b, d_hat) - pull * dist * d_hat
+
+        def clip(f):
+            n = jnp.linalg.norm(f)
+            return jnp.where(n > ds, f * ds / n, f)
+
+        return (a + clip(f_a), b + clip(f_b)), (e_a, e_b, dist)
+
+    pair = (a, b)
+    it = 0
+    e_a = e_b = 0.0
+    for it in range(1, config.n_steps + 1):
+        pair, (e_a, e_b, dist) = step(pair)
+        if float(dist) < config.min_pair_distance:
+            break
+    a, b = pair
+    mid = 0.5 * (a + b)
+    e_mid, g_mid = energy_grad(mid)
+    return IEIPResult(ts_guess=mid, ts_energy=float(e_mid), image_a=a,
+                      image_b=b, n_iterations=it,
+                      converged=float(jnp.linalg.norm(g_mid)) < 10 * config.fmax
+                      or float(dist) < config.min_pair_distance)
+
+
+def _dimer(energy_grad, x0, v0, config):
+    """Dimer method (ref: OtherMethod/dimer.py:12): rotate the dimer into
+    the lowest-curvature mode using gradient differences, translate with the
+    force -g + 2(g.v)v. Gradient-only (no Hessian)."""
+    dr = config.dimer_separation
+    ds = config.step_size
+
+    @jax.jit
+    def step(x, v):
+        e0, g0 = energy_grad(x)
+        _, g1 = energy_grad(x + dr * v)
+        # rotational force on the dimer orientation
+        df = (g1 - g0).reshape(-1)
+        v_flat = v.reshape(-1)
+        f_rot = -(df - jnp.dot(df, v_flat) * v_flat)
+        v_new = v_flat + 0.5 * f_rot / (jnp.linalg.norm(df) + 1e-10)
+        v_new = v_new / (jnp.linalg.norm(v_new) + 1e-30)
+        v_new = v_new.reshape(v.shape)
+
+        # curvature along the dimer
+        curv = jnp.dot(df, v_flat) / dr
+
+        # translation: reverse force along the mode (uphill) when curvature
+        # negative; otherwise climb out of the convex region along the mode
+        g_flat = g0.reshape(-1)
+        f_trans = jnp.where(
+            curv < 0.0,
+            -(g_flat - 2.0 * jnp.dot(g_flat, v_new.reshape(-1))
+              * v_new.reshape(-1)),
+            -jnp.dot(g_flat, v_new.reshape(-1)) * v_new.reshape(-1))
+        n = jnp.linalg.norm(f_trans)
+        f_trans = jnp.where(n > ds, f_trans * ds / n, f_trans)
+        return x + f_trans.reshape(x.shape), v_new, e0, jnp.max(jnp.abs(g0))
+
+    x, v = x0, v0
+    it = 0
+    e0 = 0.0
+    converged = False
+    for it in range(1, config.n_steps + 1):
+        x, v, e0, gmax = step(x, v)
+        if float(gmax) < config.fmax:
+            converged = True
+            break
+    e_fin, _ = energy_grad(x)
+    return IEIPResult(ts_guess=x, ts_energy=float(e_fin), image_a=x - dr * v,
+                      image_b=x + dr * v, n_iterations=it,
+                      converged=converged)
