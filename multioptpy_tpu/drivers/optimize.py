@@ -41,7 +41,11 @@ from multioptpy_tpu.steppers.first_order import (
     lbfgs_step,
     sd_step,
 )
-from multioptpy_tpu.steppers.rfo import rs_rfo_step, update_trust_radius
+from multioptpy_tpu.steppers.rfo import (
+    rs_prfo_step,
+    rs_rfo_step,
+    update_trust_radius,
+)
 from multioptpy_tpu.units import ANGSTROM2BOHR
 
 
@@ -128,6 +132,15 @@ def check_convergence(gradient, displacement, criteria):
 
 def _parse_method(method):
     m = method.lower()
+    # reference method-string aliases (ref: optimizer.py:68-255
+    # quasi_newton_mapping, e.g. "rsirfo_fsb", "rsprfo_bofill")
+    if m.startswith("rsirfo"):
+        m = "rfo" + m[len("rsirfo"):]
+    if m.startswith("rsprfo"):
+        m = "prfo" + m[len("rsprfo"):]
+    if m.startswith("prfo"):
+        update = m.split("_", 1)[1] if "_" in m else "auto"
+        return ("prfo", update)
     if m.startswith("rfo"):
         update = m.split("_", 1)[1] if "_" in m else "auto"
         return ("rfo", update)
@@ -136,6 +149,9 @@ def _parse_method(method):
         return ("cg", variant)
     if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd"):
         return (m, None)
+    from multioptpy_tpu.steppers.ml import OPTAX_STEPPERS
+    if m in OPTAX_STEPPERS:
+        return ("optax", m)
     raise ValueError(f"unknown optimization method '{method}'")
 
 
@@ -171,13 +187,19 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         else:
             hessian0 = jnp.eye(3 * n, dtype=dtype)
 
-    kind, _ = _parse_method(config.method)
+    kind, sub = _parse_method(config.method)
     if kind == "fire" or kind == "fire2" or kind == "abc_fire":
         fo = (fire_init(3 * n, dtype),)
     elif kind == "lbfgs":
         fo = (lbfgs_init(3 * n, dtype=dtype),)
     elif kind == "cg":
         fo = (cg_init(3 * n, dtype),)
+    elif kind == "optax":
+        from multioptpy_tpu.steppers.ml import optax_init
+        fo = (optax_init(sub, 3 * n, dtype=dtype),)
+    elif kind in ("rfo", "prfo") and sub.startswith("block"):
+        from multioptpy_tpu.hessian.block_updates import block_window_init
+        fo = (block_window_init(3 * n, dtype=dtype),)
     else:
         fo = ()
 
@@ -228,8 +250,20 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         have_pair = (state.iteration > 0) & (jnp.linalg.norm(s) > 1e-12)
         is_identity = jnp.all(state.hessian == jnp.eye(n3, dtype=g_flat.dtype))
         h = auto_scale(state.hessian, s, y, is_identity & have_pair)
-        h_upd = update_hessian(h, s, y, sub)
-        h = jnp.where(have_pair, h_upd, h)
+        if sub.startswith("block"):
+            # multi-secant window update (ref: block_hessian_update.py:23)
+            from multioptpy_tpu.hessian.block_updates import (
+                block_update_hessian)
+            win = state.fo_state[0]
+            h_upd, win_new = block_update_hessian(h, win, s, y, sub)
+            h = jnp.where(have_pair, h_upd, h)
+            win_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(have_pair, a, b), win_new, win)
+            qn_fo = (win_out,)
+        else:
+            h_upd = update_hessian(h, s, y, sub)
+            h = jnp.where(have_pair, h_upd, h)
+            qn_fo = ()
         if config.fc_count > 0 and calc.on_device:
             # periodic exact Hessian rebuild, branchless
             # (ref: optimization.py:1884 FC_COUNT exact-Hessian cadence)
@@ -255,9 +289,13 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             state.trust_radius, actual, state.predicted_change,
             tr_min=tr_min, tr_max=tr_max)
         trust_new = jnp.where(state.iteration > 0, trust_new, state.trust_radius)
-        step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
-                                saddle_order=saddle_order)
-        return step, h, trust_new, aux["predicted_energy_change"], ()
+        if kind == "prfo":
+            step, aux = rs_prfo_step(g_flat, h_eff, trust_new,
+                                     saddle_order=max(saddle_order, 1))
+        else:
+            step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
+                                    saddle_order=saddle_order)
+        return step, h, trust_new, aux["predicted_energy_change"], qn_fo
 
     def first_order_move(state, g_flat):
         if kind == "sd":
@@ -271,6 +309,10 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             elif kind == "lbfgs":
                 mv, fo_new = lbfgs_step(fo, state.coords.reshape(-1), g_flat,
                                         delta=config.delta)
+            elif kind == "optax":
+                from multioptpy_tpu.steppers.ml import optax_step
+                mv, fo_new = optax_step(sub, fo, g_flat,
+                                        lr=0.05 * config.delta)
             else:  # cg
                 mv, fo_new = cg_step(fo, g_flat, variant=sub, delta=config.delta)
         # clamp to trust radius (ref: optimizer.py:792)
@@ -292,7 +334,7 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             g = constraints.project_gradient(g, state.coords)
         g_flat = g.reshape(-1)
 
-        if kind == "rfo":
+        if kind in ("rfo", "prfo"):
             mv_flat, h, trust, predicted, fo = quasi_newton_move(state, g_flat)
         else:
             mv_flat, h, trust, predicted, fo = first_order_move(state, g_flat)

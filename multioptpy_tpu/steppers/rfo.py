@@ -174,6 +174,92 @@ def update_trust_radius(trust_radius, actual_change, predicted_change,
     return jnp.where(ok, new, trust_radius)
 
 
+def _rightmost_secular_root(poles, g2, valid, n_iter=80):
+    """Largest root of f(lam) = lam - sum_i g2_i / (lam - poles_i):
+    the P-RFO maximization shift. By symmetry it is -leftmost(-poles, g2)."""
+    return -_leftmost_secular_root(-poles, g2, valid, n_iter)
+
+
+def _prfo_step_components(eigvals, g_t, max_mask, valid, alpha):
+    """Partitioned-RFO step in the eigenbasis: the `max_mask` modes are
+    maximized (shift above their poles), the rest minimized (shift below).
+    ref: Optimizer/rsprfo.py:16 EnhancedRSPRFO."""
+    poles = eigvals / alpha
+    gt = g_t / alpha
+    g2 = gt * gt
+
+    lam_max = _rightmost_secular_root(poles, g2, valid & max_mask)
+    lam_min = _leftmost_secular_root(poles, g2, valid & ~max_mask)
+
+    den_max = poles - lam_max
+    den_min = poles - lam_min
+    safe = lambda d: jnp.where(jnp.abs(d) > 1e-20, d,
+                               jnp.where(d >= 0, 1e-20, -1e-20))
+    step_max = -gt / safe(den_max)
+    step_min = -gt / safe(den_min)
+    step_t = jnp.where(valid, jnp.where(max_mask, step_max, step_min), 0.0)
+    return step_t, lam_min, lam_max
+
+
+@partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter"))
+def rs_prfo_step(gradient, hessian, trust_radius, saddle_order=1,
+                 alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40):
+    """Restricted-step partitioned RFO for transition states: maximize along
+    the `saddle_order` lowest modes, minimize along the rest (Banerjee 1985;
+    ref: Optimizer/rsprfo.py EnhancedRSPRFO). Same trust-radius alpha
+    bisection as rs_rfo_step."""
+    d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
+    bad = ~jnp.all(jnp.isfinite(d)) | ~jnp.all(jnp.isfinite(v))
+    d = jnp.where(bad, jnp.ones_like(d), d)
+    v = jnp.where(bad, jnp.eye(d.shape[0], dtype=v.dtype), v)
+    g_t = v.T @ gradient
+
+    participate = jnp.abs(d) > _POLE_EPS
+    rank = jnp.cumsum(participate.astype(jnp.int32))
+    max_mask = participate & (rank <= saddle_order)
+    valid = jnp.abs(d) >= SMALL_EIGVAL_THRESH
+
+    step0, lam_min, lam_max = _prfo_step_components(d, g_t, max_mask, valid,
+                                                    alpha0)
+    norm0 = jnp.linalg.norm(step0)
+
+    def restrict(_):
+        lo0 = jnp.log10(jnp.asarray(1e-6, d.dtype))
+        hi0 = jnp.log10(jnp.asarray(alpha_max, d.dtype))
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            s, _, _ = _prfo_step_components(d, g_t, max_mask, valid,
+                                            10.0 ** mid)
+            too_big = jnp.linalg.norm(s) > trust_radius
+            return (jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, n_alpha_iter, body, (lo0, hi0))
+        s, lmin, lmax = _prfo_step_components(d, g_t, max_mask, valid,
+                                              10.0 ** (0.5 * (lo + hi)))
+        sn = jnp.linalg.norm(s)
+        s = jnp.where(sn > trust_radius,
+                      s * (trust_radius / jnp.maximum(sn, 1e-30)), s)
+        return s, lmin, lmax
+
+    step_t, lam_min, lam_max = jax.lax.cond(
+        norm0 > trust_radius, restrict,
+        lambda _: (step0, lam_min, lam_max), operand=None)
+
+    step = v @ step_t
+    finite = jnp.all(jnp.isfinite(step))
+    sd = -gradient
+    sd_n = jnp.linalg.norm(sd)
+    sd = jnp.where(sd_n > trust_radius,
+                   sd * (trust_radius / jnp.maximum(sd_n, 1e-30)), sd)
+    step = jnp.where(finite, step, sd)
+    predicted = jnp.dot(gradient, step) + 0.5 * jnp.dot(step, hessian @ step)
+    return step, {"predicted_energy_change": predicted,
+                  "lambda_min": lam_min, "lambda_max": lam_max,
+                  "step_norm": jnp.linalg.norm(step)}
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def rfo_classic_step(gradient, hessian, mode="min"):
     """Unrestricted classic RFO step from the augmented Hessian
