@@ -1,0 +1,158 @@
+"""Path interpolation & image redistribution for NEB and trajectory work.
+
+ref: multioptpy/Interpolation/: natural cubic spline (interpolation.py:4-148),
+linear, Bernstein/binomial (binomial_interpolation.py:7), geodesic
+(geodesic_interpolation.py:484 Geodesic, morse-scaled internals :278) —
+used by the NEB driver's image alignment (ref: neb.py:649 _align_geometries)
+and the 15 redistribution schemes of the nebmain CLI (interface.py:243).
+
+All interpolators take an (I, N, 3) path and return (J, N, 3); arc-length
+parametrization uses cumulative RMS displacement between frames.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _arc_lengths(path):
+    """(I,N,3) -> (I,) normalized cumulative arc length in [0, 1]."""
+    seg = jnp.sqrt(jnp.sum((path[1:] - path[:-1]) ** 2, axis=(1, 2)) + 1e-30)
+    s = jnp.concatenate([jnp.zeros((1,), path.dtype), jnp.cumsum(seg)])
+    return s / s[-1]
+
+
+def linear_resample(path, n_out):
+    """Piecewise-linear resample to n_out equally-spaced-by-arc-length
+    images (ref: Interpolation linear)."""
+    s = _arc_lengths(path)
+    t = jnp.linspace(0.0, 1.0, n_out)
+    flat = path.reshape(path.shape[0], -1)
+    out = jax.vmap(lambda col: jnp.interp(t, s, col), in_axes=1,
+                   out_axes=1)(flat)
+    return out.reshape(n_out, *path.shape[1:])
+
+
+def cubic_spline_resample(path, n_out):
+    """Natural cubic spline through the images, resampled uniformly in arc
+    length (ref: Interpolation/interpolation.py:4-148). Solves the
+    tridiagonal second-derivative system per coordinate."""
+    s = np.asarray(_arc_lengths(path))
+    y = np.asarray(path.reshape(path.shape[0], -1))  # (I, D)
+    n = len(s)
+    h = np.diff(s)  # (I-1,)
+
+    # natural spline: tridiagonal system for second derivatives m
+    a = np.zeros((n, n))
+    b = np.zeros((n, y.shape[1]))
+    a[0, 0] = a[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        a[i, i - 1] = h[i - 1]
+        a[i, i] = 2.0 * (h[i - 1] + h[i])
+        a[i, i + 1] = h[i]
+        b[i] = 6.0 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+    m = np.linalg.solve(a, b)  # (I, D)
+
+    t = np.linspace(0.0, 1.0, n_out)
+    idx = np.clip(np.searchsorted(s, t) - 1, 0, n - 2)
+    dt = t - s[idx]
+    hi = h[idx][:, None]
+    yi, yi1 = y[idx], y[idx + 1]
+    mi, mi1 = m[idx], m[idx + 1]
+    dtc = dt[:, None]
+    out = (mi * (hi - dtc) ** 3 + mi1 * dtc ** 3) / (6.0 * hi) \
+        + (yi / hi - mi * hi / 6.0) * (hi - dtc) \
+        + (yi1 / hi - mi1 * hi / 6.0) * dtc
+    return jnp.asarray(out.reshape(n_out, *path.shape[1:]),
+                       dtype=path.dtype)
+
+
+def bernstein_resample(path, n_out):
+    """Bezier/Bernstein-polynomial smoothing through the control images
+    (ref: Interpolation/binomial_interpolation.py:7)."""
+    i = path.shape[0]
+    t = jnp.linspace(0.0, 1.0, n_out)[:, None]
+    k = jnp.arange(i)[None, :]
+    from jax.scipy.special import gammaln
+    log_binom = (gammaln(i) - gammaln(k + 1.0) - gammaln(i - k))
+    # Bernstein basis B_{k,n-1}(t)
+    eps = 1e-12
+    log_b = log_binom + k * jnp.log(t + eps) + (i - 1 - k) * jnp.log(1 - t + eps)
+    w = jnp.exp(log_b)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    flat = path.reshape(i, -1)
+    out = w @ flat
+    # pin the endpoints exactly
+    out = out.at[0].set(flat[0]).at[-1].set(flat[-1])
+    return out.reshape(n_out, *path.shape[1:])
+
+
+def savitzky_golay_smooth(path, window=5, order=2):
+    """Polynomial smoothing of the path, endpoints fixed
+    (ref: Interpolation savgol)."""
+    from scipy.signal import savgol_filter
+    p = np.asarray(path)
+    if p.shape[0] < window:
+        return jnp.asarray(p)
+    sm = savgol_filter(p, window, order, axis=0)
+    sm[0], sm[-1] = p[0], p[-1]
+    return jnp.asarray(sm, dtype=path.dtype)
+
+
+def geodesic_resample(path, n_out, z=None, n_iter=60, alpha=1.7):
+    """Geodesic-flavoured redistribution: resample, then relax interior
+    images to minimize the sum of squared MORSE-scaled internal-coordinate
+    jumps between neighbors (Zhu et al., JCTC 15 (2019) 5787;
+    ref: Interpolation/geodesic_interpolation.py:278 morse-scaled internals).
+    Pairwise exp(-alpha (r/r0 - 1)) + r0/r coordinates over all atom pairs.
+    """
+    from multioptpy_tpu.periodic import COVALENT_RADII_1
+
+    path0 = linear_resample(path, n_out)
+    n_atoms = path0.shape[1]
+    if z is not None:
+        radii = np.asarray(COVALENT_RADII_1)[np.asarray(z)]
+        r0 = radii[:, None] + radii[None, :]
+    else:
+        r0 = np.full((n_atoms, n_atoms), 3.0)
+    r0 = jnp.asarray(r0)
+    iu = jnp.triu_indices(n_atoms, 1)
+
+    def wcoords(x):
+        d = x[:, None, :] - x[None, :, :]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        w = jnp.exp(-alpha * (r / r0 - 1.0)) + 0.1 * r0 / r
+        return w[iu]
+
+    def objective(interior):
+        full = jnp.concatenate([path0[:1], interior, path0[-1:]], axis=0)
+        qs = jax.vmap(wcoords)(full)
+        return jnp.sum((qs[1:] - qs[:-1]) ** 2)
+
+    grad_fn = jax.grad(objective)
+
+    @jax.jit
+    def run(interior):
+        def body(carry, _):
+            x, v, dt = carry
+            g = grad_fn(x)
+            power = jnp.sum(-g * v)
+            v = jnp.where(power > 0, 0.9 * v - dt * g, -dt * g)
+            dtn = jnp.where(power > 0, jnp.minimum(dt * 1.05, 0.2), dt * 0.5)
+            return (x + dtn * v, v, dtn), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (interior, jnp.zeros_like(interior),
+                   jnp.asarray(0.02, path0.dtype)), None, length=n_iter)
+        return x
+
+    interior = run(path0[1:-1])
+    return jnp.concatenate([path0[:1], interior, path0[-1:]], axis=0)
+
+
+RESAMPLERS = {
+    "linear": linear_resample,
+    "spline": cubic_spline_resample,
+    "bernstein": bernstein_resample,
+    "geodesic": geodesic_resample,
+}
