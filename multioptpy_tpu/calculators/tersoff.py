@@ -84,7 +84,9 @@ class Tersoff(Calculator):
         zeta = jnp.sum(jnp.where(mask3, fc_ij[:, None, :] * g * expo, 0.0), axis=2)
 
         beta_i = beta[:, None]
-        n_i = nn[:, None]
+        # unparameterized elements have n = 0; their pair terms are already
+        # zero through A_ij/B_ij, so guard the exponent against 1/0 -> NaN
+        n_i = jnp.where(nn[:, None] > 1e-6, nn[:, None], 1.0)
         bz = jnp.maximum(beta_i * zeta, 1e-30)
         b_ij = (1.0 + bz ** n_i) ** (-0.5 / n_i)
 

@@ -415,10 +415,29 @@ class OptResult(NamedTuple):
     coords_history: Optional[np.ndarray]
 
 
+def dissociation_detected(coords, limit=10.0):
+    """True if any atom's nearest neighbor is farther than `limit` Bohr
+    (ref: optimization.py:2219 dissociation_check)."""
+    c = np.asarray(coords)
+    if len(c) < 2:
+        return False
+    d = np.linalg.norm(c[:, None] - c[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    return bool(np.max(np.min(d, axis=1)) > limit)
+
+
 def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
              hessian0=None, record_trajectory=False, callback=None,
-             constraints=None):
-    """Host-driven optimization loop with early exit (3.1-equivalent stack)."""
+             constraints=None, stop_file="end.txt", dissociation_limit=None,
+             checkpoint_path=None, checkpoint_every=0, resume_from=None):
+    """Host-driven optimization loop with early exit (3.1-equivalent stack).
+
+    Failure/stop handling mirrors the reference: a `stop_file` in the cwd
+    breaks the loop gracefully (ref: optimization.py:1864 end.txt), and
+    `dissociation_limit` (Bohr) aborts runs whose molecule broke apart
+    (ref: optimization.py:2219). `checkpoint_path` + `checkpoint_every`
+    write resumable snapshots; `resume_from` restarts from one.
+    """
     z = jnp.asarray(z)
     coords = jnp.asarray(coords)
     constraint_targets = None
@@ -429,7 +448,11 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
             constraint_targets = constraints.targets(coords)
             # start ON the constraint manifold
             coords = constraints.shake(coords, constraint_targets)
-    state = init_state(coords, z, calc, bias_engine, config, hessian0)
+    if resume_from is not None:
+        from multioptpy_tpu.checkpoint import load_checkpoint
+        state, _ = load_checkpoint(resume_from)
+    else:
+        state = init_state(coords, z, calc, bias_engine, config, hessian0)
     model_fn = None
     if config.mfc_count > 0:
         from multioptpy_tpu.coords.internals import detect_primitives
@@ -444,6 +467,7 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
     energies = [float(state.energy)]
     traj = [np.asarray(state.coords)] if record_trajectory else None
     it = 0
+    import os
     for it in range(1, config.nsteps + 1):
         state = step(state)
         energies.append(float(state.energy))
@@ -451,7 +475,17 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
             traj.append(np.asarray(state.coords))
         if callback is not None:
             callback(it, state)
+        if checkpoint_path and checkpoint_every and it % checkpoint_every == 0:
+            from multioptpy_tpu.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, state,
+                            meta={"iteration": it, "method": config.method})
         if bool(state.converged):
+            break
+        if stop_file and os.path.exists(stop_file):
+            # graceful user stop (ref: optimization.py:1864 end.txt)
+            break
+        if dissociation_limit and dissociation_detected(
+                state.coords, dissociation_limit):
             break
 
     return OptResult(
