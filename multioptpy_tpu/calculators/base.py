@@ -84,16 +84,14 @@ def get_calculator(name, **kwargs):
     """Instantiate a backend by name (ref: optimization.py:1528
     _init_calculation_module's string dispatch)."""
     # import for registration side effects
-    from multioptpy_tpu.calculators import lj, emt, tersoff, host  # noqa: F401
-    try:
-        from multioptpy_tpu.calculators import sqm  # noqa: F401
-    except ImportError:
-        pass
+    from multioptpy_tpu.calculators import (  # noqa: F401
+        emt, host, lj, model_surfaces, sqm, tersoff)
     if name not in _REGISTRY:
         raise KeyError(f"unknown calculator '{name}'; available: {sorted(_REGISTRY)}")
     return _REGISTRY[name](**kwargs)
 
 
 def available_calculators():
-    from multioptpy_tpu.calculators import lj, emt, tersoff, host  # noqa: F401
+    from multioptpy_tpu.calculators import (  # noqa: F401
+        emt, host, lj, model_surfaces, sqm, tersoff)
     return sorted(_REGISTRY)

@@ -72,6 +72,9 @@ class OptimizeConfig:
     mfc_count: int = -1              # model-Hessian rebuild cadence
                                      # (ref: optimization.py:1884 mFC_COUNT)
     init_hessian: str = "auto"       # auto | exact | identity | model:<kind>
+    use_gdiis: bool = False          # GDIIS extrapolation on top of the
+                                     # quasi-Newton step (ref: optimizer.py
+                                     # enhancement chain :328-387)
     project_tr_rot: bool = True
 
     def initial_trust_bohr(self):
@@ -202,6 +205,9 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         fo = (block_window_init(3 * n, dtype=dtype),)
     else:
         fo = ()
+    if kind in ("rfo", "prfo") and config.use_gdiis:
+        from multioptpy_tpu.steppers.diis import diis_init
+        fo = fo + (diis_init(3 * n, dtype=dtype),)
 
     zero = jnp.zeros_like(coords)
     return OptState(
@@ -295,6 +301,12 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         else:
             step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
                                     saddle_order=saddle_order)
+        if config.use_gdiis:
+            from multioptpy_tpu.steppers.diis import gdiis_step
+            diis = state.fo_state[-1]
+            step, diis_new = gdiis_step(diis, state.coords.reshape(-1),
+                                        step, step)
+            qn_fo = qn_fo + (diis_new,)
         return step, h, trust_new, aux["predicted_energy_change"], qn_fo
 
     def first_order_move(state, g_flat):

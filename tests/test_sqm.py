@@ -1,0 +1,92 @@
+"""On-device semiempirical backend: geometries, gradients, optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multioptpy_tpu.calculators.sqm import SQM
+from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+from multioptpy_tpu.units import ANGSTROM2BOHR
+
+TIGHT = dict(max_force=3e-4, rms_force=2e-4, max_displacement=1.5e-3,
+             rms_displacement=1e-3)
+
+
+@pytest.fixture(scope="module")
+def calc():
+    return SQM()
+
+
+class TestEnergetics:
+    def test_h2_binding_curve(self, calc):
+        z = jnp.array([1, 1])
+        es = {r: float(calc.energy(
+            jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, r]]), z))
+            for r in (1.0, 1.4, 2.0, 8.0)}
+        assert es[1.4] < es[1.0]        # wall inside r_e
+        assert es[1.4] < es[2.0]        # bound at r_e
+        assert abs(es[8.0]) < 0.02      # dissociates to ~free atoms
+        assert es[1.4] < -0.1           # strongly bound
+
+    def test_water_bound_and_charged_sensibly(self, calc):
+        cw = jnp.asarray(np.array([
+            [0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+            [0.0, -0.7572, -0.4692]]) * ANGSTROM2BOHR)
+        z = jnp.array([8, 1, 1])
+        t = calc.energy_terms(cw, z)
+        e_tot = float(t["eht"] + t["eeq"] + t["rep"] + t["disp"])
+        assert e_tot < -0.2  # bound vs free atoms
+        q = np.asarray(t["charges"])
+        assert q[0] < -0.05           # oxygen negative
+        assert q[1] > 0.0 and q[2] > 0.0
+        assert abs(q.sum()) < 1e-8    # total charge conserved
+
+    def test_charge_constraint_for_cation(self):
+        calc = SQM(charge=1)
+        cw = jnp.asarray(np.array([
+            [0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+            [0.0, -0.7572, -0.4692]]) * ANGSTROM2BOHR)
+        t = calc.energy_terms(cw, jnp.array([8, 1, 1]))
+        assert float(np.sum(np.asarray(t["charges"]))) == pytest.approx(1.0,
+                                                                        abs=1e-8)
+
+    def test_gradient_matches_fd(self, calc):
+        coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.5],
+                              [1.3, 0.0, -0.6]])
+        z = jnp.array([8, 1, 1])
+        _, g = calc.energy_and_gradient(coords, z)
+        eps = 1e-5
+        for (i, k) in [(0, 2), (1, 2), (2, 0)]:
+            cp = coords.at[i, k].add(eps)
+            cm = coords.at[i, k].add(-eps)
+            fd = (float(calc.energy(cp, z)) - float(calc.energy(cm, z))) / (2 * eps)
+            assert float(g[i, k]) == pytest.approx(fd, abs=2e-5)
+
+
+class TestGeometryOptimization:
+    def test_water_optimizes_to_experimental_geometry(self, calc):
+        # start distorted; expect OH ~ 1.81 Bohr, HOH ~ 104 deg-ish
+        coords = jnp.asarray(np.array([
+            [0.0, 0.0, 0.0], [0.0, 1.1, -0.5], [0.0, -1.0, -0.65]])
+            * ANGSTROM2BOHR * 1.3)
+        z = jnp.array([8, 1, 1])
+        res = optimize(calc, coords, z, config=OptimizeConfig(
+            method="rfo_fsb", nsteps=100, fc_count=10, **TIGHT))
+        assert bool(res.converged)
+        d1 = float(jnp.linalg.norm(res.coords[0] - res.coords[1]))
+        d2 = float(jnp.linalg.norm(res.coords[0] - res.coords[2]))
+        assert d1 == pytest.approx(1.85, abs=0.2)
+        assert d2 == pytest.approx(1.85, abs=0.2)
+        from multioptpy_tpu.potentials.base import _angle
+        ang = float(_angle(res.coords[1], res.coords[0], res.coords[2]))
+        assert 90.0 < np.degrees(ang) < 130.0  # exp 104.5; EHT-level accuracy
+
+    def test_vmapped_batch_energies(self, calc):
+        coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.5]])
+        z = jnp.array([1, 1])
+        batch = jnp.stack([coords, coords * 1.1, coords * 1.2])
+        es = jax.vmap(lambda c: calc.energy(c, z))(batch)
+        assert es.shape == (3,)
+        e0 = float(calc.energy(coords, z))
+        assert float(es[0]) == pytest.approx(e0, rel=1e-12)
