@@ -63,7 +63,8 @@ def maxwell_boltzmann(key, masses_au, temperature, dtype=jnp.float64):
     return v
 
 
-def make_md_step(calc, z, config=MDConfig(), bias_engine=None):
+def make_md_step(calc, z, config=MDConfig(), bias_engine=None,
+                 constraints=None, constraint_targets=None):
     dt = config.timestep_fs / AU2FS
     masses = None  # resolved lazily from z inside (traced gather)
     kT = KB_HARTREE * config.temperature
@@ -133,6 +134,14 @@ def make_md_step(calc, z, config=MDConfig(), bias_engine=None):
             if config.thermostat in ("nosehoover", "nosehooverchain"):
                 v, xi = chain_update(v, xi)
 
+        if constraints is not None and constraint_targets is not None:
+            # SHAKE positions back onto the constraint manifold, RATTLE-style
+            # velocity correction (ref: moleculardynamics.py:142-145 SHAKE)
+            x_shaken = constraints.shake(x, constraint_targets)
+            v = v + (x_shaken - x) / dt
+            x = x_shaken
+            e, g = energy_grad(x)
+
         if config.remove_com:
             p = jnp.sum(m[:, None] * v, axis=0)
             v = v - p[None, :] / jnp.sum(m)
@@ -151,7 +160,7 @@ class MDResult(NamedTuple):
 
 
 def run_md(calc, coords, z, config=MDConfig(), bias_engine=None,
-           velocities=None, record_every=1):
+           velocities=None, record_every=1, constraints=None):
     """NVE/NVT trajectory entirely on device (3.x md stack,
     ref: moleculardynamics.py:164 loop :281)."""
     coords = jnp.asarray(coords)
@@ -167,11 +176,19 @@ def run_md(calc, coords, z, config=MDConfig(), bias_engine=None,
         be, bg = bias_engine.energy_and_gradient(coords)
         e0, g0 = e0 + be, g0 + bg
 
+    constraint_targets = None
+    if constraints is not None and constraints.n_constraints:
+        if constraints.n_atoms is None:
+            constraints.n_atoms = coords.shape[0]
+        constraint_targets = constraints.targets(coords)
+        coords = constraints.shake(coords, constraint_targets)
+
     n_chain = config.n_chain if config.thermostat == "nosehooverchain" else 1
     state0 = MDState(coords=coords, velocities=velocities, energy=e0,
                      gradient=g0,
                      xi=jnp.zeros((n_chain,), coords.dtype), key=key)
-    step = make_md_step(calc, z, config, bias_engine)
+    step = make_md_step(calc, z, config, bias_engine, constraints,
+                        constraint_targets)
 
     @jax.jit
     def run(state):

@@ -87,7 +87,9 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
     d_plus_n = jnp.sqrt(_image_dot(x_next - coords, x_next - coords) + 1e-14)
     d_minus_n = jnp.sqrt(_image_dot(coords - x_prev, coords - x_prev) + 1e-14)
 
-    if variant == "lup":
+    if variant in ("lup", "qsm", "string"):
+        # perpendicular gradient only; qsm/string rely on reparametrization
+        # instead of springs (JCP 124, 054109; ref: MEP/pathopt_qsm_force.py)
         force = -g_perp
     elif variant == "om":
         # Onsager-Machlup-flavoured: energy-weighted spring constants
@@ -208,7 +210,8 @@ class NEBResult(NamedTuple):
 
 def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
     """One jitted NEB iteration: (path, fire_state, it) -> ..."""
-    base_variant = "neb" if config.variant == "cineb" else config.variant
+    base_variant = ("neb" if config.variant == "cineb"
+                    else config.variant)
 
     def energy_grad_all(path):
         def one(x):
@@ -229,6 +232,11 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
         move, fire_new = fire_step(fire_state, -forces.reshape(-1),
                                    dt_max=config.dt_max)
         path_new = path + move.reshape(path.shape)
+        if config.variant in ("qsm", "string"):
+            # string-method reparametrization: equal arc-length respacing
+            # every iteration (ref: neb.py:572 _align_geometries)
+            from multioptpy_tpu.interpolation import linear_resample
+            path_new = linear_resample(path_new, path.shape[0])
         fmax = jnp.max(jnp.abs(forces))
         return path_new, fire_new, energies, fmax
 
