@@ -139,6 +139,49 @@ def make_irc_step(calc, z, config=IRCConfig(), bias_engine=None):
                                        (jnp.zeros_like(t_hi), t_hi))
             dq_t = dq_of_t(0.5 * (lo + hi))
             dq = v @ dq_t
+        elif method == "hpc":
+            # Hessian predictor-corrector (Hratchian & Schlegel, JCP 120
+            # (2004) 9918; ref: IRC/hpc.py): LQA predictor, gradient
+            # re-evaluated at the predicted point, Heun-style corrector
+            def lqa_dq(coords_loc, g_mw_loc):
+                h = calc.hessian(coords_loc, z)
+                if bias_engine is not None and len(bias_engine):
+                    h = h + bias_engine.hessian(coords_loc)
+                h_mw = h / sm[:, None] / sm[None, :]
+                w, vv = jnp.linalg.eigh(0.5 * (h_mw + h_mw.T))
+                g_t = vv.T @ g_mw_loc
+
+                def dq_of_t(t):
+                    wt = w * t
+                    small = jnp.abs(w) < 1e-8
+                    coef = jnp.where(small, -t * (1.0 - 0.5 * wt),
+                                     (jnp.exp(-wt) - 1.0)
+                                     / jnp.where(small, 1.0, w))
+                    return coef * g_t
+
+                t_hi0 = ds / (jnp.linalg.norm(g_mw_loc) + 1e-30)
+                t_hi = jax.lax.fori_loop(
+                    0, 40, lambda _, th: jnp.where(
+                        jnp.linalg.norm(dq_of_t(th)) < ds, th * 2.0, th),
+                    t_hi0)
+
+                def bisect(_, ab):
+                    lo, hi = ab
+                    mid = 0.5 * (lo + hi)
+                    small_step = jnp.linalg.norm(dq_of_t(mid)) < ds
+                    return (jnp.where(small_step, mid, lo),
+                            jnp.where(small_step, hi, mid))
+
+                lo, hi = jax.lax.fori_loop(0, 60, bisect,
+                                           (jnp.zeros_like(t_hi), t_hi))
+                return vv @ dq_of_t(0.5 * (lo + hi))
+
+            dq_pred = lqa_dq(coords, g_mw)
+            x_pred = coords + (dq_pred / sm).reshape(coords.shape)
+            _, g_pred = energy_grad(x_pred)
+            dq_corr = lqa_dq(x_pred, _mw_gradient(g_pred, sm))
+            dq = 0.5 * (dq_pred + dq_corr)
+            dq = dq * (ds / (jnp.linalg.norm(dq) + 1e-30))
         elif method == "dvv":
             # damped-velocity-Verlet flavour: velocity reset to the scaled
             # gradient direction each step (v ~ -g), damping any drift
@@ -212,3 +255,44 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
         ts_coords=ts_coords,
         ts_energy=float(e_ts),
     )
+
+
+def modekill(calc, coords, z, keep_order=0, max_rounds=30, step_size=0.1,
+             mode_thresh=-5.0, bias_engine=None, opt_config=None):
+    """Remove unwanted imaginary modes from a stationary structure.
+
+    ref: multioptpy/IRC/modekill.py (661 LoC): a higher-order saddle is
+    walked downhill along each surplus imaginary eigenvector (sign chosen by
+    trial energies) and re-relaxed until only `keep_order` imaginary modes
+    remain. Returns (coords, n_imaginary).
+    """
+    import numpy as _np
+
+    from multioptpy_tpu.analysis.vibrations import count_imaginary, normal_modes
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    opt_config = opt_config or OptimizeConfig(
+        method="rfo_fsb", nsteps=60, saddle_order=keep_order,
+        fc_count=10 if calc.on_device else -1)
+    coords = jnp.asarray(coords)
+    z = jnp.asarray(z)
+    n_imag = -1
+    for _ in range(max_rounds):
+        h = calc.hessian(coords, z)
+        if bias_engine is not None and len(bias_engine):
+            h = h + bias_engine.hessian(coords)
+        nm = normal_modes(h, coords, z)
+        n_imag = count_imaginary(nm.frequencies_cm1, mode_thresh)
+        if n_imag <= keep_order:
+            break
+        # kill the softest surplus mode: displace along +/- and keep the
+        # lower-energy side (ref: modekill.py sign selection)
+        mode = nm.modes[keep_order]
+        mode = mode / jnp.linalg.norm(mode)
+        e_p = float(calc.energy(coords + step_size * mode, z))
+        e_m = float(calc.energy(coords - step_size * mode, z))
+        coords = coords + (step_size if e_p < e_m else -step_size) * mode
+        res = optimize(calc, coords, z, bias_engine=bias_engine,
+                       config=opt_config)
+        coords = res.coords
+    return coords, n_imag

@@ -190,6 +190,9 @@ class NEBConfig:
     spring k, CI start iteration (ref: APPLY_CI_NEB)."""
 
     variant: str = "cineb"
+    optimizer: str = "fire"       # fire | quickmin | lbfgs | sd
+                                  # (ref: Optimizer/{fire,gradientdescent,
+                                  # lbfgs,rfo}_neb.py per-image optimizers)
     n_steps: int = 100
     k_spring: float = 0.01
     climbing_start: int = 10
@@ -197,6 +200,7 @@ class NEBConfig:
     fmax: float = 4.5e-4          # max |force| component convergence
     dt0: float = 0.3
     dt_max: float = 1.0
+    sd_step: float = 0.5          # sd/quickmin step scale
 
 
 class NEBResult(NamedTuple):
@@ -228,9 +232,29 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
         forces = neb_forces(path, energies, grads, config.k_spring,
                             base_variant, climbing,
                             config.optimize_endpoints)
-        # one FIRE clock for the whole path (treated as a single vector)
-        move, fire_new = fire_step(fire_state, -forces.reshape(-1),
-                                   dt_max=config.dt_max)
+        # one optimizer clock for the whole path (treated as a single vector)
+        if config.optimizer == "fire":
+            move, fire_new = fire_step(fire_state, -forces.reshape(-1),
+                                       dt_max=config.dt_max)
+        elif config.optimizer == "quickmin":
+            # velocity projected onto the force direction (QuickMin,
+            # ref: Optimizer/quickmin_neb)
+            f = forces.reshape(-1)
+            v = fire_state.velocity
+            f_hat = f / (jnp.linalg.norm(f) + 1e-30)
+            v_proj = jnp.maximum(jnp.dot(v, f_hat), 0.0) * f_hat
+            v_new = v_proj + fire_state.dt * f
+            move = fire_state.dt * v_new
+            fire_new = fire_state._replace(velocity=v_new)
+        elif config.optimizer == "lbfgs":
+            from multioptpy_tpu.steppers.first_order import lbfgs_step
+            move, lb_new = lbfgs_step(fire_state, path.reshape(-1),
+                                      -forces.reshape(-1),
+                                      delta=config.sd_step)
+            fire_new = lb_new
+        else:  # sd
+            move = config.sd_step * forces.reshape(-1)
+            fire_new = fire_state
         path_new = path + move.reshape(path.shape)
         if config.variant in ("qsm", "string"):
             # string-method reparametrization: equal arc-length respacing
@@ -251,7 +275,11 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     n_dof = path.size
     step = jax.jit(make_neb_step(calc, z, config, bias_engine))
 
-    fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
+    if config.optimizer == "lbfgs":
+        from multioptpy_tpu.steppers.first_order import lbfgs_init
+        fire_state = lbfgs_init(n_dof, dtype=path.dtype)
+    else:
+        fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
     e_hist = []
     converged = False
     it = 0
