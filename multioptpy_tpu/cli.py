@@ -412,7 +412,22 @@ def run_autots_cli(argv=None):
     kw = {"n_images": args.n_images}
     if args.config:
         with open(args.config) as f:
-            kw.update(json.load(f).get("autots", {}))
+            cfg = json.load(f)
+        if "workflow" in cfg:
+            # v2 dynamic workflow engine (ref: Entrypoints/autots.py:70)
+            from multioptpy_tpu.workflows.autots_v2 import run_autots_v2
+            engine, reports = run_autots_v2(calc, coords, z, cfg)
+            out = _outdir(args, "_autots")
+            with open(os.path.join(out, "workflow_report.json"), "w") as f:
+                json.dump(reports, f, indent=1, default=str)
+            if engine.ctx.get("ts") is not None:
+                from multioptpy_tpu.io import write_xyz
+                from multioptpy_tpu.units import BOHR2ANGSTROM
+                write_xyz(os.path.join(out, "ts.xyz"), symbols,
+                          np.asarray(engine.ctx["ts"]) * BOHR2ANGSTROM)
+            print(f"AutoTS v2: {len(reports)} steps -> {out}/")
+            return 0
+        kw.update(cfg.get("autots", {}))
     if args.manual_AFIR:
         kw["afir_gamma"] = float(args.manual_AFIR[0])
         kw["afir_fragm_1"] = num_parse(args.manual_AFIR[1])
