@@ -5,6 +5,7 @@ from multioptpy_tpu.potentials.base import (  # noqa: F401
     get_potential,
 )
 from multioptpy_tpu.potentials import afir  # noqa: F401
+from multioptpy_tpu.potentials import extra  # noqa: F401
 from multioptpy_tpu.potentials import angles  # noqa: F401
 from multioptpy_tpu.potentials import keep  # noqa: F401
 from multioptpy_tpu.potentials import misc  # noqa: F401
