@@ -1,0 +1,79 @@
+"""Line search, TRIM, scaling/locking, mode following, perturbation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multioptpy_tpu.steppers.enhancements import (
+    backtracking_linesearch,
+    componentwise_scaling,
+    coordinate_locking,
+    mode_following_direction,
+    perturb_move,
+    trim_step,
+)
+
+
+def test_linesearch_shrinks_overshoot():
+    # quadratic bowl: full Newton overshoot x -> scaled back
+    energy = lambda x: 0.5 * jnp.sum(x ** 2)
+    coords = jnp.array([1.0, 1.0])
+    g0 = coords
+    move = -3.0 * coords  # overshoots the minimum badly (E increases)
+    scaled = backtracking_linesearch(energy, coords, move, energy(coords),
+                                     g0)
+    e_after = float(energy(coords + scaled))
+    assert e_after < float(energy(coords))
+
+    good_move = -coords  # exact Newton: accepted at full length
+    kept = backtracking_linesearch(energy, coords, good_move,
+                                   energy(coords), g0)
+    np.testing.assert_allclose(np.asarray(kept), np.asarray(good_move),
+                               atol=1e-12)
+
+
+def test_trim_respects_trust_and_descends(rng):
+    n = 6
+    a = rng.normal(size=(n, n))
+    h = jnp.asarray(a @ a.T + n * np.eye(n))
+    g = jnp.asarray(rng.normal(size=n))
+    step = trim_step(g, h, jnp.asarray(0.1))
+    assert float(jnp.linalg.norm(step)) <= 0.1 * 1.001
+    assert float(jnp.dot(step, g)) < 0.0
+
+    # negative mode with saddle_order=1: TRIM ascends along it
+    evals = np.abs(rng.normal(size=n)) + 0.5
+    evals[0] = -1.0
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    h2 = jnp.asarray(q @ np.diag(evals) @ q.T)
+    x = jnp.asarray(rng.normal(size=n)) * 0.2
+    for _ in range(50):
+        step = trim_step(h2 @ x, h2, jnp.asarray(0.2), saddle_order=1)
+        x = x + step
+    assert float(jnp.linalg.norm(x)) < 1e-6  # converged to the saddle
+
+
+def test_scaling_and_locking():
+    move = jnp.array([0.5, -2.0, 0.1])
+    np.testing.assert_allclose(
+        np.asarray(componentwise_scaling(move, 1.0)), [0.5, -1.0, 0.1])
+    lock = jnp.array([0.0, 1.0, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(coordinate_locking(move, lock)), [0.5, 0.0, 0.1])
+
+
+def test_mode_following_by_overlap(rng):
+    n = 5
+    a = rng.normal(size=(n, n))
+    h = jnp.asarray(a @ a.T)
+    d, v = np.linalg.eigh(np.asarray(h))
+    ref = jnp.asarray(v[:, 3] + 0.05 * rng.normal(size=n))
+    mode, eigval = mode_following_direction(h, reference_mode=ref)
+    assert abs(float(jnp.dot(mode, jnp.asarray(v[:, 3])))) > 0.99
+
+
+def test_perturbation_scale(rng):
+    move = jnp.array([1.0, 0.0, 0.0])
+    out = perturb_move(move, jax.random.PRNGKey(0), magnitude=1e-3)
+    assert float(jnp.linalg.norm(out - move)) < 5e-3
