@@ -1,0 +1,113 @@
+"""Batched symmetric eigensolver: parallel cyclic Jacobi as matmuls.
+
+XLA:TPU's `eigh` lowers to a QR-iteration pipeline with a long sequential
+critical path — the dominant cost of the batched RS-RFO step (NOTES.md).
+For the small (3N, 3N) Hessians this framework diagonalizes by the
+thousands, a two-sided Jacobi with a ROUND-ROBIN ordering is a much better
+fit for the hardware: each round applies D/2 mutually disjoint Givens
+rotations, which compose into ONE block rotation matrix, so a whole round
+is two batched (B, D, D) matmuls on the MXU. A sweep is D-1 rounds; ~8-12
+sweeps reach f32 machine precision. Everything is fixed-trip-count, so it
+jits, vmaps, and shards.
+
+The round-robin schedule is the standard polygon method: fix index 0,
+rotate the rest; every round pairs all D indices disjointly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_robin_schedule(n):
+    """(n-1, n/2, 2) static pairing schedule (n even)."""
+    assert n % 2 == 0
+    others = list(range(1, n))
+    rounds = []
+    for _ in range(n - 1):
+        ring = [0] + others
+        pairs = [(ring[i], ring[n - 1 - i]) for i in range(n // 2)]
+        rounds.append(sorted(tuple(sorted(p)) for p in pairs))
+        others = [others[-1]] + others[:-1]
+    return np.asarray(rounds, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh(a, sweeps=10):
+    """Eigendecomposition of symmetric a (..., D, D), ascending eigenvalues.
+
+    Returns (w, v) with a = v @ diag(w) @ v.T (same convention as
+    jnp.linalg.eigh). D is padded to even internally.
+    """
+    batch_shape = a.shape[:-2]
+    d0 = a.shape[-1]
+    a = a.reshape((-1, d0, d0))
+    dtype = a.dtype
+
+    # pad to even dimension with an inert identity block
+    d = d0 + (d0 % 2)
+    if d != d0:
+        pad = jnp.zeros((a.shape[0], d, d), dtype)
+        pad = pad.at[:, :d0, :d0].set(a)
+        # isolated eigenvalue above the Gershgorin bound -> sorts last
+        big = 1.0 + d0 * jnp.max(jnp.abs(a))
+        pad = pad.at[:, d0, d0].set(big)
+        a = pad
+
+    schedule = _round_robin_schedule(d)  # (d-1, d/2, 2)
+    n_rounds = schedule.shape[0]
+    p_idx = jnp.asarray(schedule[:, :, 0])
+    q_idx = jnp.asarray(schedule[:, :, 1])
+    eye = jnp.eye(d, dtype=dtype)
+
+    def one_round(carry, r):
+        a, v = carry
+        p = p_idx[r]  # (d/2,)
+        q = q_idx[r]
+        app = a[:, p, p]              # (B, d/2)
+        aqq = a[:, q, q]
+        apq = a[:, p, q]
+
+        # Givens angle zeroing a_pq under a' = G A G^T with this G layout:
+        # t^2 - 2 tau t - 1 = 0, stable (small) root
+        # t = -sign(tau)/(|tau| + sqrt(1+tau^2))
+        small = jnp.abs(apq) < 1e-30
+        tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+        t = -jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+
+        # block rotation G: diag entries c at p and q, +s at (p,q), -s at (q,p)
+        g = jnp.tile(eye[None], (a.shape[0], 1, 1))
+        g = g.at[:, p, p].set(c)
+        g = g.at[:, q, q].set(c)
+        g = g.at[:, p, q].set(s)
+        g = g.at[:, q, p].set(-s)
+
+        a = jnp.einsum("bij,bjk,blk->bil", g, a, g,
+                       preferred_element_type=dtype)
+        # re-symmetrize drift
+        a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
+        v = jnp.einsum("bij,bjk->bik", v, jnp.swapaxes(g, -1, -2),
+                       preferred_element_type=dtype)
+        return (a, v), None
+
+    def one_sweep(carry, _):
+        return jax.lax.scan(one_round, carry,
+                            jnp.arange(n_rounds))[0], None
+
+    v0 = jnp.tile(eye[None], (a.shape[0], 1, 1))
+    (a, v), _ = jax.lax.scan(one_sweep, (a, v0), None, length=sweeps)
+
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
+
+    w = w[:, :d0]
+    v = v[:, :d0, :d0]
+    return (w.reshape(*batch_shape, d0),
+            v.reshape(*batch_shape, d0, d0))
