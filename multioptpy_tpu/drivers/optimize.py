@@ -150,6 +150,10 @@ def _parse_method(method):
     if m.startswith("cg"):
         variant = m.split("_", 1)[1] if "_" in m else "pr"
         return ("cg", variant)
+    if m == "tr_lbfgs":
+        # trust-region L-BFGS (ref: Optimizer/tr_lbfgs.py): L-BFGS direction
+        # with ratio-adaptive trust clamping
+        return ("lbfgs", "tr")
     if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd"):
         return (m, None)
     from multioptpy_tpu.steppers.ml import OPTAX_STEPPERS
@@ -330,6 +334,12 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         # clamp to trust radius (ref: optimizer.py:792)
         norm = jnp.linalg.norm(mv)
         trust = state.trust_radius
+        if sub == "tr":
+            # ratio-adaptive trust (TR-LBFGS, ref: Optimizer/tr_lbfgs.py)
+            actual = state.energy - state.prev_energy
+            trust = update_trust_radius(trust, actual, state.predicted_change,
+                                        tr_min=tr_min, tr_max=tr_max)
+            trust = jnp.where(state.iteration > 0, trust, state.trust_radius)
         mv = jnp.where(norm > trust, mv * (trust / jnp.maximum(norm, 1e-30)), mv)
         fo = (fo_new,) if fo_new is not None else ()
         return mv, state.hessian, trust, jnp.dot(g_flat, mv), fo
