@@ -185,19 +185,35 @@ MODEL_HESSIAN_KINDS = ("lindh", "fischer", "schlegel", "swart")
 def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
                           project=True):
     """Jit-able coords -> (3N,3N) model Hessian closure for static
-    primitives (ref: approx_hessian.py:30 dispatch)."""
+    primitives (ref: approx_hessian.py:30 dispatch).
+
+    `kind` may carry a dispersion suffix, e.g. "lindh_d2" / "lindhd2" /
+    "lindh2007d2": the exact autodiff D2 Hessian is added to the bonded
+    guess (ref: ModelHessian/lindh2007d2.py etc.). The reference's d3/d4
+    suffixes currently map to the d2 correction (CN-dependent C6 is
+    round-2 work)."""
     z = np.asarray(z)
     n_atoms = len(z)
+    base = kind.lower().replace("2007", "")
+    dispersion = None
+    for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
+        if base.endswith(suffix):
+            dispersion = "d2"
+            base = base[: -len(suffix)]
+            break
     ic = InternalCoordinates(bonds, angles, torsions, n_atoms)
     bonds = ic.bonds
     angles = ic.angles
     torsions = ic.torsions
 
     def fn(coords):
-        k = _primitive_constants(kind, coords, z, bonds, angles, torsions,
+        k = _primitive_constants(base, coords, z, bonds, angles, torsions,
                                  n_atoms)
         b = ic.b_matrix(coords)
         h = (b.T * k[None, :]) @ b
+        if dispersion == "d2":
+            from multioptpy_tpu.hessian.dispersion import d2_hessian
+            h = h + d2_hessian(coords, z)
         h = 0.5 * (h + h.T)
         if project:
             h = project_hessian_tr_rot(h, coords)

@@ -142,3 +142,34 @@ class TestModelHessians:
         h = jnp.asarray(m @ m.T) * 10.0
         hs = smooth_eigenvalues(h)
         assert float(jnp.max(jnp.linalg.eigvalsh(hs))) < 2.0
+
+
+class TestDispersionCorrection:
+    def test_d2_energy_and_hessian(self, h2o2):
+        import jax.numpy as jnp
+        from multioptpy_tpu.hessian.dispersion import (
+            d2_energy, d2_gradient, d2_hessian)
+
+        coords, z = h2o2
+        e = float(d2_energy(coords, z))
+        assert e < 0.0  # attractive
+        g = d2_gradient(coords, z)
+        # FD check of one component
+        eps = 1e-6
+        cp = coords.at[0, 1].add(eps)
+        cm = coords.at[0, 1].add(-eps)
+        fd = (float(d2_energy(cp, z)) - float(d2_energy(cm, z))) / (2 * eps)
+        assert float(g[0, 1]) == pytest.approx(fd, abs=1e-9)
+        h = d2_hessian(coords, z)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h).T,
+                                   atol=1e-14)
+
+    def test_lindh_d2_model_hessian(self, h2o2):
+        coords, z = h2o2
+        h_plain = np.asarray(model_hessian(coords, z, kind="lindh"))
+        h_disp = np.asarray(model_hessian(coords, z, kind="lindh2007d2"))
+        diff = np.abs(h_disp - h_plain).max()
+        assert diff > 1e-8            # dispersion changed the guess
+        assert np.all(np.isfinite(h_disp))
+        w = np.linalg.eigvalsh(h_disp)
+        assert np.sum(np.abs(w) < 1e-8) >= 6
