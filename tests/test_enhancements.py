@@ -77,3 +77,49 @@ def test_perturbation_scale(rng):
     move = jnp.array([1.0, 0.0, 0.0])
     out = perturb_move(move, jax.random.PRNGKey(0), magnitude=1e-3)
     assert float(jnp.linalg.norm(out - move)) < 5e-3
+
+
+class TestDiisFamily:
+    def test_gdiis_accelerates_quadratic(self, rng):
+        import jax.numpy as jnp
+        from multioptpy_tpu.steppers.diis import diis_init, gdiis_step
+
+        n = 8
+        a = rng.normal(size=(n, n))
+        h = jnp.asarray(a @ a.T + n * np.eye(n))
+        x = jnp.asarray(rng.normal(size=n))
+        st = diis_init(n, history=5)
+        for _ in range(15):
+            g = h @ x
+            plain = -0.2 * g
+            move, st = gdiis_step(st, x, plain, plain)
+            x = x + move
+        assert float(jnp.linalg.norm(x)) < 1e-3
+
+    def test_ediis_adiis_simplex(self, rng):
+        import jax.numpy as jnp
+        from multioptpy_tpu.steppers.diis import (
+            adiis_coefficients, ediis_coefficients)
+
+        m, d = 5, 12
+        xs = jnp.asarray(rng.normal(size=(m, d)))
+        gs = jnp.asarray(rng.normal(size=(m, d)))
+        es = jnp.asarray(rng.normal(size=m))
+        mask = jnp.ones(m, bool)
+        for fn in (ediis_coefficients, adiis_coefficients):
+            c = fn(es, xs, gs, mask)
+            assert float(jnp.sum(c)) == pytest.approx(1.0, abs=1e-6)
+            assert float(jnp.min(c)) >= 0.0
+
+    def test_c2diis_coefficients(self, rng):
+        import jax.numpy as jnp
+        from multioptpy_tpu.steppers.diis import c2diis_coefficients
+
+        e = jnp.asarray(rng.normal(size=(4, 10)))
+        mask = jnp.ones(4, bool)
+        c = c2diis_coefficients(e, mask)
+        assert float(jnp.sum(c)) == pytest.approx(1.0, abs=1e-8)
+        # residual not worse than the best single error vector
+        res = float(jnp.linalg.norm(c @ e))
+        best_single = min(float(jnp.linalg.norm(e[i])) for i in range(4))
+        assert res <= best_single + 1e-8
