@@ -1,0 +1,142 @@
+"""ADDF — anharmonic-downward-distortion following (scaled hypersphere search).
+
+ref: multioptpy/OtherMethod/addf.py:12 (1150 LoC) and twopshs.py:12: from an
+equilibrium structure, reaction channels appear as anharmonic downward
+distortions (ADDs) of the PES — directions where the true energy falls below
+the harmonic reference. The SHS algorithm (Ohno & Maeda, CPL 384 (2004) 277)
+finds them as minima of the scaled energy on growing hyperspheres around
+the minimum and follows each outward until a transition state is crossed.
+
+Implementation:
+  1. Harmonic reference from the Hessian at the minimum; positions are
+     scaled by sqrt of the harmonic eigenvalues so the reference becomes an
+     isotropic paraboloid (the "scaled" in SHS).
+  2. Channel seeds: +/- the softest vibrational eigenvectors.
+  3. On each sphere |q| = r (scaled coords), minimize the energy with the
+     radial direction projected out (fixed-iteration projected FIRE).
+  4. Grow r; a channel has crossed its TS when the energy starts falling.
+
+Returns per-channel paths and TS guesses ready for `refine_saddle`.
+"""
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multioptpy_tpu.geometry import project_hessian_tr_rot
+
+
+@dataclasses.dataclass(frozen=True)
+class ADDFConfig:
+    n_channels: int = 4          # follow the 2*k softest modes -> k pairs
+    r_start: float = 0.3         # initial hypersphere radius (scaled coords)
+    r_step: float = 0.15
+    n_spheres: int = 40
+    n_relax: int = 40            # on-sphere projected FIRE steps
+    relax_rate: float = 0.4
+    eig_floor: float = 1e-4      # scaling floor for soft/TR-rot modes
+
+
+class ADDFChannel(NamedTuple):
+    path: np.ndarray             # (S,N,3) cartesian
+    energies: np.ndarray
+    ts_guess: np.ndarray
+    ts_energy: float
+    crossed_ts: bool
+
+
+def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
+    """-> list[ADDFChannel], one per followed ADD (3.x OtherMethod stack)."""
+    coords = jnp.asarray(coords)
+    z = jnp.asarray(z)
+    n = coords.shape[0]
+    dtype = coords.dtype
+
+    def energy(x):
+        e = calc.energy(x, z)
+        if bias_engine is not None and len(bias_engine):
+            e = e + bias_engine.total_energy(x)
+        return e
+
+    # scaled coordinates q = S (x - x0), S = diag(sqrt(max(w, floor))) in the
+    # harmonic eigenbasis (ref: addf.py scaled hypersphere construction)
+    h = calc.hessian(coords, z)
+    if bias_engine is not None and len(bias_engine):
+        h = h + bias_engine.hessian(coords)
+    if n > 1:
+        h = project_hessian_tr_rot(h, coords)
+    w, v = jnp.linalg.eigh(0.5 * (h + h.T))
+    scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
+
+    x0_flat = coords.reshape(-1)
+
+    def to_cart(q):
+        return (x0_flat + v @ (q / scale)).reshape(n, 3)
+
+    def energy_q(q):
+        return energy(to_cart(q))
+
+    grad_q = jax.grad(energy_q)
+
+    @jax.jit
+    def relax_on_sphere(q, r):
+        """Projected FIRE on the sphere |q| = r."""
+        def body(carry, _):
+            q, vel, dt = carry
+            g = grad_q(q)
+            q_hat = q / (jnp.linalg.norm(q) + 1e-30)
+            g_t = g - jnp.dot(g, q_hat) * q_hat  # tangential component
+            power = jnp.sum(-g_t * vel)
+            vel = jnp.where(power > 0, 0.9 * vel - dt * g_t, -dt * g_t)
+            q = q + dt * vel
+            q = q * (r / (jnp.linalg.norm(q) + 1e-30))  # retract to sphere
+            return (q, vel, dt), None
+
+        (q, _, _), _ = jax.lax.scan(
+            body, (q, jnp.zeros_like(q), jnp.asarray(config.relax_rate, dtype)),
+            None, length=config.n_relax)
+        return q, energy_q(q)
+
+    # seeds: softest vibrational modes, both signs
+    valid = w > config.eig_floor
+    order = jnp.argsort(jnp.where(valid, w, jnp.inf))
+    n_pairs = max(config.n_channels // 2, 1)
+    seeds = []
+    for k in range(n_pairs):
+        e_k = jnp.zeros_like(x0_flat).at[order[k]].set(1.0)
+        seeds.extend([e_k, -e_k])
+
+    channels = []
+    e0 = float(energy(coords))
+    for seed in seeds[: config.n_channels]:
+        q = seed * config.r_start
+        path = [np.asarray(coords)]
+        energies = [e0]
+        crossed = False
+        ts_guess, ts_energy = np.asarray(coords), e0
+        r = config.r_start
+        for _ in range(config.n_spheres):
+            q, e_q = relax_on_sphere(q, jnp.asarray(r, dtype))
+            path.append(np.asarray(to_cart(q)))
+            energies.append(float(e_q))
+            if len(energies) > 2 and energies[-1] < energies[-2]:
+                # energy turned over: the channel crossed its TS
+                crossed = True
+                ts_idx = int(np.argmax(energies))
+                ts_guess = path[ts_idx]
+                ts_energy = energies[ts_idx]
+                break
+            # grow the sphere, carrying the channel direction outward
+            r += config.r_step
+            q = q * (r / float(jnp.linalg.norm(q)))
+        if not crossed:
+            ts_idx = int(np.argmax(energies))
+            ts_guess, ts_energy = path[ts_idx], energies[ts_idx]
+        channels.append(ADDFChannel(
+            path=np.stack(path), energies=np.asarray(energies),
+            ts_guess=np.asarray(ts_guess), ts_energy=ts_energy,
+            crossed_ts=crossed))
+    return channels
