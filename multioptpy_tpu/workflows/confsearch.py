@@ -98,26 +98,48 @@ def make_kick_relax(calc, z, gamma, n_steps):
     return run
 
 
-def conformer_search(calc, coords, z, config=ConfSearchConfig()):
-    """Explore the conformer ensemble of one molecule (3.5-equivalent)."""
+def save_search_state(path, found, energies, visits):
+    """Restart file (ref: conformation_search.py:439-476 EQ_energy.dat /
+    visit_counts.dat — one npz here)."""
+    np.savez(path, conformers=np.stack(found),
+             energies=np.asarray(energies), visits=np.asarray(visits))
+
+
+def load_search_state(path):
+    data = np.load(path)
+    return (list(data["conformers"]), list(data["energies"].astype(float)),
+            list(data["visits"].astype(int)))
+
+
+def conformer_search(calc, coords, z, config=ConfSearchConfig(),
+                     restart_file=None):
+    """Explore the conformer ensemble of one molecule (3.5-equivalent).
+    `restart_file`: npz path — loaded if it exists, written after every
+    round, so interrupted searches resume (ref: conformation_search.py
+    restartability)."""
+    import os
+
     rng = np.random.default_rng(config.seed)
     coords = jnp.asarray(coords)
     z = jnp.asarray(z)
     n = coords.shape[0]
     dtype = coords.dtype
 
-    # seed conformer: relax the input
-    seed_res = optimize_batch(calc, coords[None], z, config=config.opt,
-                              n_steps=config.relax_steps)
-    seed_coords = np.asarray(seed_res.coords[0])
-    seed_energy = float(seed_res.energy[0])
+    if restart_file and os.path.exists(restart_file):
+        found, energies, visits = load_search_state(restart_file)
+        seed_coords = found[0]
+    else:
+        # seed conformer: relax the input
+        seed_res = optimize_batch(calc, coords[None], z, config=config.opt,
+                                  n_steps=config.relax_steps)
+        seed_coords = np.asarray(seed_res.coords[0])
+        seed_energy = float(seed_res.energy[0])
+        found = [seed_coords]
+        energies = [seed_energy]
+        visits = [0]
 
     ref_bonds = np.asarray(bond_connectivity(jnp.asarray(seed_coords), z))
-
-    found = [seed_coords]
-    energies = [seed_energy]
-    fps = [_sorted_distance_fingerprint(seed_coords)]
-    visits = [0]
+    fps = [_sorted_distance_fingerprint(c) for c in found]
     n_rejected = 0
 
     kick = make_kick_relax(calc, z, config.base_gamma, config.kick_steps)
@@ -166,6 +188,8 @@ def conformer_search(calc, coords, z, config=ConfSearchConfig()):
             energies.append(float(e))
             fps.append(fp)
             visits.append(0)
+        if restart_file:
+            save_search_state(restart_file, found, energies, visits)
 
     order = np.argsort(energies)
     return ConfSearchResult(
