@@ -87,7 +87,41 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
     d_plus_n = jnp.sqrt(_image_dot(x_next - coords, x_next - coords) + 1e-14)
     d_minus_n = jnp.sqrt(_image_dot(coords - x_prev, coords - x_prev) + 1e-14)
 
-    if variant in ("lup", "qsm", "string"):
+    if variant in ("bneb", "nesb"):
+        # Wilson-B-constrained NEB (ref: MEP/pathopt_bneb_force.py:21): the
+        # tangent space is PER-ATOM displacement directions (the B-matrix
+        # rows of inter-image distance internals), energy-weighted exactly
+        # like the improved tangent; the force is the per-atom perpendicular
+        # gradient (no springs).
+        e = energies
+        e_prev = jnp.roll(e, 1)
+        e_next = jnp.roll(e, -1)
+        d_plus = x_next - coords
+        d_minus = coords - x_prev
+        de_max = jnp.maximum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
+        de_min = jnp.minimum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
+        nh = (e_next > e_prev)
+        w_p = jnp.where(nh, de_max, de_min)[:, None, None]
+        w_m = jnp.where(nh, de_min, de_max)[:, None, None]
+        up = ((e_next > e) & (e > e_prev))[:, None, None]
+        down = ((e_next < e) & (e < e_prev))[:, None, None]
+        t_atom = jnp.where(up, d_plus,
+                           jnp.where(down, d_minus,
+                                     w_p * d_plus + w_m * d_minus))
+        t_norm = jnp.sqrt(jnp.sum(t_atom * t_atom, axis=-1, keepdims=True)
+                          + 1e-14)
+        t_atom = t_atom / t_norm
+        g_par_atom = jnp.sum(g * t_atom, axis=-1, keepdims=True) * t_atom
+        force = -(g - g_par_atom)
+        if variant == "nesb":
+            # nudged elastic "stiffness" band: add per-atom springs along
+            # the per-atom tangents (ref: MEP CaluculationNESB)
+            dp_n = jnp.sqrt(jnp.sum(d_plus ** 2, axis=-1, keepdims=True)
+                            + 1e-14)
+            dm_n = jnp.sqrt(jnp.sum(d_minus ** 2, axis=-1, keepdims=True)
+                            + 1e-14)
+            force = force + k_spring * (dp_n - dm_n) * t_atom
+    elif variant in ("lup", "qsm", "string"):
         # perpendicular gradient only; qsm/string rely on reparametrization
         # instead of springs (JCP 124, 054109; ref: MEP/pathopt_qsm_force.py)
         force = -g_perp

@@ -95,3 +95,16 @@ class TestMullerBrownNEB:
         e = np.asarray(res.energies)
         # interior max must exceed both endpoints (it's a barrier)
         assert e[res.ts_index] > e[0] and e[res.ts_index] > e[-1]
+
+
+def test_bneb_and_nesb_variants():
+    calc = MullerBrown()
+    path0 = _mb_path(10)
+    z = jnp.array([1])
+    for variant in ("bneb", "nesb"):
+        res = neb(calc, path0, z, NEBConfig(
+            variant=variant, n_steps=150, k_spring=5e-4, dt0=0.05,
+            dt_max=0.3, fmax=5e-4))
+        e = np.asarray(res.energies)
+        assert np.all(np.isfinite(e))
+        assert e[res.ts_index] > max(e[0], e[-1])

@@ -90,3 +90,34 @@ class TestGeometryOptimization:
         assert es.shape == (3,)
         e0 = float(calc.energy(coords, z))
         assert float(es[0]) == pytest.approx(e0, rel=1e-12)
+
+
+def test_ethane_torsion_physics(calc):
+    """Staggered ethane below eclipsed (EHT overestimates the barrier but
+    the sign and periodicity must be right)."""
+    cc, ch = 1.54, 1.09
+    ang = np.radians(111.0)
+
+    def ethane(phi_deg):
+        out = [[0, 0, 0], [0, 0, cc]]
+        zz = [6, 6]
+        for k in range(3):
+            a = np.radians(120 * k)
+            out.append([ch * np.sin(np.pi - ang) * np.cos(a),
+                        ch * np.sin(np.pi - ang) * np.sin(a),
+                        ch * np.cos(np.pi - ang)])
+            zz.append(1)
+        for k in range(3):
+            a = np.radians(120 * k + phi_deg)
+            out.append([ch * np.sin(ang - np.pi) * np.cos(a) * -1,
+                        ch * np.sin(ang - np.pi) * np.sin(a),
+                        cc + ch * np.cos(ang - np.pi)])
+            zz.append(1)
+        return (jnp.asarray(np.array(out) * ANGSTROM2BOHR),
+                jnp.asarray(np.array(zz)))
+
+    c_st, z8 = ethane(60.0)
+    c_ec, _ = ethane(0.0)
+    e_st = float(calc.energy(c_st, z8))
+    e_ec = float(calc.energy(c_ec, z8))
+    assert e_st < e_ec  # staggered is the minimum
