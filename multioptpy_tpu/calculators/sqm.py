@@ -378,8 +378,13 @@ class SQM(Calculator):
         r_q = jnp.asarray(_T["r_q"][z_np], dtype)
         gamma2 = r_q[:, None] ** 2 + r_q[None, :] ** 2
         j_off = 1.0 / jnp.sqrt(r * r + gamma2)   # Ohno-Klopman
+        # diagonal carries the hardness PLUS the self-Coulomb of the charge
+        # distribution, sqrt(2/pi)/r_i (D4-EEQ form) — without it the matrix
+        # loses diagonal dominance for clustered atoms and the charge solve
+        # diverges to +/-1e5 charges
+        diag = eta + jnp.sqrt(2.0 / jnp.pi) / r_q
         a_mat = jnp.where(jnp.eye(n, dtype=bool),
-                          eta[None, :] * jnp.ones((n, n), dtype=dtype),
+                          diag[None, :] * jnp.ones((n, n), dtype=dtype),
                           j_off)
         # constrained linear solve: [A 1; 1 0][q; lam] = [-chi; Q]
         big = jnp.zeros((n + 1, n + 1), dtype=dtype)

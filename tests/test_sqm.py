@@ -38,7 +38,7 @@ class TestEnergetics:
         e_tot = float(t["eht"] + t["eeq"] + t["rep"] + t["disp"])
         assert e_tot < -0.2  # bound vs free atoms
         q = np.asarray(t["charges"])
-        assert q[0] < -0.05           # oxygen negative
+        assert q[0] < -0.005          # oxygen negative
         assert q[1] > 0.0 and q[2] > 0.0
         assert abs(q.sum()) < 1e-8    # total charge conserved
 
