@@ -301,6 +301,17 @@ class SQM(Calculator):
         t = self.energy_terms(coords, z)
         return t["eht"] + t["eeq"] + t["rep"] + t["disp"]
 
+    def hessian(self, coords, z):
+        """Seminumerical: central differences of the ANALYTIC gradient.
+
+        The band energy's custom JVP gives exact first derivatives at any
+        degeneracy, but differentiating that JVP again would differentiate
+        the eigenvectors (NaN for the degenerate placeholder shells), so
+        second derivatives use 6N batched gradient evaluations instead —
+        one vmapped call (ref: the same strategy as
+        tblite_calculation_tools.py:100, but batched)."""
+        return self.numerical_hessian(coords, z, step=1e-4)
+
     def energy_terms(self, coords, z):
         z_np = np.asarray(z)
         n = len(z_np)
