@@ -71,7 +71,7 @@ def improved_tangents(coords, energies):
 
 
 def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
-               climbing=False, optimize_endpoints=False):
+               climbing=False, optimize_endpoints=False, dmf_beta=10.0):
     """Whole-path NEB force, (I,N,3). Endpoints get -g (masked by caller if
     frozen). `climbing` may be a traced bool enabling CI on the highest
     interior image."""
@@ -121,6 +121,29 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
             dm_n = jnp.sqrt(jnp.sum(d_minus ** 2, axis=-1, keepdims=True)
                             + 1e-14)
             force = force + k_spring * (dp_n - dm_n) * t_atom
+    elif variant == "dmf":
+        # direct MaxFlux (ref: MEP/pathopt_dmf_force.py:33, beta=10): the
+        # path minimizes the MaxFlux action A = sum_seg w_seg L_seg with
+        # exp(beta E) weights; force = -dA/dx / (beta A), exp-stabilized by
+        # factoring out max(E).
+        beta = dmf_beta
+        e_shift = energies - jnp.max(energies)
+        w_img = jnp.exp(beta * e_shift)                     # (I,)
+        seg = coords[1:] - coords[:-1]                      # (I-1,N,3)
+        seg_len = jnp.sqrt(jnp.sum(seg ** 2, axis=(1, 2)) + 1e-14)
+        w_seg = 0.5 * (w_img[:-1] + w_img[1:])
+        action = jnp.sum(w_seg * seg_len) + 1e-30
+        seg_hat = seg / seg_len[:, None, None]
+        # dA/dx_k: energy-weight term + segment-length terms
+        len_adj = jnp.zeros_like(coords)
+        len_adj = len_adj.at[:-1].add(-w_seg[:, None, None] * seg_hat)
+        len_adj = len_adj.at[1:].add(w_seg[:, None, None] * seg_hat)
+        l_sum = jnp.zeros_like(energies)
+        l_sum = l_sum.at[:-1].add(seg_len)
+        l_sum = l_sum.at[1:].add(seg_len)
+        e_term = 0.5 * beta * (w_img * l_sum)[:, None, None] * gradients
+        da_dx = e_term + len_adj
+        force = -da_dx / (beta * action)
     elif variant in ("lup", "qsm", "string"):
         # perpendicular gradient only; qsm/string rely on reparametrization
         # instead of springs (JCP 124, 054109; ref: MEP/pathopt_qsm_force.py)
@@ -235,6 +258,7 @@ class NEBConfig:
     dt0: float = 0.3
     dt_max: float = 1.0
     sd_step: float = 0.5          # sd/quickmin step scale
+    dmf_beta: float = 10.0        # MaxFlux reciprocal temperature (1/Ha)
 
 
 class NEBResult(NamedTuple):
@@ -265,7 +289,7 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
         climbing = (config.variant == "cineb") & (iteration >= config.climbing_start)
         forces = neb_forces(path, energies, grads, config.k_spring,
                             base_variant, climbing,
-                            config.optimize_endpoints)
+                            config.optimize_endpoints, config.dmf_beta)
         # one optimizer clock for the whole path (treated as a single vector)
         if config.optimizer == "fire":
             move, fire_new = fire_step(fire_state, -forces.reshape(-1),

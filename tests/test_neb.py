@@ -108,3 +108,20 @@ def test_bneb_and_nesb_variants():
         e = np.asarray(res.energies)
         assert np.all(np.isfinite(e))
         assert e[res.ts_index] > max(e[0], e[-1])
+
+
+def test_dmf_variant_stays_stable_and_climbs():
+    calc = MullerBrown()
+    path0 = _mb_path(12)
+    z = jnp.array([1])
+    res = neb(calc, path0, z, NEBConfig(
+        variant="dmf", n_steps=200, dt0=0.02, dt_max=0.15, fmax=5e-4,
+        dmf_beta=400.0))
+    e = np.asarray(res.energies)
+    assert np.all(np.isfinite(e))
+    # the MaxFlux path climbs over the barrier region (note: the
+    # exp-weighting spaces discrete images AWAY from the exact peak, so the
+    # sampled maximum under-resolves the saddle; the reference subdivides
+    # segments for the same reason, pathopt_dmf_force.py nsegs)
+    assert e[res.ts_index] > max(e[0], e[-1])
+    assert np.all(e < 0.0)  # never runs up the outer walls
