@@ -359,3 +359,45 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
         n_iterations=it, energy_history=np.asarray(e_hist),
         ts_index=ts_index,
     )
+
+
+def adaptive_neb(calc, path0, z, config=NEBConfig(), bias_engine=None,
+                 n_rounds=3, growth=1.5, focus=2.0):
+    """Adaptive NEB: after each converged round the path is REPARTITIONED
+    with image density concentrated around the barrier (ref: neb.py:610
+    _exec_adaptive_neb + the 15 redistribution schemes of interface.py:243).
+
+    `growth` multiplies the image count each round; `focus` exponentiates
+    the energy-based density weight (higher = tighter around the TS).
+    Returns the final NEBResult.
+    """
+    from multioptpy_tpu.interpolation import linear_resample
+
+    path = jnp.asarray(path0)
+    res = None
+    for round_idx in range(n_rounds):
+        res = neb(calc, path, z, config, bias_engine=bias_engine)
+        if round_idx == n_rounds - 1:
+            break
+        e = np.asarray(res.energies)
+        n_img = int(np.ceil(len(e) * growth))
+        # arc-length positions of current images
+        flat = np.asarray(res.path).reshape(len(e), -1)
+        seg = np.linalg.norm(np.diff(flat, axis=0), axis=1)
+        s = np.concatenate([[0.0], np.cumsum(seg)])
+        s = s / max(s[-1], 1e-30)
+        # density weight from (normalized) energy, focused around the peak
+        w = (e - e.min()) / max(e.max() - e.min(), 1e-30)
+        w = 0.2 + w ** focus
+        # cumulative density -> new arc positions (inverse-CDF sampling)
+        cdf = np.concatenate([[0.0], np.cumsum(0.5 * (w[1:] + w[:-1]) * seg)])
+        cdf = cdf / max(cdf[-1], 1e-30)
+        targets = np.linspace(0.0, 1.0, n_img)
+        s_new = np.interp(targets, cdf, s)
+        # resample the path at the new arc positions
+        dense = linear_resample(res.path, 512)
+        s_dense = np.linspace(0.0, 1.0, 512)
+        idx = np.clip(np.searchsorted(s_dense, s_new), 0, 511)
+        path = jnp.asarray(np.asarray(dense)[idx])
+        path = path.at[0].set(res.path[0]).at[-1].set(res.path[-1])
+    return res

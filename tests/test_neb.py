@@ -125,3 +125,19 @@ def test_dmf_variant_stays_stable_and_climbs():
     # segments for the same reason, pathopt_dmf_force.py nsegs)
     assert e[res.ts_index] > max(e[0], e[-1])
     assert np.all(e < 0.0)  # never runs up the outer walls
+
+
+def test_adaptive_neb_grows_and_focuses():
+    from multioptpy_tpu.drivers.neb import adaptive_neb
+
+    calc = MullerBrown()
+    path0 = _mb_path(8)
+    z = jnp.array([1])
+    res = adaptive_neb(calc, path0, z, NEBConfig(
+        variant="cineb", n_steps=120, k_spring=5e-4, climbing_start=30,
+        fmax=5e-4, dt0=0.05, dt_max=0.3), n_rounds=3, growth=1.4)
+    e = np.asarray(res.energies)
+    assert len(e) > 8                      # image count grew
+    assert e[res.ts_index] > max(e[0], e[-1])
+    # refined band still hits the higher MB saddle energy
+    assert e[res.ts_index] / 1e-3 == pytest.approx(-40.665, abs=2.0)
