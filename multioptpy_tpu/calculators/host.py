@@ -191,3 +191,21 @@ class ASEBridge(HostCalculator):
         e = e_ev / aseu.Hartree
         g = -f_ev_ang / aseu.Hartree / ANGSTROM2BOHR
         return float(e), np.asarray(g)
+
+
+def read_software_path(path="./software_path.conf"):
+    """External QM binary paths for the ASE bridge (ref: fileio.py:32
+    read_software_path; same `name = /path` format)."""
+    import os
+
+    paths = {}
+    if not os.path.exists(path):
+        return paths
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            paths[key.strip().lower()] = val.strip()
+    return paths

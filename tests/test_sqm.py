@@ -121,3 +121,36 @@ def test_ethane_torsion_physics(calc):
     e_st = float(calc.energy(c_st, z8))
     e_ec = float(calc.energy(c_ec, z8))
     assert e_st < e_ec  # staggered is the minimum
+
+
+def test_shape_preferences(calc):
+    """CH4 tetrahedral >> square planar; NH3 pyramidal > planar (the
+    inversion barrier comes out ~5 kcal/mol vs exp ~6). Known limitation:
+    CO2 bending is slightly over-stabilized (minimal-basis EHT lacks the
+    pi-bond resistance); tracked in NOTES.md round-2 items."""
+    A = ANGSTROM2BOHR
+    d = 1.09 / np.sqrt(3)
+    td = jnp.asarray(np.array([[0, 0, 0], [d, d, d], [d, -d, -d],
+                               [-d, d, -d], [-d, -d, d]]) * A)
+    sq = jnp.asarray(np.array([[0, 0, 0], [1.09, 0, 0], [-1.09, 0, 0],
+                               [0, 1.09, 0], [0, -1.09, 0]]) * A)
+    zc = jnp.array([6, 1, 1, 1, 1])
+    assert float(calc.energy(td, zc)) < float(calc.energy(sq, zc))
+
+    zn = jnp.array([7, 1, 1, 1])
+
+    def nh3(theta_deg):
+        th = np.radians(theta_deg)
+        r = 1.01 * A
+        out = [[0, 0, 0]]
+        for k in range(3):
+            ph = 2 * np.pi * k / 3
+            out.append([r * np.sin(th) * np.cos(ph),
+                        r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+        return jnp.asarray(out)
+
+    e_pyr = float(calc.energy(nh3(112), zn))
+    e_pla = float(calc.energy(nh3(90), zn))
+    assert e_pyr < e_pla
+    barrier_kcal = (e_pla - e_pyr) * 627.509
+    assert 1.0 < barrier_kcal < 15.0  # exp ~6
