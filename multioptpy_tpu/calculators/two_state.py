@@ -179,3 +179,19 @@ def bitss_search(calc, coords_a, coords_b, z, n_stages=8, opt_config=None,
     mid = 0.5 * (x1 + x2)
     e_mid = float(calc.energy(mid, jnp.asarray(z)))
     return mid, e_mid
+
+
+def optimize_model_function(calc_1, calc_2, coords, z, kind="seam",
+                            opt_config=None, **mf_kwargs):
+    """Driver preset for 2-PES objectives (ref: OtherMethod/modelfunction.py
+    ModelFunctionOptimizer + ModelFunctionHandler, optimization.py:345):
+    build the model-function calculator and minimize it. Returns
+    (OptResult, TwoStateModelFunction) so the caller can inspect the gap."""
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    mf = TwoStateModelFunction(calc_1, calc_2, kind=kind, **mf_kwargs)
+    opt_config = opt_config or OptimizeConfig(
+        method="rfo_fsb", nsteps=200,
+        fc_count=5 if mf.on_device else -1, project_tr_rot=False)
+    res = optimize(mf, coords, z, config=opt_config)
+    return res, mf

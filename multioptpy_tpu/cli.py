@@ -69,6 +69,10 @@ def _base_parser(description):
     p.add_argument("-pc", "--projection_constrain", nargs="*", default=[],
                    help="bond i,j [value_ang] | angle i,j,k [deg] | "
                         "dihedral i,j,k,l [deg]")
+    p.add_argument("-gi", "--geom_info", nargs="*", default=[],
+                   help="track internal parameters per step: bond i,j | "
+                        "angle i,j,k | dihedral i,j,k,l (repeatable pairs; "
+                        "ref: optimization.py:1415)")
     p.add_argument("-x64", "--float64", action="store_true", default=True)
     p.add_argument("-out", "--output_dir", default=None)
     return p
@@ -209,14 +213,29 @@ def run_optmain(argv=None):
     from multioptpy_tpu.io import write_trajectory, write_xyz
     from multioptpy_tpu.units import BOHR2ANGSTROM
 
+    out = _outdir(args, "_opt")
+    from multioptpy_tpu.logging_utils import RunLogger, snapshot_config
+
+    tracked = []
+    gi = list(args.geom_info)
+    i = 0
+    while i + 1 < len(gi):
+        tracked.append((gi[i], num_parse(gi[i + 1])))
+        i += 2
+    logger = RunLogger(out, tracked_params=tracked)
+    log_cb = logger.make_callback()
+
     def cb(it, st):
         print(f"# iter {it:4d}  E = {float(st.energy):+.10f}  "
               f"max|g| = {float(abs(st.gradient).max()):.3e}  "
               f"trust = {float(st.trust_radius):.4f}")
+        log_cb(it, st)
 
-    res = optimize(calc, coords, z, bias_engine=bias, config=_opt_config(args),
+    cfg = _opt_config(args)
+    snapshot_config(out, cfg, extra={"input": args.input})
+    res = optimize(calc, coords, z, bias_engine=bias, config=cfg,
                    constraints=cons, record_trajectory=True, callback=cb)
-    out = _outdir(args, "_opt")
+    logger.flush()
     write_xyz(os.path.join(out, "optimized.xyz"), symbols,
               np.asarray(res.coords) * BOHR2ANGSTROM,
               f"E = {float(res.energy):.10f}")
