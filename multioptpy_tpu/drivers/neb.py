@@ -19,6 +19,10 @@ Force laws (selected by `variant`):
           (ref: MEP/ CaluculationLUP)
   "om"    Onsager-Machlup action-based force (ref: MEP/ CaluculationOM)
           — implemented as NEB with energy-weighted springs.
+  "ewbneb" per-atom Wilson-B tangents + energy-weighted spring constants,
+          Asgeirsson 2021 (ref: MEP/pathopt_ewbneb_force.py:21)
+  "qsm2"  Ayala-Schlegel propagated tangents, perpendicular force only
+          (ref: MEP/pathopt_qsmv2_force.py:19)
 
 IDPP initial paths: Smidstrup et al., JCP 140 (2014) 214106
 (ref: Potential/idpp.py:10).
@@ -70,11 +74,104 @@ def improved_tangents(coords, energies):
     return _normalize(tau)
 
 
+def _per_atom_tangents(coords, energies):
+    """Per-ATOM unit tangents (I,N,3): the Wilson-B rows of the inter-image
+    per-atom-distance internals, bisection-weighted like the improved tangent
+    (ref: MEP/pathopt_bneb_force.py:21, pathopt_ewbneb_force.py:119-153 —
+    their B-matrix has one orthonormal row per atom, so B+ = B^T and the
+    projection reduces to a per-atom tangent projection)."""
+    x_prev = jnp.roll(coords, 1, axis=0)
+    x_next = jnp.roll(coords, -1, axis=0)
+    e = energies
+    e_prev = jnp.roll(e, 1)
+    e_next = jnp.roll(e, -1)
+    d_plus = x_next - coords
+    d_minus = coords - x_prev
+    de_max = jnp.maximum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
+    de_min = jnp.minimum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
+    nh = (e_next > e_prev)
+    w_p = jnp.where(nh, de_max, de_min)[:, None, None]
+    w_m = jnp.where(nh, de_min, de_max)[:, None, None]
+    up = ((e_next > e) & (e > e_prev))[:, None, None]
+    down = ((e_next < e) & (e < e_prev))[:, None, None]
+    t_atom = jnp.where(up, d_plus,
+                       jnp.where(down, d_minus,
+                                 w_p * d_plus + w_m * d_minus))
+    t_norm = jnp.sqrt(jnp.sum(t_atom * t_atom, axis=-1, keepdims=True)
+                      + 1e-14)
+    return t_atom / t_norm
+
+
+def ayala_tangents(coords, energies):
+    """Ayala-Schlegel path tangents (JCP 107 (1997) 375 eqs. 3a-3d; ref:
+    MEP/pathopt_qsmv2_force.py:66 _calculate_all_tangents): the tangent at
+    the highest image comes from the weighted difference of its neighbours,
+    then propagates DOWNHILL to each side by arc (small turning angle) or
+    parabola (large angle) extrapolation. The two sequential sweeps are
+    `lax.scan`s with position masks so the whole thing stays jittable with
+    a data-dependent peak index. Returns unit tangents (I,N,3) (endpoints
+    zero)."""
+    n = coords.shape[0]
+    flat = coords.reshape(n, -1)
+    idx = jnp.arange(n)
+    interior = (idx > 0) & (idx < n - 1)
+    ts = jnp.argmax(jnp.where(interior, energies, -jnp.inf))
+
+    def nrm(v):
+        return v / (jnp.linalg.norm(v) + 1e-30)
+
+    q_ts = jnp.take(flat, ts, axis=0)
+    v_prev = jnp.take(flat, ts - 1, axis=0) - q_ts
+    v_next = jnp.take(flat, ts + 1, axis=0) - q_ts
+    t_ts = nrm(v_next / jnp.maximum(v_next @ v_next, 1e-10)
+               - v_prev / jnp.maximum(v_prev @ v_prev, 1e-10))
+
+    def propagate(q_cur, q_uphill, t_up):
+        chord = q_cur - q_uphill
+        chord_u = nrm(chord)
+        cos_t = jnp.clip(chord_u @ t_up, -1.0, 1.0)
+        theta = jnp.arccos(cos_t)
+        # arc approximation (eq. 3c)
+        denom = 2.0 * (t_up @ chord)
+        safe = jnp.abs(denom) > 1e-10
+        r = (chord @ chord) / jnp.where(safe, denom, 1.0)
+        r_safe = jnp.where(jnp.abs(r) > 1e-10, r, 1.0)
+        t_arc = jnp.where(safe, nrm(chord / r_safe - t_up), chord_u)
+        # parabola approximation (eq. 3d)
+        n_vec = nrm(chord - (chord @ t_up) * t_up)
+        tan_v = jnp.tan(theta - jnp.pi / 4.0)
+        t_par = nrm(n_vec - tan_v * (t_up - n_vec))
+        return jnp.where(theta <= jnp.pi / 4.0, t_arc, t_par)
+
+    def sweep(order, side_mask_fn, uphill_offset):
+        """Scan image indices in `order`, carrying the uphill tangent."""
+        def body(t_up, i):
+            t_up = jnp.where(i == ts, t_ts, t_up)
+            t_new = propagate(jnp.take(flat, i, axis=0),
+                              jnp.take(flat, i + uphill_offset, axis=0), t_up)
+            on_side = side_mask_fn(i) & interior[i]
+            out = jnp.where(on_side, t_new, jnp.zeros_like(t_new))
+            t_up = jnp.where(on_side, t_new, t_up)
+            return t_up, out
+        _, outs = jax.lax.scan(body, jnp.zeros_like(t_ts), order)
+        return outs
+
+    left = sweep(idx[::-1], lambda i: i < ts, +1)[::-1]
+    right = sweep(idx, lambda i: i > ts, -1)
+    tau = left + right + jnp.where(idx[:, None] == ts, t_ts[None], 0.0)
+    return tau.reshape(coords.shape)
+
+
 def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
                climbing=False, optimize_endpoints=False, dmf_beta=10.0):
     """Whole-path NEB force, (I,N,3). Endpoints get -g (masked by caller if
     frozen). `climbing` may be a traced bool enabling CI on the highest
     interior image."""
+    known = ("neb", "cineb", "dneb", "lup", "om", "qsm", "qsm2", "string",
+             "bneb", "nesb", "dmf", "ewbneb", "gpneb")
+    if variant not in known:
+        raise ValueError(f"unknown NEB variant '{variant}' "
+                         f"(choose from {', '.join(known)})")
     n_images = coords.shape[0]
     tau = improved_tangents(coords, energies)
 
@@ -87,40 +184,49 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
     d_plus_n = jnp.sqrt(_image_dot(x_next - coords, x_next - coords) + 1e-14)
     d_minus_n = jnp.sqrt(_image_dot(coords - x_prev, coords - x_prev) + 1e-14)
 
-    if variant in ("bneb", "nesb"):
-        # Wilson-B-constrained NEB (ref: MEP/pathopt_bneb_force.py:21): the
-        # tangent space is PER-ATOM displacement directions (the B-matrix
-        # rows of inter-image distance internals), energy-weighted exactly
-        # like the improved tangent; the force is the per-atom perpendicular
-        # gradient (no springs).
-        e = energies
-        e_prev = jnp.roll(e, 1)
-        e_next = jnp.roll(e, -1)
+    if variant in ("bneb", "nesb", "ewbneb"):
+        # Wilson-B-constrained NEB family (ref: MEP/pathopt_bneb_force.py:21,
+        # pathopt_ewbneb_force.py:21): the tangent space is PER-ATOM
+        # displacement directions (the B-matrix rows of inter-image distance
+        # internals); the force is the per-atom perpendicular gradient.
         d_plus = x_next - coords
         d_minus = coords - x_prev
-        de_max = jnp.maximum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
-        de_min = jnp.minimum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
-        nh = (e_next > e_prev)
-        w_p = jnp.where(nh, de_max, de_min)[:, None, None]
-        w_m = jnp.where(nh, de_min, de_max)[:, None, None]
-        up = ((e_next > e) & (e > e_prev))[:, None, None]
-        down = ((e_next < e) & (e < e_prev))[:, None, None]
-        t_atom = jnp.where(up, d_plus,
-                           jnp.where(down, d_minus,
-                                     w_p * d_plus + w_m * d_minus))
-        t_norm = jnp.sqrt(jnp.sum(t_atom * t_atom, axis=-1, keepdims=True)
-                          + 1e-14)
-        t_atom = t_atom / t_norm
+        t_atom = _per_atom_tangents(coords, energies)
         g_par_atom = jnp.sum(g * t_atom, axis=-1, keepdims=True) * t_atom
         force = -(g - g_par_atom)
+        dp_n = jnp.sqrt(jnp.sum(d_plus ** 2, axis=-1, keepdims=True) + 1e-14)
+        dm_n = jnp.sqrt(jnp.sum(d_minus ** 2, axis=-1, keepdims=True) + 1e-14)
         if variant == "nesb":
             # nudged elastic "stiffness" band: add per-atom springs along
             # the per-atom tangents (ref: MEP CaluculationNESB)
-            dp_n = jnp.sqrt(jnp.sum(d_plus ** 2, axis=-1, keepdims=True)
-                            + 1e-14)
-            dm_n = jnp.sqrt(jnp.sum(d_minus ** 2, axis=-1, keepdims=True)
-                            + 1e-14)
             force = force + k_spring * (dp_n - dm_n) * t_atom
+        elif variant == "ewbneb":
+            # energy-weighted springs (Asgeirsson et al., JCTC 17 (2021)
+            # 4929, the paper the reference cites at
+            # pathopt_ewbneb_force.py:24 with k_upper=0.005, k_lower=1e-4):
+            # segments near the barrier get STIFF springs, low-energy
+            # segments soft ones, k(E_seg) interpolated between the bounds.
+            k_u, k_l = 0.005, 1e-4
+            e_seg = jnp.maximum(energies[:-1], energies[1:])     # (I-1,)
+            e_max = jnp.max(energies)
+            e_ref = jnp.maximum(energies[0], energies[-1])
+            denom = jnp.maximum(e_max - e_ref, 1e-12)
+            k_seg = jnp.where(e_seg > e_ref,
+                              k_u - (k_u - k_l) * (e_max - e_seg) / denom,
+                              k_l)
+            k_fwd = jnp.concatenate([k_seg, k_seg[-1:]])[:, None, None]
+            k_bwd = jnp.concatenate([k_seg[:1], k_seg])[:, None, None]
+            force = force + (k_fwd * dp_n - k_bwd * dm_n) * t_atom
+    elif variant == "qsm2":
+        # Ayala-Schlegel tangent QSM (ref: MEP/pathopt_qsmv2_force.py:19):
+        # perpendicular gradient with tangents PROPAGATED downhill from the
+        # peak instead of finite-differenced from neighbours — no springs
+        # and no reparametrization (the tangent construction itself keeps
+        # the images spread along the arc).
+        tau = ayala_tangents(coords, energies)
+        g_par = _image_dot(g, tau) * tau
+        g_perp = g - g_par
+        force = -g_perp
     elif variant == "dmf":
         # direct MaxFlux (ref: MEP/pathopt_dmf_force.py:33, beta=10): the
         # path minimizes the MaxFlux action A = sum_seg w_seg L_seg with

@@ -141,3 +141,37 @@ def test_adaptive_neb_grows_and_focuses():
     assert e[res.ts_index] > max(e[0], e[-1])
     # refined band still hits the higher MB saddle energy
     assert e[res.ts_index] / 1e-3 == pytest.approx(-40.665, abs=2.0)
+
+
+def test_ewbneb_variant_converges_on_mb():
+    calc = MullerBrown()
+    path0 = _mb_path(10)
+    z = jnp.array([1])
+    res = neb(calc, path0, z, NEBConfig(
+        variant="ewbneb", n_steps=200, dt0=0.05, dt_max=0.3, fmax=5e-4))
+    e = np.asarray(res.energies)
+    assert np.all(np.isfinite(e))
+    assert e[res.ts_index] > max(e[0], e[-1])
+
+
+def test_qsm2_ayala_tangents_and_force():
+    from multioptpy_tpu.drivers.neb import ayala_tangents
+
+    calc = MullerBrown()
+    path0 = _mb_path(12)
+    z = jnp.array([1])
+    res = neb(calc, path0, z, NEBConfig(
+        variant="qsm2", n_steps=200, dt0=0.04, dt_max=0.25, fmax=5e-4))
+    e = np.asarray(res.energies)
+    assert np.all(np.isfinite(e))
+    assert e[res.ts_index] > max(e[0], e[-1])
+    # tangent invariants: interior unit norm, endpoints zero, and the
+    # qsm2 force is perpendicular to its own tangents
+    tau = ayala_tangents(res.path, res.energies)
+    norms = np.asarray(jnp.sqrt(jnp.sum(tau**2, axis=(1, 2))))
+    np.testing.assert_allclose(norms[1:-1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(norms[[0, -1]], 0.0, atol=1e-12)
+    _, grads = jax.vmap(lambda x: calc.energy_and_gradient(x, z))(res.path)
+    f = neb_forces(res.path, res.energies, grads, variant="qsm2")
+    for i in range(1, 11):
+        assert abs(float(jnp.sum(f[i] * tau[i]))) < 1e-8
