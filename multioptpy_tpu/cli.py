@@ -50,6 +50,9 @@ def _base_parser(description):
     p.add_argument("-mh", "--model_hessian", default=None,
                    help="lindh | fischer | schlegel | swart")
     p.add_argument("-order", "--saddle_order", type=int, default=0)
+    p.add_argument("-diis", "--diis_variant", default=None,
+                   choices=["gdiis", "gediis", "kdiis"],
+                   help="DIIS extrapolation chained onto quasi-Newton steps")
     p.add_argument("-tight", "--tight_convergence_criteria",
                    action="store_true")
     p.add_argument("-loose", "--loose_convergence_criteria",
@@ -180,7 +183,8 @@ def _opt_config(args):
 
     kw = dict(method=args.opt_method[0], nsteps=args.NSTEP,
               saddle_order=args.saddle_order, fc_count=args.fc_count,
-              mfc_count=args.mfc_count, trust_radius_ang=args.trust_radius)
+              mfc_count=args.mfc_count, trust_radius_ang=args.trust_radius,
+              diis_variant=getattr(args, "diis_variant", None))
     if args.model_hessian:
         kw["init_hessian"] = f"model:{args.model_hessian}"
     if args.tight_convergence_criteria:

@@ -75,7 +75,13 @@ class OptimizeConfig:
     use_gdiis: bool = False          # GDIIS extrapolation on top of the
                                      # quasi-Newton step (ref: optimizer.py
                                      # enhancement chain :328-387)
+    diis_variant: Optional[str] = None  # gdiis | gediis | kdiis (overrides
+                                     # use_gdiis; ref: Optimizer/{gdiis,
+                                     # gediis,kdiis}.py)
     project_tr_rot: bool = True
+
+    def effective_diis(self):
+        return self.diis_variant or ("gdiis" if self.use_gdiis else None)
 
     def initial_trust_bohr(self):
         tr = self.trust_radius_ang
@@ -209,9 +215,13 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         fo = (block_window_init(3 * n, dtype=dtype),)
     else:
         fo = ()
-    if kind in ("rfo", "prfo") and config.use_gdiis:
-        from multioptpy_tpu.steppers.diis import diis_init
-        fo = fo + (diis_init(3 * n, dtype=dtype),)
+    dv = config.effective_diis()
+    if kind in ("rfo", "prfo") and dv:
+        from multioptpy_tpu.steppers.diis import (diis_init, gediis_init,
+                                                  kdiis_init)
+        ini = {"gdiis": diis_init, "gediis": gediis_init,
+               "kdiis": kdiis_init}[dv]
+        fo = fo + (ini(3 * n, dtype=dtype),)
 
     zero = jnp.zeros_like(coords)
     return OptState(
@@ -305,11 +315,19 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         else:
             step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
                                     saddle_order=saddle_order)
-        if config.use_gdiis:
-            from multioptpy_tpu.steppers.diis import gdiis_step
+        dv = config.effective_diis()
+        if dv:
+            from multioptpy_tpu.steppers.diis import (gdiis_step, gediis_step,
+                                                      kdiis_step)
             diis = state.fo_state[-1]
-            step, diis_new = gdiis_step(diis, state.coords.reshape(-1),
-                                        step, step)
+            x_flat = state.coords.reshape(-1)
+            if dv == "gediis":
+                step, diis_new = gediis_step(diis, x_flat, state.energy,
+                                             g_flat, step)
+            elif dv == "kdiis":
+                step, diis_new = kdiis_step(diis, x_flat, g_flat, step)
+            else:
+                step, diis_new = gdiis_step(diis, x_flat, step, step)
             qn_fo = qn_fo + (diis_new,)
         return step, h, trust_new, aux["predicted_energy_change"], qn_fo
 

@@ -32,6 +32,32 @@ def diis_init(dim, history=5, dtype=jnp.float64):
                      jnp.asarray(0, jnp.int32))
 
 
+def _bordered_diis_coefficients(e_hist, vmask):
+    """Solve the bordered DIIS system [B 1; 1 0][c; lam] = [0; 1] with a
+    validity mask over history slots. Returns (M,) coefficients."""
+    m = e_hist.shape[0]
+    b = e_hist @ e_hist.T
+    scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+    b = b * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask) * scale
+    big = jnp.zeros((m + 1, m + 1), dtype=b.dtype)
+    big = big.at[:m, :m].set(b + 1e-10 * scale * jnp.eye(m, dtype=b.dtype))
+    big = big.at[:m, m].set(vmask)
+    big = big.at[m, :m].set(vmask)
+    rhs = jnp.zeros((m + 1,), b.dtype).at[m].set(1.0)
+    sol = jnp.linalg.solve(big, rhs)
+    return sol[:m] * vmask
+
+
+def _safeguard(move_diis, plain_step, n_avail, max_step_ratio, min_points=2):
+    """Fall back to the plain step when DIIS is unusable (standard
+    safeguards, ref: gdiis.py/gediis.py:165-177 rejection logic)."""
+    plain_norm = jnp.linalg.norm(plain_step)
+    ok = ((n_avail >= min_points)
+          & jnp.all(jnp.isfinite(move_diis))
+          & (jnp.linalg.norm(move_diis) <= max_step_ratio * plain_norm + 1e-30))
+    return jnp.where(ok, move_diis, plain_step)
+
+
 def gdiis_step(state, x, error, plain_step, max_step_ratio=3.0):
     """Push (x, e) and return (move, new_state).
 
@@ -44,32 +70,186 @@ def gdiis_step(state, x, error, plain_step, max_step_ratio=3.0):
     e_hist = state.e_hist.at[slot].set(error)
     count = state.count + 1
     n_avail = jnp.minimum(count, m)
-    valid = (jnp.arange(m) < n_avail)
+    vmask = (jnp.arange(m) < n_avail).astype(x.dtype)
 
-    # bordered DIIS system: [B 1; 1 0][c; lam] = [0; 1]
-    b = e_hist @ e_hist.T
-    scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
-    vmask = valid.astype(b.dtype)
-    b = b * vmask[:, None] * vmask[None, :] + jnp.diag(1.0 - vmask) * scale
-    big = jnp.zeros((m + 1, m + 1), dtype=b.dtype)
-    big = big.at[:m, :m].set(b + 1e-10 * scale * jnp.eye(m, dtype=b.dtype))
-    big = big.at[:m, m].set(vmask)
-    big = big.at[m, :m].set(vmask)
-    rhs = jnp.zeros((m + 1,), b.dtype).at[m].set(1.0)
-    sol = jnp.linalg.solve(big, rhs)
-    c = sol[:m] * vmask
-
+    c = _bordered_diis_coefficients(e_hist, vmask)
     x_star = c @ x_hist + c @ e_hist
-    move_diis = x_star - x
-
-    # safeguards: enough history, finite, not wildly larger than the plain
-    # step (ref: gdiis.py rejection logic)
-    plain_norm = jnp.linalg.norm(plain_step)
-    ok = ((n_avail >= 2)
-          & jnp.all(jnp.isfinite(move_diis))
-          & (jnp.linalg.norm(move_diis) <= max_step_ratio * plain_norm + 1e-30))
-    move = jnp.where(ok, move_diis, plain_step)
+    move = _safeguard(x_star - x, plain_step, n_avail, max_step_ratio)
     return move, DiisState(x_hist, e_hist, count)
+
+
+class GediisState(NamedTuple):
+    x_hist: jnp.ndarray      # (M, D)
+    e_hist: jnp.ndarray      # (M, D)  quasi-Newton steps (DIIS errors)
+    g_hist: jnp.ndarray      # (M, D)  raw gradients (for EDIIS)
+    energy_hist: jnp.ndarray  # (M,)
+    count: jnp.ndarray
+    score_e: jnp.ndarray     # EDIIS success counter
+    score_g: jnp.ndarray     # GDIIS success counter
+    prev_energy: jnp.ndarray
+    prev_gnorm: jnp.ndarray
+
+
+def gediis_init(dim, history=5, dtype=jnp.float64):
+    z = jnp.zeros((history, dim), dtype)
+    return GediisState(z, z, z, jnp.zeros((history,), dtype),
+                       jnp.asarray(0, jnp.int32),
+                       jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+                       jnp.asarray(jnp.inf, dtype),
+                       jnp.asarray(jnp.inf, dtype))
+
+
+def gediis_step(state, x, energy, grad, plain_step, max_step_ratio=3.0):
+    """GEDIIS: adaptive blend of GDIIS (gradient-error extrapolation, best
+    near convergence) and EDIIS (energy-weighted simplex interpolation, best
+    far from it) — ref: Optimizer/gediis.py:36-81 _evaluate_performance.
+    The reference's mutable success counters and phase schedule become
+    branchless state updates: each counter rises when its own signal
+    (energy for EDIIS, gradient RMS for GDIIS) improved, and the blend
+    weight w_EDIIS = clip(0.3 + 0.4*score_ratio + 0.3*phase, 0.2, 0.8)
+    with phase decaying over the first 20 iterations."""
+    m = state.x_hist.shape[0]
+    dtype = x.dtype
+    slot = state.count % m
+    x_hist = state.x_hist.at[slot].set(x)
+    e_hist = state.e_hist.at[slot].set(plain_step)
+    g_hist = state.g_hist.at[slot].set(grad)
+    energy_hist = state.energy_hist.at[slot].set(energy)
+    count = state.count + 1
+    n_avail = jnp.minimum(count, m)
+    vbool = jnp.arange(m) < n_avail
+    vmask = vbool.astype(dtype)
+
+    # GDIIS candidate
+    c_g = _bordered_diis_coefficients(e_hist, vmask)
+    move_gdiis = (c_g @ x_hist + c_g @ e_hist) - x
+    # EDIIS candidate: simplex-constrained energy interpolation, stepped
+    # from the interpolated point along the interpolated quasi-Newton step
+    c_e = ediis_coefficients(energy_hist, x_hist, g_hist, vbool)
+    move_ediis = (c_e @ x_hist + c_e @ e_hist) - x
+
+    # performance counters (ref: gediis.py:55-67)
+    gnorm = jnp.linalg.norm(grad)
+    e_better = energy < state.prev_energy
+    g_better = gnorm < state.prev_gnorm
+    score_e = jnp.where(e_better, state.score_e + 1.0,
+                        jnp.maximum(state.score_e - 1.0, 0.0))
+    score_g = jnp.where(g_better, state.score_g + 1.0,
+                        jnp.maximum(state.score_g - 1.0, 0.0))
+    raw = score_e / (score_e + score_g + 1.0)
+    phase = jnp.clip((20.0 - count.astype(dtype)) / 20.0, 0.0, 1.0)
+    w_e = jnp.clip(0.3 + 0.4 * raw + 0.3 * phase, 0.2, 0.8)
+
+    move = w_e * move_ediis + (1.0 - w_e) * move_gdiis
+    # the BLEND of two extrapolations is not a fixed-point iteration of
+    # either, so unlike plain GDIIS it can point uphill while passing the
+    # norm check — require a descent direction (the reference gets the same
+    # protection from its per-submethod fallbacks, gediis.py:170)
+    descent = jnp.dot(move, grad) < 0.0
+    move = jnp.where(descent, move, plain_step)
+    move = _safeguard(move, plain_step, n_avail, max_step_ratio)
+    return move, GediisState(x_hist, e_hist, g_hist, energy_hist, count,
+                             score_e, score_g,
+                             jnp.asarray(energy, dtype), gnorm)
+
+
+class KdiisState(NamedTuple):
+    x_hist: jnp.ndarray   # (M, D)
+    g_hist: jnp.ndarray   # (M, D)
+    count: jnp.ndarray
+
+
+def kdiis_init(dim, history=6, dtype=jnp.float64):
+    z = jnp.zeros((history, dim), dtype)
+    return KdiisState(z, z, jnp.asarray(0, jnp.int32))
+
+
+def kdiis_step(state, x, grad, plain_step, reg=1e-8, max_step_ratio=3.0):
+    """Krylov-DIIS (ref: Optimizer/kdiis.py:5 KrylovDIIS): a projected
+    Newton step in a Krylov-like subspace blended with geometry-DIIS
+    extrapolation and the plain step by descent alignment.
+
+    TPU-native redesign of the reference's list-juggling: the subspace is
+    the masked-MGS orthonormalization of [g, Δg_1, ..., Δg_{M-2}] (fixed
+    shape), the projected Hessian comes from ALL secant pairs at once by a
+    regularized least-squares fit H = (ΣΔg a^T)(Σ a a^T + εI)^-1 in subspace
+    coordinates (instead of the reference's one-pair FD Hessian-vector
+    products, kdiis.py:180-200), and the blend weights reproduce
+    _blend_steps (kdiis.py:389-460) branchlessly."""
+    m = state.x_hist.shape[0]
+    dtype = x.dtype
+    slot = state.count % m
+    x_hist = state.x_hist.at[slot].set(x)
+    g_hist = state.g_hist.at[slot].set(grad)
+    count = state.count + 1
+    n_avail = jnp.minimum(count, m)
+    vmask = (jnp.arange(m) < n_avail).astype(dtype)
+
+    # chronological (newest-first) ordering of the circular buffer
+    order = (slot - jnp.arange(m)) % m
+    x_ord = x_hist[order]
+    g_ord = g_hist[order]
+    dx = x_ord[:-1] - x_ord[1:]          # (M-1, D) secant displacements
+    dg = g_ord[:-1] - g_ord[1:]
+    pair_valid = (jnp.arange(m - 1) < n_avail - 1).astype(dtype)
+    dx = dx * pair_valid[:, None]
+    dg = dg * pair_valid[:, None]
+
+    # Krylov-like basis: masked MGS of [g, dg...] (ref builds g, Hg, H^2g...
+    # via FD products; the secant differences span the same curvature
+    # directions the history has actually probed)
+    cands = jnp.concatenate([grad[None], dg], axis=0)    # (M, D)
+    cand_valid = jnp.concatenate(
+        [jnp.ones((1,), dtype), pair_valid]).astype(bool)
+
+    def mgs_body(i, vb):
+        v_basis, kept = vb
+        v = cands[i]
+        proj = v_basis @ v
+        v = v - proj @ v_basis
+        nrm = jnp.linalg.norm(v)
+        ok = cand_valid[i] & (nrm > 1e-10)
+        v = jnp.where(ok, v / jnp.where(ok, nrm, 1.0), 0.0)
+        return v_basis.at[i].set(v), kept + ok.astype(dtype)
+
+    v_basis, n_basis = jax.lax.fori_loop(
+        0, m, mgs_body, (jnp.zeros_like(cands), jnp.asarray(0.0, dtype)))
+
+    # projected Hessian from all secants: H a_p ~= b_p in subspace coords
+    a = dx @ v_basis.T                                  # (M-1, K)
+    b_s = dg @ v_basis.T
+    ata = a.T @ a + reg * jnp.eye(m, dtype=dtype)
+    h_proj = jnp.linalg.solve(ata, a.T @ b_s).T          # (K, K)
+    h_proj = 0.5 * (h_proj + h_proj.T)
+    # positive-definite shift, then Newton solve in the subspace
+    w = jnp.linalg.eigvalsh(h_proj)
+    shift = jnp.maximum(0.0, 1e-3 - jnp.min(w))
+    g_proj = v_basis @ grad
+    s_proj = jnp.linalg.solve(
+        h_proj + shift * jnp.eye(m, dtype=dtype), -g_proj)
+    step_krylov = s_proj @ v_basis
+
+    # geometry DIIS with raw gradients as error vectors
+    # (ref: kdiis.py diis_error_metric='grad')
+    c = _bordered_diis_coefficients(g_hist, vmask)
+    step_diis = c @ x_hist - x
+
+    # descent-alignment blending (ref: kdiis.py:389-460 _blend_steps)
+    ghat = grad / (jnp.linalg.norm(grad) + 1e-30)
+
+    def align(s):
+        return jnp.dot(s, -ghat) / (jnp.linalg.norm(s) + 1e-30)
+
+    a_k = align(step_krylov)
+    a_d = align(step_diis)
+    w_k = jnp.where((a_k > 0.1) & (n_basis >= 2),
+                    jnp.clip(a_k, 0.3, 0.7), 0.0)
+    w_d = jnp.where((a_d > 0.0) & (n_avail >= 3),
+                    0.9 * jnp.clip(a_d, 0.2, 0.8), 0.0) * (1.0 - w_k)
+    w_o = jnp.maximum(1.0 - w_k - w_d, 0.0)
+    move = w_o * plain_step + w_k * step_krylov + w_d * step_diis
+    move = _safeguard(move, plain_step, n_avail, max_step_ratio, min_points=1)
+    return move, KdiisState(x_hist, g_hist, count)
 
 
 def _simplex_qp(b_mat, lin, n_iter=200, lr=0.1):

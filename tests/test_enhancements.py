@@ -123,3 +123,69 @@ class TestDiisFamily:
         res = float(jnp.linalg.norm(c @ e))
         best_single = min(float(jnp.linalg.norm(e[i])) for i in range(4))
         assert res <= best_single + 1e-8
+
+
+class TestGediisKdiis:
+    def _quadratic(self, rng, dim=12):
+        a = rng.normal(size=(dim, dim))
+        h = a @ a.T + dim * np.eye(dim)
+        x0 = jnp.asarray(rng.normal(size=dim))
+        return h, x0
+
+    def test_gediis_converges_quadratic(self, rng):
+        import jax.numpy as jnp
+        from multioptpy_tpu.steppers.diis import gediis_init, gediis_step
+
+        h, x = self._quadratic(rng)
+        hj = jnp.asarray(h)
+        st = gediis_init(x.shape[0])
+        for _ in range(40):
+            g = hj @ x
+            e = 0.5 * x @ hj @ x
+            # stable base step: lambda_max(h) ~ 60, SD needs < 2/lambda_max
+            plain = -0.02 * g
+            move, st = gediis_step(st, x, e, g, plain)
+            assert np.all(np.isfinite(np.asarray(move)))
+            x = x + move
+        assert float(jnp.linalg.norm(hj @ x)) < 1e-3
+
+    def test_kdiis_converges_quadratic_faster_than_sd(self, rng):
+        import jax.numpy as jnp
+        from multioptpy_tpu.steppers.diis import kdiis_init, kdiis_step
+
+        h, x0 = self._quadratic(rng)
+        hj = jnp.asarray(h)
+        x = x0
+        st = kdiis_init(x.shape[0])
+        for _ in range(40):
+            g = hj @ x
+            move, st = kdiis_step(st, x, g, -0.05 * g)
+            assert np.all(np.isfinite(np.asarray(move)))
+            x = x + move
+        gn_kdiis = float(jnp.linalg.norm(hj @ x))
+        # plain SD with the same base step
+        x = x0
+        for _ in range(40):
+            x = x - 0.05 * (hj @ x)
+        gn_sd = float(jnp.linalg.norm(hj @ x))
+        assert gn_kdiis < gn_sd  # Krylov Newton beats the raw step
+        assert gn_kdiis < 1e-3
+
+    def test_driver_integration_all_variants(self):
+        import jax.numpy as jnp
+        from multioptpy_tpu.calculators.lj import LennardJones
+        from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+        calc = LennardJones()
+        coords = jnp.asarray([[0.0, 0.0, 0.0], [6.5, 0.0, 0.0],
+                              [3.2, 5.6, 0.0]])
+        z = jnp.array([18, 18, 18])
+        energies = {}
+        for dv in (None, "gediis", "kdiis"):
+            res = optimize(calc, coords, z, config=OptimizeConfig(
+                method="rfo_bfgs", nsteps=60, diis_variant=dv))
+            assert bool(res.converged), dv
+            energies[dv] = float(res.energy)
+        # all land in the same LJ trimer minimum
+        assert abs(energies["gediis"] - energies[None]) < 1e-6
+        assert abs(energies["kdiis"] - energies[None]) < 1e-6
