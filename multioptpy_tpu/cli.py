@@ -67,6 +67,13 @@ def _base_parser(description):
                    help="k angle(deg) a1,a2,a3")
     p.add_argument("-kda", "--keep_dihedral_angle", nargs="*", default=[],
                    help="k angle(deg) a1,a2,a3,a4")
+    p.add_argument("-aerp", "--asym_ellipsoid", nargs="*", default=[],
+                   help="eps(kJ/mol) sig_xp,xm,yp,ym,zp,zm(ang) dist(ang) "
+                        "root,lj offtgt|none (repeatable quintets; GNB "
+                        "asymmetric ellipsoidal LJ)")
+    p.add_argument("-smp", "--spacer_model_potential", nargs="*", default=[],
+                   help="depth(kJ/mol) sigma(ang) cavity_scaling n_particles "
+                        "target_atoms (repeatable quintets)")
     p.add_argument("-fix", "--fix_atoms", default="",
                    help="frozen atoms, e.g. 1,2,5-8")
     p.add_argument("-pc", "--projection_constrain", nargs="*", default=[],
@@ -139,6 +146,37 @@ def _make_bias(args, z):
         pots.append(get_potential(
             "keep_dihedral", spring_const=float(kda[i]),
             angle=float(kda[i + 1]), atoms=num_parse(kda[i + 2])))
+    # asymmetric ellipsoidal LJ probes (ref: interface.py:238 -aerp):
+    # eps(kJ/mol) sig_xp,xm,yp,ym,zp,zm(ang) dist(ang) root,lj offtgt
+    aerp = getattr(args, "asym_ellipsoid", []) or []
+    if aerp and len(aerp) % 5 != 0:
+        raise SystemExit("error: -aerp takes quintets: eps sig6 dist "
+                         "root,lj offtgt|none")
+    smp_check = getattr(args, "spacer_model_potential", []) or []
+    if smp_check and len(smp_check) % 5 != 0:
+        raise SystemExit("error: -smp takes quintets: depth sigma scaling "
+                         "n_particles target_atoms")
+    if aerp:
+        atoms, offtgt, eps_l, sig_l, dist_l = [], [], [], [], []
+        for i in range(0, len(aerp), 5):
+            eps_l.append(float(aerp[i]))
+            sig_l.append([float(s) for s in aerp[i + 1].split(",")])
+            dist_l.append(float(aerp[i + 2]))
+            pair = num_parse(aerp[i + 3])
+            atoms.append((pair[0], pair[1]))
+            off = aerp[i + 4]
+            offtgt.append(num_parse(off) if off not in ("0", "none") else [])
+        pots.append(get_potential(
+            "asym_ellipsoid", atoms=atoms, offtgt=offtgt, eps=eps_l,
+            sig=sig_l, dist=dist_l, element_z=np.asarray(z)))
+    # spacer implicit-solvent particles (ref: interface.py:234 -smp):
+    # depth(kJ/mol) sigma(ang) cavity_scaling n_particles target_atoms
+    smp = getattr(args, "spacer_model_potential", []) or []
+    for i in range(0, len(smp), 5):
+        pots.append(get_potential(
+            "spacer", depth_kjmol=float(smp[i]), sigma_ang=float(smp[i + 1]),
+            cavity_scaling=float(smp[i + 2]), n_particles=int(smp[i + 3]),
+            target=num_parse(smp[i + 4]), element_z=np.asarray(z)))
     return BiasEngine(pots) if pots else None
 
 

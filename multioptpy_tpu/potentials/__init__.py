@@ -11,4 +11,5 @@ from multioptpy_tpu.potentials import keep  # noqa: F401
 from multioptpy_tpu.potentials import misc  # noqa: F401
 from multioptpy_tpu.potentials import repulsive  # noqa: F401
 from multioptpy_tpu.potentials import well  # noqa: F401
+from multioptpy_tpu.potentials import ellipsoid  # noqa: F401
 from multioptpy_tpu.potentials.afir import AFIRPotential  # noqa: F401
