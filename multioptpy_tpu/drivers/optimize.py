@@ -78,6 +78,8 @@ class OptimizeConfig:
     diis_variant: Optional[str] = None  # gdiis | gediis | kdiis (overrides
                                      # use_gdiis; ref: Optimizer/{gdiis,
                                      # gediis,kdiis}.py)
+    follow_mode_index: int = 0       # initial mode for mf_rsirfo_* methods
+                                     # (ref: Optimizer/mf_rsirfo.py)
     project_tr_rot: bool = True
 
     def effective_diis(self):
@@ -143,6 +145,15 @@ def _parse_method(method):
     m = method.lower()
     # reference method-string aliases (ref: optimizer.py:68-255
     # quasi_newton_mapping, e.g. "rsirfo_fsb", "rsprfo_bofill")
+    if m.startswith("crsirfo"):
+        # constrained RS-I-RFO: null-space reduced solve
+        # (ref: Optimizer/crsirfo.py:5); the crs flag is read off
+        # config.method by make_step_fn
+        m = "rfo" + m[len("crsirfo"):]
+    if m.startswith("mf_rsirfo"):
+        # mode-following RS-I-RFO (ref: Optimizer/mf_rsirfo.py:6): a
+        # P-RFO that maximizes along the max-overlap mode
+        m = "prfo" + m[len("mf_rsirfo"):]
     if m.startswith("rsirfo"):
         m = "rfo" + m[len("rsirfo"):]
     if m.startswith("rsprfo"):
@@ -215,6 +226,13 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         fo = (block_window_init(3 * n, dtype=dtype),)
     else:
         fo = ()
+    if config.method.lower().startswith("mf_rsirfo"):
+        # initial followed mode (ref: Optimizer/mf_rsirfo.py Initialization)
+        from multioptpy_tpu.steppers.enhancements import (
+            mode_following_direction)
+        mode0, _ = mode_following_direction(jnp.asarray(hessian0, dtype),
+                                            index=config.follow_mode_index)
+        fo = fo + (mode0,)
     dv = config.effective_diis()
     if kind in ("rfo", "prfo") and dv:
         from multioptpy_tpu.steppers.diis import (diis_init, gediis_init,
@@ -309,9 +327,34 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             state.trust_radius, actual, state.predicted_change,
             tr_min=tr_min, tr_max=tr_max)
         trust_new = jnp.where(state.iteration > 0, trust_new, state.trust_radius)
-        if kind == "prfo":
+        is_mf = config.method.lower().startswith("mf_rsirfo")
+        is_crs = config.method.lower().startswith("crsirfo")
+        if kind == "prfo" and is_mf:
+            # mode-following P-RFO (ref: Optimizer/mf_rsirfo.py:6): maximize
+            # along the eigenvector overlapping the carried mode, then carry
+            # the chosen (sign-aligned) eigenvector forward
+            mode_idx = 1 if sub.startswith("block") else 0
+            mode = state.fo_state[mode_idx]
+            step, aux = rs_prfo_step(g_flat, h_eff, trust_new,
+                                     follow_vector=mode)
+            qn_fo = qn_fo + (aux["followed_mode"],)
+        elif kind == "prfo":
             step, aux = rs_prfo_step(g_flat, h_eff, trust_new,
                                      saddle_order=max(saddle_order, 1))
+        elif is_crs and constraints is not None and constraints.n_constraints:
+            # CRS-I-RFO (ref: Optimizer/crsirfo.py:5): exact null-space
+            # reduction of the constraint Jacobian via SVD (static shapes:
+            # the constraint count is fixed), RS-RFO solved in the reduced
+            # space, step lifted back. SHAKE below returns the geometry to
+            # the manifold exactly.
+            b = constraints.jacobian(state.coords)            # (m, 3N)
+            _, _, vt = jnp.linalg.svd(b, full_matrices=True)
+            q = vt[b.shape[0]:, :]                            # (3N-m, 3N)
+            g_r = q @ g_flat
+            h_r = q @ h_eff @ q.T
+            step_r, aux = rs_rfo_step(g_r, h_r, trust_new,
+                                      saddle_order=saddle_order)
+            step = q.T @ step_r
         else:
             step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
                                     saddle_order=saddle_order)

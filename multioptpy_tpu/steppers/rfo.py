@@ -217,11 +217,18 @@ def _prfo_step_components(eigvals, g_t, max_mask, valid, alpha):
 
 @partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter"))
 def rs_prfo_step(gradient, hessian, trust_radius, saddle_order=1,
-                 alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40):
+                 alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40,
+                 follow_vector=None):
     """Restricted-step partitioned RFO for transition states: maximize along
     the `saddle_order` lowest modes, minimize along the rest (Banerjee 1985;
     ref: Optimizer/rsprfo.py EnhancedRSPRFO). Same trust-radius alpha
-    bisection as rs_rfo_step."""
+    bisection as rs_rfo_step.
+
+    follow_vector: optional (D,) mode-following reference — the maximized
+    mode is the eigenvector with the LARGEST overlap with it instead of the
+    lowest one (ref: Optimizer/mf_rsirfo.py:6 mode following). The chosen
+    eigenvector (sign-aligned) is returned in aux["followed_mode"] for the
+    caller to carry to the next step."""
     d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
     bad = ~jnp.all(jnp.isfinite(d)) | ~jnp.all(jnp.isfinite(v))
     d = jnp.where(bad, jnp.ones_like(d), d)
@@ -230,7 +237,15 @@ def rs_prfo_step(gradient, hessian, trust_radius, saddle_order=1,
 
     participate = jnp.abs(d) > _POLE_EPS
     rank = jnp.cumsum(participate.astype(jnp.int32))
-    max_mask = participate & (rank <= saddle_order)
+    if follow_vector is None:
+        max_mask = participate & (rank <= saddle_order)
+        followed = v[:, jnp.argmax(max_mask)]
+    else:
+        ovl = v.T @ follow_vector
+        score = jnp.where(participate, jnp.abs(ovl), -jnp.inf)
+        idx = jnp.argmax(score)
+        max_mask = jnp.arange(d.shape[0]) == idx
+        followed = v[:, idx] * jnp.sign(ovl[idx])
     valid = jnp.abs(d) >= SMALL_EIGVAL_THRESH
 
     step0, lam_min, lam_max = _prfo_step_components(d, g_t, max_mask, valid,
@@ -271,7 +286,8 @@ def rs_prfo_step(gradient, hessian, trust_radius, saddle_order=1,
     predicted = jnp.dot(gradient, step) + 0.5 * jnp.dot(step, hessian @ step)
     return step, {"predicted_energy_change": predicted,
                   "lambda_min": lam_min, "lambda_max": lam_max,
-                  "step_norm": jnp.linalg.norm(step)}
+                  "step_norm": jnp.linalg.norm(step),
+                  "followed_mode": followed}
 
 
 @partial(jax.jit, static_argnames=("mode",))

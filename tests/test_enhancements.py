@@ -189,3 +189,63 @@ class TestGediisKdiis:
         # all land in the same LJ trimer minimum
         assert abs(energies["gediis"] - energies[None]) < 1e-6
         assert abs(energies["kdiis"] - energies[None]) < 1e-6
+
+
+class TestCrsMfRsirfo:
+    def test_crsirfo_holds_bond_constraint(self):
+        import jax.numpy as jnp
+        from multioptpy_tpu.calculators.lj import LennardJones
+        from multioptpy_tpu.constraints import Constraints
+        from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+        calc = LennardJones()
+        coords = jnp.asarray([[0.0, 0.0, 0.0], [6.0, 0.0, 0.0],
+                              [3.0, 5.4, 0.0]])
+        z = jnp.array([18, 18, 18])
+        d0 = 6.0  # constrain bond 1-2 at its starting length (Bohr)
+        cons = Constraints(bonds=[(1, 2, None)])  # hold current value
+        res = optimize(calc, coords, z, constraints=cons,
+                       config=OptimizeConfig(method="crsirfo_bfgs",
+                                             nsteps=60))
+        d12 = float(jnp.linalg.norm(res.coords[0] - res.coords[1]))
+        assert d12 == pytest.approx(d0, abs=1e-6)   # constraint held
+        # the unconstrained DOFs relaxed: atom 3 found its LJ distance
+        d13 = float(jnp.linalg.norm(res.coords[0] - res.coords[2]))
+        assert 5.0 < d13 < 8.5
+        assert float(res.energy) < float(calc.energy(coords, z))
+
+    def test_crsirfo_matches_projected_rfo_minimum(self):
+        import jax.numpy as jnp
+        from multioptpy_tpu.calculators.lj import LennardJones
+        from multioptpy_tpu.constraints import Constraints
+        from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+        calc = LennardJones()
+        coords = jnp.asarray([[0.0, 0.0, 0.0], [6.0, 0.0, 0.0],
+                              [3.0, 5.4, 0.0]])
+        z = jnp.array([18, 18, 18])
+        es = {}
+        for m in ("crsirfo_bfgs", "rfo_bfgs"):
+            cons = Constraints(bonds=[(1, 2, None)])
+            res = optimize(calc, coords, z, constraints=cons,
+                           config=OptimizeConfig(method=m, nsteps=60))
+            es[m] = float(res.energy)
+        assert es["crsirfo_bfgs"] == pytest.approx(es["rfo_bfgs"], abs=1e-7)
+
+    def test_mf_rsirfo_finds_mb_saddle(self):
+        import jax.numpy as jnp
+        from multioptpy_tpu.calculators.model_surfaces import (
+            MB_TS_AB, MullerBrown)
+        from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+        calc = MullerBrown()
+        # start displaced from the AB saddle
+        coords = jnp.asarray([[MB_TS_AB[0] + 0.08, MB_TS_AB[1] - 0.05, 0.0]])
+        z = jnp.array([1])
+        res = optimize(calc, coords, z, config=OptimizeConfig(
+            method="mf_rsirfo_bofill", nsteps=80, saddle_order=1,
+            fc_count=5, project_tr_rot=False,
+            max_force=1e-7, rms_force=5e-8,
+            max_displacement=1e-5, rms_displacement=5e-6))
+        xy = np.asarray(res.coords[0, :2])
+        np.testing.assert_allclose(xy, MB_TS_AB, atol=2e-4)
