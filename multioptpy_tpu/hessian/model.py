@@ -179,7 +179,7 @@ def _primitive_constants(kind, coords, z, bonds, angles, torsions, n_atoms):
     return jnp.concatenate(k_parts)
 
 
-MODEL_HESSIAN_KINDS = ("lindh", "fischer", "schlegel", "swart")
+MODEL_HESSIAN_KINDS = ("lindh", "fischer", "schlegel", "swart", "morse")
 
 
 def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
@@ -195,6 +195,16 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     z = np.asarray(z)
     n_atoms = len(z)
     base = kind.lower().replace("2007", "")
+    make_ts = False
+    if base.endswith("_ts"):
+        # Householder-reflected TS guess (ref: ModelHessian/tshess.py)
+        make_ts = True
+        base = base[: -len("_ts")]
+    add_sr = False
+    if base.endswith("_sr"):
+        # short-range erf correction (ref: ModelHessian/shortrange.py)
+        add_sr = True
+        base = base[: -len("_sr")]
     dispersion = None
     for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
         if base.endswith(suffix):
@@ -207,16 +217,23 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     torsions = ic.torsions
 
     def fn(coords):
-        k = _primitive_constants(base, coords, z, bonds, angles, torsions,
-                                 n_atoms)
-        b = ic.b_matrix(coords)
-        h = (b.T * k[None, :]) @ b
+        if base == "morse":
+            h = morse_hessian(coords, z)
+        else:
+            k = _primitive_constants(base, coords, z, bonds, angles,
+                                     torsions, n_atoms)
+            b = ic.b_matrix(coords)
+            h = (b.T * k[None, :]) @ b
         if dispersion == "d2":
             from multioptpy_tpu.hessian.dispersion import d2_hessian
             h = h + d2_hessian(coords, z)
+        if add_sr:
+            h = h + short_range_hessian(coords, z, bonds=np.asarray(bonds))
         h = 0.5 * (h + h.T)
         if project:
             h = project_hessian_tr_rot(h, coords)
+        if make_ts:
+            h = ts_model_hessian(h)
         return h
 
     return fn
@@ -230,6 +247,78 @@ def model_hessian(coords, z, kind="lindh", project=True, primitives=None):
     bonds, angles, torsions = primitives
     fn = make_model_hessian_fn(z, bonds, angles, torsions, kind, project)
     return fn(coords)
+
+
+def morse_hessian(coords, z, de=0.10, a=0.20):
+    """All-pairs Morse model Hessian (ref: ModelHessian/morse.py:4
+    MorseApproxHessian): every pair is an independent Morse oscillator
+    V = De (1 - exp(-a (r - r_eq)))^2 with r_eq from summed covalent radii
+    (the reference samples its GNB radii table; Pyykko radii here — same
+    'simplified illustration' spirit the reference's own docstring claims).
+    Exact Cartesian second derivatives via jax.hessian instead of the
+    reference's bond-direction-only embedding."""
+    from multioptpy_tpu.periodic import COVALENT_RADII_1
+    z = np.asarray(z)
+    n = coords.shape[0]
+    r_eq = jnp.asarray(COVALENT_RADII_1[z][:, None]
+                       + COVALENT_RADII_1[z][None, :])
+    mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+
+    def energy(x_flat):
+        x = x_flat.reshape(n, 3)
+        diff = x[:, None, :] - x[None, :, :]
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        v = de * (1.0 - jnp.exp(-a * (r - r_eq))) ** 2
+        return jnp.sum(jnp.where(mask, v, 0.0))
+
+    return jax.hessian(energy)(coords.reshape(-1))
+
+
+def ts_model_hessian(h, thresh=1e-8):
+    """Inject one negative direction into a positive-definite model Hessian
+    for TS searches by a Householder reflection along the lowest
+    non-singular mode: H_ts = sym((I - 2 v v^T) H)
+    (ref: ModelHessian/tshess.py:3 TransitionStateHessian). Returns `h`
+    unchanged when a negative eigenvalue already exists. Branchless."""
+    w, v = jnp.linalg.eigh(0.5 * (h + h.T))
+    has_neg = jnp.any(w < -thresh)
+    # first non-(TR/rot-)singular mode
+    idx = jnp.argmax(jnp.abs(w) > thresh)
+    vec = v[:, idx]
+    p = jnp.eye(h.shape[0], dtype=h.dtype) - 2.0 * jnp.outer(vec, vec)
+    h_ts = p @ h
+    h_ts = 0.5 * (h_ts + h_ts.T)
+    return jnp.where(has_neg, h, h_ts)
+
+
+def short_range_hessian(coords, z, bonds=None, omega=0.2, cx_sr=0.78,
+                        scale=0.5, cutoff=15.0):
+    """Short-range erf-screened Coulomb correction for NON-bonded pairs
+    (ref: ModelHessian/shortrange.py:7 ShortRangeCorrectionHessian,
+    wB97X-style (1-erf(w r))/r kernel): exact autodiff Hessian of
+    scale*cx_sr*sum_pairs (1-erf(w r))/r with bonded pairs and pairs beyond
+    `cutoff` Bohr excluded (static exclusion mask)."""
+    from multioptpy_tpu.geometry import bond_connectivity
+    z = np.asarray(z)
+    n = coords.shape[0]
+    if bonds is None:
+        conn = np.asarray(bond_connectivity(np.asarray(coords), z))
+    else:
+        conn = np.zeros((n, n), dtype=bool)
+        for i, j in np.asarray(bonds).reshape(-1, 2):
+            conn[i, j] = conn[j, i] = True
+    pair_mask = np.triu(np.ones((n, n), dtype=bool), k=1) & ~conn
+    pair_mask = jnp.asarray(pair_mask)
+
+    def energy(x_flat):
+        x = x_flat.reshape(n, 3)
+        diff = x[:, None, :] - x[None, :, :]
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        v = (1.0 - jax.scipy.special.erf(omega * r)) / r
+        keep = pair_mask & (r < cutoff)
+        return scale * cx_sr * jnp.sum(jnp.where(keep, v, 0.0))
+
+    return jax.hessian(energy)(coords.reshape(-1))
 
 
 def smooth_eigenvalues(h, alpha=0.1):

@@ -1,0 +1,64 @@
+"""Morse / TS-reflection / short-range model Hessians."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_morse_model_hessian_physics():
+    from multioptpy_tpu.hessian.model import model_hessian
+    from multioptpy_tpu.periodic import COVALENT_RADII_1
+
+    # H2 at its covalent-radii equilibrium: positive curvature along bond
+    r_eq = 2 * float(COVALENT_RADII_1[1])
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, r_eq]])
+    z = np.array([1, 1])
+    h = np.asarray(model_hessian(coords, z, kind="morse", project=False))
+    assert h.shape == (6, 6)
+    np.testing.assert_allclose(h, h.T, atol=1e-12)
+    # d2V/dr2 at r_eq = 2 De a^2 > 0; zz block curvature positive
+    assert h[2, 2] > 0
+    assert h[2, 5] == pytest.approx(-h[2, 2], abs=1e-12)
+
+
+def test_ts_model_hessian_injects_one_negative_mode(rng):
+    from multioptpy_tpu.hessian.model import ts_model_hessian
+
+    a = rng.normal(size=(6, 6))
+    h = jnp.asarray(a @ a.T + 6 * np.eye(6))   # PD
+    h_ts = np.asarray(ts_model_hessian(h))
+    w = np.linalg.eigvalsh(h_ts)
+    assert np.sum(w < -1e-8) == 1              # exactly one downhill mode
+    # already-indefinite Hessians pass through unchanged
+    h2 = jnp.asarray(h_ts)
+    np.testing.assert_allclose(np.asarray(ts_model_hessian(h2)),
+                               np.asarray(h2), atol=1e-12)
+
+
+def test_short_range_hessian_excludes_bonded():
+    from multioptpy_tpu.hessian.model import short_range_hessian
+
+    # three atoms: 1-2 bonded (close), 3 far -> only 1-3, 2-3 contribute
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.0],
+                          [0.0, 5.0, 1.0]])
+    z = np.array([6, 6, 6])
+    h = np.asarray(short_range_hessian(coords, z, bonds=[(0, 1)]))
+    assert h.shape == (9, 9)
+    np.testing.assert_allclose(h, h.T, atol=1e-12)
+    assert np.max(np.abs(h)) > 0
+    # with ALL pairs bonded the correction vanishes
+    h0 = np.asarray(short_range_hessian(
+        coords, z, bonds=[(0, 1), (0, 2), (1, 2)]))
+    np.testing.assert_allclose(h0, 0.0, atol=1e-14)
+
+
+def test_ts_suffix_drives_saddle_search():
+    """A lindh_ts initial Hessian biases P-RFO toward the MB saddle."""
+    from multioptpy_tpu.hessian.model import model_hessian, ts_model_hessian
+
+    h = model_hessian(
+        jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.0],
+                     [1.8, 0.0, 0.1]]),
+        np.array([8, 1, 1]), kind="lindh_ts")
+    w = np.linalg.eigvalsh(np.asarray(h))
+    assert np.sum(w < -1e-8) == 1
