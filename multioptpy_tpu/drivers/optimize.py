@@ -171,7 +171,7 @@ def _parse_method(method):
         # trust-region L-BFGS (ref: Optimizer/tr_lbfgs.py): L-BFGS direction
         # with ratio-adaptive trust clamping
         return ("lbfgs", "tr")
-    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd"):
+    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd", "eve"):
         return (m, None)
     from multioptpy_tpu.steppers.ml import OPTAX_STEPPERS
     if m in OPTAX_STEPPERS:
@@ -218,6 +218,9 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         fo = (lbfgs_init(3 * n, dtype=dtype),)
     elif kind == "cg":
         fo = (cg_init(3 * n, dtype),)
+    elif kind == "eve":
+        from multioptpy_tpu.steppers.ml import eve_init
+        fo = (eve_init(3 * n, dtype=dtype),)
     elif kind == "optax":
         from multioptpy_tpu.steppers.ml import optax_init
         fo = (optax_init(sub, 3 * n, dtype=dtype),)
@@ -386,6 +389,10 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             elif kind == "lbfgs":
                 mv, fo_new = lbfgs_step(fo, state.coords.reshape(-1), g_flat,
                                         delta=config.delta)
+            elif kind == "eve":
+                from multioptpy_tpu.steppers.ml import eve_step
+                mv, fo_new = eve_step(fo, g_flat, state.energy,
+                                      delta=0.03 * config.delta)
             elif kind == "optax":
                 from multioptpy_tpu.steppers.ml import optax_step
                 mv, fo_new = optax_step(sub, fo, g_flat,
@@ -569,6 +576,12 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
             break
         if dissociation_limit and dissociation_detected(
                 state.coords, dissociation_limit):
+            break
+        e_now = float(state.energy)
+        if not np.isfinite(e_now) or abs(e_now) > 1e8:
+            # runaway guard: a diverging (e.g. uphill TS) search otherwise
+            # burns the full step budget printing astronomical energies
+            print("# runaway detected (|E| > 1e8 or non-finite) - aborting")
             break
 
     return OptResult(

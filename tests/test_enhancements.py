@@ -249,3 +249,36 @@ class TestCrsMfRsirfo:
             max_displacement=1e-5, rms_displacement=5e-6))
         xy = np.asarray(res.coords[0, :2])
         np.testing.assert_allclose(xy, MB_TS_AB, atol=2e-4)
+
+
+def test_eve_stepper_converges():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    calc = LennardJones()
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [7.4, 0.0, 0.0]])
+    z = jnp.array([18, 18])
+    res = optimize(calc, coords, z, config=OptimizeConfig(
+        method="eve", nsteps=400, delta=2.0,
+        max_force=5e-5, rms_force=3e-5,
+        max_displacement=5e-3, rms_displacement=3e-3))
+    d = float(jnp.linalg.norm(res.coords[0] - res.coords[1]))
+    # UFF Ar r_min = 3.868 ang = 7.31 bohr
+    assert d == pytest.approx(7.31, abs=0.05)
+
+
+def test_runaway_guard_stops_diverging_search():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.model_surfaces import MullerBrown
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    calc = MullerBrown()
+    # far up the exponential wall; P-RFO climbs and diverges
+    coords = jnp.asarray([[1.5, 2.0, 0.0]])
+    z = jnp.array([1])
+    res = optimize(calc, coords, z, config=OptimizeConfig(
+        method="mf_rsirfo_bofill", nsteps=500, saddle_order=1, fc_count=3,
+        project_tr_rot=False))
+    assert res.n_iterations < 500   # guard fired well before the budget
+    assert not bool(res.converged)
