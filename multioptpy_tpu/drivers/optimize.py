@@ -145,6 +145,11 @@ def _parse_method(method):
     m = method.lower()
     # reference method-string aliases (ref: optimizer.py:68-255
     # quasi_newton_mapping, e.g. "rsirfo_fsb", "rsprfo_bofill")
+    if m.startswith("dic_rsirfo"):
+        # delocalized-internal-coordinate RS-I-RFO
+        # (ref: Optimizer/dic_rsirfo.py:8); the dic flag is read off
+        # config.method by make_step_fn/init_state
+        m = "rfo" + m[len("dic_rsirfo"):]
     if m.startswith("crsirfo"):
         # constrained RS-I-RFO: null-space reduced solve
         # (ref: Optimizer/crsirfo.py:5); the crs flag is read off
@@ -179,9 +184,22 @@ def _parse_method(method):
     raise ValueError(f"unknown optimization method '{method}'")
 
 
+def _dic_diag_hessian(ic, dtype):
+    """Baker-style diagonal primitive-space guess: 0.5 / 0.2 / 0.1 Hartree
+    per Bohr^2/rad^2 for stretches/bends/torsions (ref: dic_rsirfo.py
+    initial Hessian)."""
+    nb, na, nt = len(ic.bonds), len(ic.angles), len(ic.torsions)
+    return jnp.diag(jnp.asarray(
+        np.concatenate([np.full(nb, 0.5), np.full(na, 0.2),
+                        np.full(nt, 0.1)]), dtype))
+
+
 def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
-               hessian0=None):
-    """Build the initial OptState (evaluates one energy/gradient)."""
+               hessian0=None, internals=None):
+    """Build the initial OptState (evaluates one energy/gradient).
+
+    `internals` (an InternalCoordinates with static primitives) switches the
+    quasi-Newton machinery into DIC space for dic_rsirfo_* methods."""
     coords = jnp.asarray(coords)
     n = coords.shape[0]
     dtype = coords.dtype
@@ -229,6 +247,13 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         fo = (block_window_init(3 * n, dtype=dtype),)
     else:
         fo = ()
+    if internals is not None and config.method.lower().startswith("dic"):
+        # q-space quasi-Newton state: primitive Hessian + previous q-space
+        # gradient and values (ref: Optimizer/dic_rsirfo.py histories)
+        q0 = internals.q_flat(coords.reshape(-1))
+        b0 = internals.b_matrix(coords)
+        g_q0 = internals.g_pinv(internals.g_matrix(b0)) @ (b0 @ g.reshape(-1))
+        fo = fo + (_dic_diag_hessian(internals, dtype), g_q0, q0)
     if config.method.lower().startswith("mf_rsirfo"):
         # initial followed mode (ref: Optimizer/mf_rsirfo.py Initialization)
         from multioptpy_tpu.steppers.enhancements import (
@@ -237,7 +262,8 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
                                             index=config.follow_mode_index)
         fo = fo + (mode0,)
     dv = config.effective_diis()
-    if kind in ("rfo", "prfo") and dv:
+    if (kind in ("rfo", "prfo") and dv
+            and not config.method.lower().startswith("dic")):
         from multioptpy_tpu.steppers.diis import (diis_init, gediis_init,
                                                   kdiis_init)
         ini = {"gdiis": diis_init, "gediis": gediis_init,
@@ -258,13 +284,16 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
 
 def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
                  model_hessian_fn=None, constraints=None,
-                 constraint_targets=None):
+                 constraint_targets=None, internals=None):
     """Build the jitted `state -> state` transition.
 
     The returned function is pure and traceable: vmap it for ensembles,
     scan it for fully-on-device trajectories.
     """
     kind, sub = _parse_method(config.method)
+    is_dic = internals is not None and config.method.lower().startswith("dic")
+    if is_dic and sub.startswith("block"):
+        raise ValueError("dic_rsirfo does not compose with block updates")
     criteria = config.criteria()
     saddle_order = config.saddle_order
     tr_max = config.initial_trust_bohr()
@@ -283,6 +312,65 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         if bias_engine is not None and len(bias_engine):
             h = h + bias_engine.hessian(coords)
         return h
+
+    def dic_move(state, g_flat):
+        """RS-I-RFO in delocalized internal coordinates (ref:
+        Optimizer/dic_rsirfo.py:8): primitive-space quasi-Newton Hessian,
+        RFO solved in the Baker active space U (nonzero-eigenvalue
+        eigenvectors of G = B B^T), fixed-iteration Gauss-Newton
+        back-transform. All shapes static; torsion differences wrapped."""
+        ic = internals
+        coords = state.coords
+        dtype = g_flat.dtype
+        q_now = ic.q_flat(coords.reshape(-1))
+        b = ic.b_matrix(coords)
+        ginv = ic.g_pinv(ic.g_matrix(b))
+        g_q = ginv @ (b @ g_flat)
+        h_q, g_q_prev, q_prev = state.fo_state
+
+        nb, na = len(ic.bonds), len(ic.angles)
+        is_torsion = jnp.arange(ic.n_primitives) >= (nb + na)
+        s_q = q_now - q_prev
+        s_q = jnp.where(is_torsion,
+                        jnp.arctan2(jnp.sin(s_q), jnp.cos(s_q)), s_q)
+        y_q = g_q - g_q_prev
+        have_pair = (state.iteration > 0) & (jnp.linalg.norm(s_q) > 1e-12)
+        h_upd = update_hessian(h_q, s_q, y_q, sub)
+        h_q = jnp.where(have_pair, h_upd, h_q)
+        if config.fc_count > 0 and calc.on_device:
+            rebuild = (state.iteration % config.fc_count) == 0
+            h_exact_q = ic.internal_hessian_from_cart(
+                exact_hessian(coords), g_flat.reshape(-1, 3), coords)
+            h_q = jnp.where(rebuild, h_exact_q, h_q)
+
+        # Baker active space: RFO in the nonredundant subspace
+        u, keep = ic.delocalized_basis(coords)
+        g_u = (u.T @ g_q) * keep
+        h_u = u.T @ h_q @ u
+        h_u = 0.5 * (h_u + h_u.T) + jnp.diag((~keep).astype(dtype))
+
+        actual = state.energy - state.prev_energy
+        trust_new = update_trust_radius(
+            state.trust_radius, actual, state.predicted_change,
+            tr_min=tr_min, tr_max=tr_max)
+        trust_new = jnp.where(state.iteration > 0, trust_new,
+                              state.trust_radius)
+        step_u, aux = rs_rfo_step(g_u, h_u, trust_new,
+                                  saddle_order=saddle_order)
+        dq = u @ step_u
+        x_new = ic.to_cartesian(q_now + dq, coords)
+        mv = (x_new - coords).reshape(-1)
+        # guard: a failed back-transform (huge Cartesian move from a modest
+        # dq) falls back to the projected-gradient direction
+        ok = (jnp.all(jnp.isfinite(mv))
+              & (jnp.linalg.norm(mv) < 10.0 * trust_new + 1e-2))
+        sd = -g_flat
+        sd_n = jnp.linalg.norm(sd)
+        sd = jnp.where(sd_n > trust_new,
+                       sd * (trust_new / jnp.maximum(sd_n, 1e-30)), sd)
+        mv = jnp.where(ok, mv, sd)
+        return (mv, state.hessian, trust_new,
+                aux["predicted_energy_change"], (h_q, g_q, q_now))
 
     def quasi_newton_move(state, g_flat):
         n3 = g_flat.shape[0]
@@ -424,7 +512,9 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             g = constraints.project_gradient(g, state.coords)
         g_flat = g.reshape(-1)
 
-        if kind in ("rfo", "prfo"):
+        if is_dic:
+            mv_flat, h, trust, predicted, fo = dic_move(state, g_flat)
+        elif kind in ("rfo", "prfo"):
             mv_flat, h, trust, predicted, fo = quasi_newton_move(state, g_flat)
         else:
             mv_flat, h, trust, predicted, fo = first_order_move(state, g_flat)
@@ -538,11 +628,20 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
             constraint_targets = constraints.targets(coords)
             # start ON the constraint manifold
             coords = constraints.shake(coords, constraint_targets)
+    internals = None
+    if config.method.lower().startswith("dic"):
+        # DIC engine: primitives fixed at the starting connectivity
+        # (ref: Optimizer/dic_rsirfo.py builds its RIC set once)
+        from multioptpy_tpu.coords.internals import (InternalCoordinates,
+                                                     detect_primitives)
+        b, a, t = detect_primitives(np.asarray(coords), np.asarray(z))
+        internals = InternalCoordinates(b, a, t, coords.shape[0])
     if resume_from is not None:
         from multioptpy_tpu.checkpoint import load_checkpoint
         state, _ = load_checkpoint(resume_from)
     else:
-        state = init_state(coords, z, calc, bias_engine, config, hessian0)
+        state = init_state(coords, z, calc, bias_engine, config, hessian0,
+                           internals=internals)
     model_fn = None
     if config.mfc_count > 0:
         from multioptpy_tpu.coords.internals import detect_primitives
@@ -552,7 +651,8 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
         b, a, t = detect_primitives(np.asarray(coords), np.asarray(z))
         model_fn = make_model_hessian_fn(np.asarray(z), b, a, t, kind)
     step = jax.jit(make_step_fn(calc, z, bias_engine, config, model_fn,
-                                constraints, constraint_targets))
+                                constraints, constraint_targets,
+                                internals=internals))
 
     energies = [float(state.energy)]
     traj = [np.asarray(state.coords)] if record_trajectory else None

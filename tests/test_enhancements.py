@@ -282,3 +282,23 @@ def test_runaway_guard_stops_diverging_search():
         project_tr_rot=False))
     assert res.n_iterations < 500   # guard fired well before the budget
     assert not bool(res.converged)
+
+
+def test_dic_rsirfo_optimizes_water_and_matches_cartesian():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.sqm import SQM
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    calc = SQM()
+    coords = jnp.asarray(np.array([
+        [0.0, 0.0, 0.0], [0.0, 1.1, -0.5], [0.0, -1.0, -0.65]])
+        * ANGSTROM2BOHR * 1.25)
+    z = jnp.array([8, 1, 1])
+    res_dic = optimize(calc, coords, z, config=OptimizeConfig(
+        method="dic_rsirfo_bfgs", nsteps=80))
+    assert bool(res_dic.converged)
+    res_cart = optimize(calc, coords, z, config=OptimizeConfig(
+        method="rfo_bfgs", nsteps=80))
+    assert float(res_dic.energy) == pytest.approx(float(res_cart.energy),
+                                                  abs=1e-6)
