@@ -176,7 +176,7 @@ def _parse_method(method):
         # trust-region L-BFGS (ref: Optimizer/tr_lbfgs.py): L-BFGS direction
         # with ratio-adaptive trust clamping
         return ("lbfgs", "tr")
-    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd", "eve"):
+    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd", "eve", "gan", "rl"):
         return (m, None)
     from multioptpy_tpu.steppers.ml import OPTAX_STEPPERS
     if m in OPTAX_STEPPERS:
@@ -239,6 +239,12 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
     elif kind == "eve":
         from multioptpy_tpu.steppers.ml import eve_init
         fo = (eve_init(3 * n, dtype=dtype),)
+    elif kind == "gan":
+        from multioptpy_tpu.steppers.learned import gan_init
+        fo = (gan_init(3 * n, dtype=dtype),)
+    elif kind == "rl":
+        from multioptpy_tpu.steppers.learned import rl_init
+        fo = (rl_init(3 * n, dtype=dtype),)
     elif kind == "optax":
         from multioptpy_tpu.steppers.ml import optax_init
         fo = (optax_init(sub, 3 * n, dtype=dtype),)
@@ -481,6 +487,14 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
                 from multioptpy_tpu.steppers.ml import eve_step
                 mv, fo_new = eve_step(fo, g_flat, state.energy,
                                       delta=0.03 * config.delta)
+            elif kind == "gan":
+                from multioptpy_tpu.steppers.learned import gan_step
+                mv, fo_new = gan_step(fo, state.coords.reshape(-1), g_flat,
+                                      state.energy, -config.delta * g_flat)
+            elif kind == "rl":
+                from multioptpy_tpu.steppers.learned import rl_step
+                mv, fo_new = rl_step(fo, g_flat, state.energy,
+                                     -config.delta * g_flat)
             elif kind == "optax":
                 from multioptpy_tpu.steppers.ml import optax_step
                 mv, fo_new = optax_step(sub, fo, g_flat,

@@ -302,3 +302,23 @@ def test_dic_rsirfo_optimizes_water_and_matches_cartesian():
         method="rfo_bfgs", nsteps=80))
     assert float(res_dic.energy) == pytest.approx(float(res_cart.energy),
                                                   abs=1e-6)
+
+
+def test_gan_and_rl_steppers_optimize_lj():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    calc = LennardJones()
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [7.8, 0.0, 0.0]])
+    z = jnp.array([18, 18])
+    e0 = float(calc.energy(coords, z))
+    for method in ("gan", "rl"):
+        res = optimize(calc, coords, z, config=OptimizeConfig(
+            method=method, nsteps=300, delta=30.0,
+            max_force=5e-5, rms_force=3e-5,
+            max_displacement=2e-2, rms_displacement=1e-2))
+        d = float(jnp.linalg.norm(res.coords[0] - res.coords[1]))
+        assert float(res.energy) < e0, method       # descended
+        assert np.isfinite(float(res.energy)), method
+        assert d == pytest.approx(7.31, abs=0.3), method
