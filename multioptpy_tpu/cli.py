@@ -300,6 +300,10 @@ def run_nebmain(argv=None):
     p.add_argument("-k", "--spring_const", type=float, default=0.01)
     p.add_argument("-cist", "--ci_start", type=int, default=20)
     p.add_argument("-idpp", "--use_idpp", action="store_true")
+    p.add_argument("-dmfb", "--dmf_beta", type=float, default=10.0,
+                   help="MaxFlux reciprocal temperature (1/Hartree)")
+    p.add_argument("-dmfn", "--dmf_nsegs", type=int, default=4,
+                   help="MaxFlux action-quadrature subdivision per segment")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -323,7 +327,8 @@ def run_nebmain(argv=None):
     calc = _make_calculator(args)
     bias = _make_bias(args, z)
     cfg = NEBConfig(variant=args.neb_variant, n_steps=args.NSTEP,
-                    k_spring=args.spring_const, climbing_start=args.ci_start)
+                    k_spring=args.spring_const, climbing_start=args.ci_start,
+                    dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs)
 
     def cb(it, path, energies, fmax):
         print(f"# neb iter {it:4d}  max|F| = {float(fmax):.3e}  "

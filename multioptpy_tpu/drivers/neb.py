@@ -163,7 +163,8 @@ def ayala_tangents(coords, energies):
 
 
 def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
-               climbing=False, optimize_endpoints=False, dmf_beta=10.0):
+               climbing=False, optimize_endpoints=False, dmf_beta=10.0,
+               dmf_nsegs=4):
     """Whole-path NEB force, (I,N,3). Endpoints get -g (masked by caller if
     frozen). `climbing` may be a traced bool enabling CI on the highest
     interior image."""
@@ -229,26 +230,42 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
         force = -g_perp
     elif variant == "dmf":
         # direct MaxFlux (ref: MEP/pathopt_dmf_force.py:33, beta=10): the
-        # path minimizes the MaxFlux action A = sum_seg w_seg L_seg with
-        # exp(beta E) weights; force = -dA/dx / (beta A), exp-stabilized by
-        # factoring out max(E).
+        # path minimizes the MaxFlux action A = integral exp(beta E) dl,
+        # force = -dA/dx / (beta A), exp-stabilized by factoring out max(E).
+        # The integral is evaluated on a dmf_nsegs-fold SUBDIVIDED path
+        # (linear interpolation matrix W, static) — the discrete-segment
+        # action under-resolves the barrier exactly like the reference's
+        # coarse spline without its 4*nsegs quadrature
+        # (pathopt_dmf_force.py:133). Both derivative pieces come from
+        # jax.grad: the geometric part at fixed energies, and the
+        # energy-feedback part dA/dE chained through the per-image
+        # gradients (dE_i/dx_i = g_i).
         beta = dmf_beta
+        k = max(int(dmf_nsegs), 1)
+        t_img = np.linspace(0.0, 1.0, n_images)
+        t_ref = np.linspace(0.0, 1.0, k * (n_images - 1) + 1)
+        w_mat = np.zeros((len(t_ref), n_images))
+        for r, t in enumerate(t_ref):       # static linear-interp weights
+            j = min(int(t * (n_images - 1)), n_images - 2)
+            a = (t - t_img[j]) * (n_images - 1)
+            w_mat[r, j] = 1.0 - a
+            w_mat[r, j + 1] = a
+        w_mat = jnp.asarray(w_mat, coords.dtype)
         e_shift = energies - jnp.max(energies)
-        w_img = jnp.exp(beta * e_shift)                     # (I,)
-        seg = coords[1:] - coords[:-1]                      # (I-1,N,3)
-        seg_len = jnp.sqrt(jnp.sum(seg ** 2, axis=(1, 2)) + 1e-14)
-        w_seg = 0.5 * (w_img[:-1] + w_img[1:])
-        action = jnp.sum(w_seg * seg_len) + 1e-30
-        seg_hat = seg / seg_len[:, None, None]
-        # dA/dx_k: energy-weight term + segment-length terms
-        len_adj = jnp.zeros_like(coords)
-        len_adj = len_adj.at[:-1].add(-w_seg[:, None, None] * seg_hat)
-        len_adj = len_adj.at[1:].add(w_seg[:, None, None] * seg_hat)
-        l_sum = jnp.zeros_like(energies)
-        l_sum = l_sum.at[:-1].add(seg_len)
-        l_sum = l_sum.at[1:].add(seg_len)
-        e_term = 0.5 * beta * (w_img * l_sum)[:, None, None] * gradients
-        da_dx = e_term + len_adj
+
+        def action_fn(path_flat, e_img):
+            x_r = w_mat @ path_flat.reshape(n_images, -1)
+            e_r = w_mat @ e_img
+            w_r = jnp.exp(beta * e_r)
+            seg = x_r[1:] - x_r[:-1]
+            seg_len = jnp.sqrt(jnp.sum(seg ** 2, axis=-1) + 1e-14)
+            return jnp.sum(0.5 * (w_r[:-1] + w_r[1:]) * seg_len) + 1e-30
+
+        flat = coords.reshape(n_images, -1).reshape(-1)
+        action, geo_grad = jax.value_and_grad(action_fn)(flat, e_shift)
+        da_de = jax.grad(action_fn, argnums=1)(flat, e_shift)     # (I,)
+        e_term = da_de[:, None, None] * gradients
+        da_dx = geo_grad.reshape(coords.shape) + e_term
         force = -da_dx / (beta * action)
     elif variant in ("lup", "qsm", "string"):
         # perpendicular gradient only; qsm/string rely on reparametrization
@@ -365,6 +382,8 @@ class NEBConfig:
     dt_max: float = 1.0
     sd_step: float = 0.5          # sd/quickmin step scale
     dmf_beta: float = 10.0        # MaxFlux reciprocal temperature (1/Ha)
+    dmf_nsegs: int = 4            # action-quadrature subdivision per segment
+                                  # (ref: pathopt_dmf_force.py nsegs)
 
 
 class NEBResult(NamedTuple):
@@ -395,7 +414,8 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
         climbing = (config.variant == "cineb") & (iteration >= config.climbing_start)
         forces = neb_forces(path, energies, grads, config.k_spring,
                             base_variant, climbing,
-                            config.optimize_endpoints, config.dmf_beta)
+                            config.optimize_endpoints, config.dmf_beta,
+                            config.dmf_nsegs)
         # one optimizer clock for the whole path (treated as a single vector)
         if config.optimizer == "fire":
             move, fire_new = fire_step(fire_state, -forces.reshape(-1),
