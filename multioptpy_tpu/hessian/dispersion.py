@@ -8,7 +8,8 @@ closed-form energy — exact, and the same code serves every model-Hessian
 flavor.
 
 E_D2 = -s6 sum_{i<j} C6_ij / r^6 * f_damp,  f_damp = 1/(1+exp(-d(r/R0-1))),
-C6_ij = sqrt(C6_i C6_j). D3/D4 upgrades (CN-dependent C6) are round-2.
+C6_ij = sqrt(C6_i C6_j). `d3_energy/d3_hessian` add the reference's
+D3(BJ)-style C6+C8 form (which reuses the D2 C6 values — see d3_energy).
 """
 
 import jax
@@ -69,6 +70,72 @@ def d2_energy(coords, z, s6=1.2, damping=20.0):
 
 def d2_gradient(coords, z, s6=1.2):
     return jax.grad(d2_energy)(coords, z, s6)
+
+
+# Z-indexed <r^4>/<r^2> expectation values (a.u.), Grimme PBE0/def2-QZVP
+# (2010), as shipped by tad-dftd3 — the table the reference loads in
+# Parameters/d3.py:17. Unlisted/super-heavy elements fall back to 10.0
+# (ref: d3.py default_r4r2).
+D3_R4R2 = np.full(87, 10.0)
+D3_R4R2[:55] = [
+    10.0,
+    8.0589, 3.4698,
+    29.0974, 14.8517, 11.8799, 7.8715, 5.5588, 4.7566, 3.8025, 3.1036,
+    26.1552, 17.2304, 17.7210, 12.7442, 9.5361, 8.1652, 6.7463, 5.6004,
+    29.2012, 22.3934,
+    19.0598, 16.8590, 15.4023, 12.5589, 13.4788, 12.2309, 11.2809,
+    10.5569, 10.1428, 9.4907,
+    13.4606, 10.8544, 8.9386, 8.1350, 7.1251, 6.1971,
+    30.0162, 24.4103,
+    20.3537, 17.4780, 13.5528, 11.8451, 11.0355, 10.1997, 9.5414,
+    9.0061, 8.6417, 8.9975,
+    14.0834, 11.8333, 10.0179, 9.3844, 8.4110, 7.5152,
+]
+D3_R4R2[55:57] = [32.7622, 27.5708]
+D3_R4R2[57:64] = [23.1671, 21.6003, 20.9615, 20.4562, 20.1010, 19.7475,
+                  19.4828]
+D3_R4R2[64:71] = [15.6013, 19.2362, 17.4717, 17.8321, 17.4237, 17.1954,
+                  17.1631]
+D3_R4R2[71:87] = [14.5716, 15.8758, 13.8989, 12.4834, 11.4421, 10.2671,
+                  8.3549, 7.8496, 7.3278, 7.4820, 13.5124, 11.6554,
+                  10.0959, 9.7340, 8.8584, 8.0125]
+
+
+def d3_energy(coords, z, s6=1.0, s8=0.7875, a1=0.4289, a2=4.4407):
+    """D3(BJ)-style dispersion with the reference's construction
+    (ref: ModelHessian/lindh2007d3.py:109-166 + Parameters/d3.py PBE0
+    defaults): C6 from the D2 table (sqrt combination), C8 = 3 C6
+    sqrt(r4r2_i r4r2_j), Becke-Johnson damping with R0 = sqrt(C8/C6).
+    NOT the full CN-interpolated D3 — the reference itself uses the D2 C6
+    values here, and this matches it."""
+    z = np.asarray(z)
+    n = len(z)
+    c6 = jnp.asarray(_C6_AU[z], coords.dtype)
+    r4r2 = jnp.asarray(D3_R4R2[z], coords.dtype)
+    diff = coords[:, None, :] - coords[None, :, :]
+    mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1)
+                 + jnp.eye(n, dtype=coords.dtype))
+    c6_ij = jnp.sqrt(c6[:, None] * c6[None, :])
+    c8_ij = 3.0 * c6_ij * jnp.sqrt(r4r2[:, None] * r4r2[None, :])
+    r0_ij = jnp.sqrt(c8_ij / (c6_ij + 1e-300))
+    bj = a1 * r0_ij + a2
+    e6 = -s6 * c6_ij / (r ** 6 + bj ** 6)
+    e8 = -s8 * c8_ij / (r ** 8 + bj ** 8)
+    return jnp.sum(jnp.where(mask, e6 + e8, 0.0))
+
+
+def d3_gradient(coords, z, **kw):
+    return jax.grad(d3_energy)(coords, z, **kw)
+
+
+def d3_hessian(coords, z, **kw):
+    """(3N,3N) exact D3(BJ) Hessian via autodiff (replaces the reference's
+    hand-written calc_d3_gradient_components second derivatives,
+    lindh2007d3.py:168-224)."""
+    n = coords.shape[0]
+    flat = lambda x: d3_energy(x.reshape(n, 3), z, **kw)
+    return jax.hessian(flat)(coords.reshape(-1))
 
 
 def d2_hessian(coords, z, s6=1.2):

@@ -208,7 +208,9 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     dispersion = None
     for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
         if base.endswith(suffix):
-            dispersion = "d2"
+            # d3/d4 -> the D3(BJ) C6+C8 correction (the reference's own d3/d4
+            # model Hessians reuse D2 C6 values, lindh2007d3.py:107)
+            dispersion = "d2" if suffix.endswith("2") else "d3"
             base = base[: -len(suffix)]
             break
     ic = InternalCoordinates(bonds, angles, torsions, n_atoms)
@@ -227,6 +229,9 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
         if dispersion == "d2":
             from multioptpy_tpu.hessian.dispersion import d2_hessian
             h = h + d2_hessian(coords, z)
+        elif dispersion == "d3":
+            from multioptpy_tpu.hessian.dispersion import d3_hessian
+            h = h + d3_hessian(coords, z)
         if add_sr:
             h = h + short_range_hessian(coords, z, bonds=np.asarray(bonds))
         h = 0.5 * (h + h.T)

@@ -62,3 +62,36 @@ def test_ts_suffix_drives_saddle_search():
         np.array([8, 1, 1]), kind="lindh_ts")
     w = np.linalg.eigvalsh(np.asarray(h))
     assert np.sum(w < -1e-8) == 1
+
+
+def test_d3_bj_dispersion_physics():
+    from multioptpy_tpu.hessian.dispersion import (d3_energy, d3_gradient,
+                                                   d3_hessian)
+
+    z = np.array([18, 18])
+    def e(r):
+        return float(d3_energy(jnp.asarray([[0.0, 0.0, 0.0],
+                                            [0.0, 0.0, r]]), z))
+    # attractive, decaying, BJ-damped (finite at r->0)
+    assert e(7.0) < 0
+    assert abs(e(14.0)) < abs(e(7.0))
+    assert np.isfinite(e(0.5))
+    # C8 term makes D3 stronger than bare C6/r^6 at mid-range
+    g = np.asarray(d3_gradient(jnp.asarray([[0.0, 0.0, 0.0],
+                                            [0.0, 0.0, 7.0]]), z))
+    assert g[1, 2] > 0  # pulls the pair together
+    h = np.asarray(d3_hessian(jnp.asarray([[0.0, 0.0, 0.0],
+                                           [0.0, 0.0, 7.0]]), z))
+    np.testing.assert_allclose(h, h.T, atol=1e-12)
+
+
+def test_model_hessian_d3_suffix():
+    from multioptpy_tpu.hessian.model import model_hessian
+
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.1],
+                          [1.8, 0.0, -0.4]])
+    z = np.array([8, 1, 1])
+    h2 = np.asarray(model_hessian(coords, z, kind="lindh2007d2"))
+    h3 = np.asarray(model_hessian(coords, z, kind="lindh2007d3"))
+    assert np.max(np.abs(h3 - h2)) > 0  # the corrections differ
+    assert np.all(np.isfinite(h3))
