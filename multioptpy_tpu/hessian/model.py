@@ -171,6 +171,49 @@ def _primitive_constants(kind, coords, z, bonds, angles, torsions, n_atoms):
                   * screen(torsions[:, 2], torsions[:, 3]))
             k_parts.append(0.005 * s3)
 
+    elif kind in ("gfn0", "gfnff"):
+        # GFN0-xTB-flavoured guess (ref: ModelHessian/gfn0xtb.py:269-530 +
+        # Parameters/gfn0xtb_param.py: kStretchBase=0.35, factors
+        # single/double/triple 1.0/1.5/2.0, kAngleBase=0.07, weak V2/V3
+        # torsions): the bond TYPE is inferred branchlessly from the
+        # compression ratio r/r0 against the GFN0 single-bond radii sum
+        # (the reference's thresholds follow its triple/double reference
+        # lengths ~0.78/0.85 of single). "gfnff" adds the GFN-FF-style
+        # electronegativity strengthening (ref: gfnff.py EN-dependent
+        # stretch constants).
+        rad = _GFN0_RAD[np.asarray(z)]
+        en = _GFN0_EN[np.asarray(z)]
+
+        if len(bonds):
+            bi, bj = bonds[:, 0], bonds[:, 1]
+            r = _dist(coords, bi, bj)
+            r0 = jnp.asarray(rad[np.asarray(bi)] + rad[np.asarray(bj)])
+            ratio = r / r0
+            factor = jnp.where(ratio < 0.82, 2.0,
+                               jnp.where(ratio < 0.92, 1.5, 1.0))
+            k_b = 0.35 * factor
+            if kind == "gfnff":
+                den = jnp.asarray(np.abs(en[np.asarray(bi)]
+                                         - en[np.asarray(bj)]))
+                k_b = k_b * (1.0 + 0.1 * den)
+            # damp stretched/broken bonds smoothly
+            k_b = k_b * jnp.exp(-2.0 * jnp.maximum(ratio - 1.3, 0.0))
+            k_parts.append(k_b)
+        if len(angles):
+            s = (jnp.exp(-jnp.maximum(
+                _dist(coords, angles[:, 0], angles[:, 1])
+                / jnp.asarray(rad[np.asarray(angles[:, 0])]
+                              + rad[np.asarray(angles[:, 1])]) - 1.3, 0.0))
+                 * jnp.exp(-jnp.maximum(
+                     _dist(coords, angles[:, 1], angles[:, 2])
+                     / jnp.asarray(rad[np.asarray(angles[:, 1])]
+                                   + rad[np.asarray(angles[:, 2])]) - 1.3,
+                     0.0)))
+            k_parts.append(0.07 * s)
+        if len(torsions):
+            k_parts.append(jnp.full((len(torsions),), 0.005, coords.dtype)
+                           * jnp.ones_like(_dist(coords, torsions[:, 0],
+                                                 torsions[:, 1])))
     else:
         raise ValueError(f"unknown model hessian '{kind}'")
 
@@ -179,7 +222,31 @@ def _primitive_constants(kind, coords, z, bonds, angles, torsions, n_atoms):
     return jnp.concatenate(k_parts)
 
 
-MODEL_HESSIAN_KINDS = ("lindh", "fischer", "schlegel", "swart", "morse")
+# GFN0-xTB atomic radii (Bohr) and Mulliken electronegativities, Z=1..54
+# (ref: Parameters/gfn0xtb_param.py:17,29 — the values of xtb's
+# gfn0_param.f90); Z>54 falls back to 1.0 / 2.0 like the reference.
+_GFN0_RAD = np.full(119, 1.0)
+_GFN0_RAD[1:55] = [
+    0.75, 0.75, 1.23, 1.01, 0.90, 0.85, 0.84, 0.83, 0.83, 0.75,
+    1.60, 1.40, 1.25, 1.14, 1.09, 1.04, 1.00, 0.75, 1.90, 1.71,
+    1.48, 1.36, 1.34, 1.22, 1.19, 1.17, 1.16, 1.15, 1.14, 1.23,
+    1.25, 1.21, 1.16, 1.14, 1.12, 0.75, 2.06, 1.85, 1.61, 1.48,
+    1.37, 1.31, 1.23, 1.24, 1.24, 1.19, 1.26, 1.36, 1.47, 1.40,
+    1.39, 1.35, 1.33, 0.75,
+]
+_GFN0_EN = np.full(119, 2.0)
+_GFN0_EN[1:55] = [
+    2.20, 0.00, 0.97, 1.47, 2.01, 2.50, 3.07, 3.50, 4.10, 0.00,
+    1.01, 1.23, 1.47, 1.74, 2.06, 2.44, 2.83, 0.00, 0.91, 1.04,
+    1.20, 1.32, 1.45, 1.56, 1.60, 1.64, 1.70, 1.75, 1.75, 1.66,
+    1.82, 2.02, 2.20, 2.48, 2.74, 0.00, 0.89, 0.99, 1.11, 1.22,
+    1.23, 1.30, 1.36, 1.42, 1.45, 1.35, 1.42, 1.46, 1.49, 1.72,
+    1.82, 2.01, 2.21, 0.00,
+]
+
+
+MODEL_HESSIAN_KINDS = ("lindh", "fischer", "schlegel", "swart", "morse",
+                       "gfn0", "gfnff")
 
 
 def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",

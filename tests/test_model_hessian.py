@@ -95,3 +95,40 @@ def test_model_hessian_d3_suffix():
     h3 = np.asarray(model_hessian(coords, z, kind="lindh2007d3"))
     assert np.max(np.abs(h3 - h2)) > 0  # the corrections differ
     assert np.all(np.isfinite(h3))
+
+
+def test_gfn0_gfnff_model_hessians():
+    from multioptpy_tpu.hessian.model import model_hessian
+
+    # ethylene-ish: short C=C gets the double-bond factor
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.51],   # C=C ~1.33 ang
+                          [1.76, 0.0, -1.0], [-1.76, 0.0, -1.0],
+                          [1.76, 0.0, 3.5], [-1.76, 0.0, 3.5]])
+    z = np.array([6, 6, 1, 1, 1, 1])
+    h0 = np.asarray(model_hessian(coords, z, kind="gfn0", project=False))
+    hf = np.asarray(model_hessian(coords, z, kind="gfnff", project=False))
+    for h in (h0, hf):
+        assert h.shape == (18, 18)
+        np.testing.assert_allclose(h, h.T, atol=1e-12)
+        assert np.all(np.isfinite(h))
+        w = np.linalg.eigvalsh(h)
+        assert w.min() > -1e-8          # a PSD guess
+    # gfnff differs from gfn0 only via the EN term on C-H bonds
+    assert np.max(np.abs(hf - h0)) > 1e-4
+
+
+def test_gfn0_double_bond_stiffer_than_single():
+    from multioptpy_tpu.coords.internals import InternalCoordinates
+    from multioptpy_tpu.hessian.model import _primitive_constants
+
+    z = np.array([6, 6])
+    bonds = np.array([[0, 1]])
+    angles = np.zeros((0, 3), int)
+    tors = np.zeros((0, 4), int)
+    k_single = _primitive_constants(
+        "gfn0", jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.89]]),  # 1.53 ang
+        z, bonds, angles, tors, 2)
+    k_double = _primitive_constants(
+        "gfn0", jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.51]]),  # 1.33 ang
+        z, bonds, angles, tors, 2)
+    assert float(k_double[0]) > float(k_single[0])
