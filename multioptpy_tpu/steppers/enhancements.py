@@ -110,3 +110,61 @@ def perturb_move(move, key, magnitude=1e-3):
     noise = jax.random.normal(key, move.shape, dtype=move.dtype)
     return move + magnitude * noise * jnp.linalg.norm(move) / (
         jnp.linalg.norm(noise) + 1e-30)
+
+
+def geodesic_correct_move(move, coords, internals, n_rk4=16):
+    """Re-trace a Cartesian step as a geodesic of the bond-metric
+    G = B B^T (Hermes & Zimmerman-style speedup, JCP 155 (2021) 094105;
+    ref: Optimizer/geodesic_step.py:7 GeodesicStepper).
+
+    Mirrors the reference's construction exactly — Christoffel symbols
+    Gamma[i,j,k] = Ginv[i,k] * sum_ab dB[i,a,b] B[j,b], frozen at the
+    starting geometry, symmetrized over (j,k) — but the three nested
+    O(M^2 * 3N) Python loops (geodesic_step.py:218-237) become two einsums,
+    the LSODA call becomes a fixed-step RK4 `lax.scan` (jit/vmap-safe), and
+    dB comes from `jax.jacfwd` instead of hand-coded bond second derivatives.
+
+    move: flat (3N,) proposed Cartesian step; returns the corrected move.
+    """
+    x0 = coords.reshape(-1)
+    b = internals.b_matrix(coords)                       # (M, 3N)
+    d2q = jax.jacfwd(jax.jacfwd(internals.q_flat))(x0)   # (M, 3N, 3N)
+    g = b @ b.T
+    ginv = internals.g_pinv(g)
+    s_ij = jnp.einsum("iab,jb->ij", d2q, b)
+    gamma = jnp.einsum("ik,ij->ijk", ginv, s_ij)
+    gamma = 0.5 * (gamma + jnp.swapaxes(gamma, 1, 2))
+
+    q0 = internals.q_flat(x0)
+    qd0 = b @ move
+
+    dt = 1.0 / n_rk4
+
+    def accel(qd):
+        return -jnp.einsum("ijk,j,k->i", gamma, qd, qd)
+
+    def rk4(carry, _):
+        q, qd = carry
+        k1q, k1v = qd, accel(qd)
+        k2q, k2v = qd + 0.5 * dt * k1v, accel(qd + 0.5 * dt * k1v)
+        k3q, k3v = qd + 0.5 * dt * k2v, accel(qd + 0.5 * dt * k2v)
+        k4q, k4v = qd + dt * k3v, accel(qd + dt * k3v)
+        q = q + dt / 6.0 * (k1q + 2 * k2q + 2 * k3q + k4q)
+        qd = qd + dt / 6.0 * (k1v + 2 * k2v + 2 * k3v + k4v)
+        return (q, qd), None
+
+    (q1, _), _ = jax.lax.scan(rk4, (q0, qd0), None, length=n_rk4)
+    x1 = internals.to_cartesian(q1, coords)
+    # the retrace only realizes the IN-internal-space part of the move; the
+    # component in the null space of B (e.g. bends when only bonds are
+    # primitives) must pass through unchanged or the optimizer loses those
+    # degrees of freedom entirely
+    p_range = b.T @ (ginv @ b)                 # projector onto range(B^T)
+    null_part = move - p_range @ move
+    corrected = (x1.reshape(-1) - x0) + null_part
+    # safeguard: fall back to the straight step if the back-transform
+    # wandered (same spirit as the reference's fallback on solver failure)
+    ok = (jnp.all(jnp.isfinite(corrected))
+          & (jnp.linalg.norm(corrected)
+             < 3.0 * jnp.linalg.norm(move) + 1e-12))
+    return jnp.where(ok, corrected, move)

@@ -322,3 +322,31 @@ def test_gan_and_rl_steppers_optimize_lj():
         assert float(res.energy) < e0, method       # descended
         assert np.isfinite(float(res.energy)), method
         assert d == pytest.approx(7.31, abs=0.3), method
+
+
+def test_geodesic_correct_move():
+    import jax.numpy as jnp
+    from multioptpy_tpu.coords.internals import (InternalCoordinates,
+                                                 detect_primitives)
+    from multioptpy_tpu.steppers.enhancements import geodesic_correct_move
+
+    # bent water-like triatomic; bond-only internals
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.8, 0.0],
+                          [1.7, -0.5, 0.0]])
+    z = np.array([8, 1, 1])
+    b, a, t = detect_primitives(np.asarray(coords), z)
+    ic = InternalCoordinates(b, np.zeros((0, 3), int),
+                             np.zeros((0, 4), int), 3)
+    move = jnp.asarray([0.0, 0.2, 0.0, 0.0, -0.15, 0.05,
+                        -0.1, 0.0, 0.0])
+    corrected = geodesic_correct_move(move, coords, ic)
+    assert np.all(np.isfinite(np.asarray(corrected)))
+    # the geodesic endpoint preserves bond CHANGES prescribed by B dx to
+    # first order: q(x + corrected) ~ q(x) + B move
+    q0 = np.asarray(ic.q_flat(coords.reshape(-1)))
+    q_pred = q0 + np.asarray(ic.b_matrix(coords) @ move)
+    q_geo = np.asarray(ic.q_flat((coords.reshape(-1) + corrected)))
+    np.testing.assert_allclose(q_geo, q_pred, atol=2e-2)
+    # zero move is a fixed point
+    zero = geodesic_correct_move(jnp.zeros(9), coords, ic)
+    np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-10)
