@@ -1,0 +1,105 @@
+"""Scale demo: the BASELINE.md throughput targets, measured.
+
+1. 256-conformer batched optimization of the S8 crown ring on the on-device
+   SQM backend: the whole ensemble advances in lockstep, one jitted step
+   (target: < 1 ms/structure/step; the reference loops conformers one at a
+   time through a subprocess QM call, ref: Entrypoints/conformation_search.py).
+2. 32-image NEB step on the H3 exchange path with SQM
+   (target: < 1 ms/image/step).
+
+Run on the TPU: `python examples/04_scale_demo.py` (first compile 20-60 s).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def s8_ring(radius=4.3, pucker=0.9):
+    """S8 crown: alternating-z octagon (D4d-ish), Bohr."""
+    k = np.arange(8)
+    ang = 2 * np.pi * k / 8
+    return np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                     pucker * (-1.0) ** k], axis=-1)
+
+
+def main():
+    import jax
+    # f32 on device: TPU implements only F32 LU (the SQM EEQ solve), and
+    # f32 gradient noise (~1e-3 for S8) sets the convergence floor -> use
+    # the reference's LOOSE criteria here and report the gradient drop
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.calculators.sqm import SQM
+    from multioptpy_tpu.drivers.neb import (NEBConfig, interpolate_linear,
+                                             neb_scan)
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize_batch
+
+    calc = SQM()
+
+    # --- 1. 256x S8 batched conformer relaxation -------------------------
+    BATCH, N_STEPS = 256, 150
+    rng = np.random.default_rng(11)
+    base = s8_ring()
+    batch = jnp.asarray(base[None] + 0.12 * rng.standard_normal(
+        (BATCH, 8, 3)), jnp.float32)
+    z = jnp.array([16] * 8)
+
+    t0 = time.perf_counter()
+    res = optimize_batch(calc, batch, z, config=OptimizeConfig(
+        method="rfo_fsb", init_hessian="exact",
+        max_force=3e-3, rms_force=2e-3, max_displacement=1e-2,
+        rms_displacement=7e-3), n_steps=N_STEPS)
+    jax.block_until_ready(res.coords)
+    dt = time.perf_counter() - t0   # includes compile
+    t0 = time.perf_counter()
+    res = optimize_batch(calc, batch, z, config=OptimizeConfig(
+        method="rfo_fsb", init_hessian="exact",
+        max_force=3e-3, rms_force=2e-3, max_displacement=1e-2,
+        rms_displacement=7e-3), n_steps=N_STEPS)
+    jax.block_until_ready(res.coords)
+    dt_warm = time.perf_counter() - t0
+    ms_per = dt_warm / (BATCH * N_STEPS) * 1e3
+    print(json.dumps({
+        "demo": "256xS8_batched_sqm_opt",
+        "ms_per_structure_step": round(ms_per, 4),
+        "target_ms": 1.0,
+        "n_converged_loose": int(np.sum(np.asarray(res.converged))),
+        "median_maxg_final": float(np.median(np.max(np.abs(
+            np.asarray(res.gradient).reshape(BATCH, -1)), axis=1))),
+        "compile_plus_run_s": round(dt, 1),
+    }))
+
+    # --- 2. 32-image SQM NEB ---------------------------------------------
+    # endpoints with RELAXED H2 bonds (1.4 Bohr) so the exchange barrier
+    # is the only feature on the path
+    start = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.4],
+                         [0.0, 0.0, 4.6]], jnp.float32)
+    end = jnp.asarray([[0.0, 0.0, -3.2], [0.0, 0.0, 1.4],
+                       [0.0, 0.0, 2.8]], jnp.float32)
+    zh = jnp.array([1, 1, 1])
+    path0 = interpolate_linear(start, end, 32)
+    cfg = NEBConfig(variant="cineb", n_steps=40, climbing_start=15,
+                    fmax=1e-10)  # fixed 40 iterations (no early exit)
+    t0 = time.perf_counter()
+    out = neb_scan(calc, path0, zh, cfg)
+    jax.block_until_ready(out.path)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = neb_scan(calc, path0, zh, cfg)
+    jax.block_until_ready(out.path)
+    dt_warm = time.perf_counter() - t0
+    ms_img = dt_warm / (32 * out.n_iterations) * 1e3
+    print(json.dumps({
+        "demo": "32image_sqm_neb",
+        "ms_per_image_step": round(ms_img, 4),
+        "target_ms": 1.0,
+        "barrier_resolved": bool(np.asarray(out.energies)[out.ts_index]
+                                 > float(np.asarray(out.energies)[0])),
+        "compile_plus_run_s": round(dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

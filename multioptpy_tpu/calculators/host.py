@@ -209,3 +209,94 @@ def read_software_path(path="./software_path.conf"):
             key, val = line.split("=", 1)
             paths[key.strip().lower()] = val.strip()
     return paths
+
+
+@register_calculator("dxtb")
+class DXTB(HostCalculator):
+    """torch-autograd xTB via dxtb (ref: Calculator/dxtb_calculation_tools.py).
+    Analytic gradients come from torch autodiff on the host; the rest of the
+    step stays on device like every HostCalculator."""
+
+    def __init__(self, method="GFN1-xTB", charge=0, multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            import dxtb  # noqa: F401
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise ImportError("dxtb (and torch) are required for the dxtb "
+                              "backend") from e
+        self.method = method
+
+    def _host_energy_gradient(self, coords, z):
+        import dxtb
+        import torch
+        numbers = torch.tensor(np.asarray(z, dtype=int))
+        positions = torch.tensor(coords, dtype=torch.float64,
+                                 requires_grad=True)
+        calc = dxtb.Calculator(numbers, dxtb.GFN1_XTB, opts={"verbosity": 0})
+        e = calc.get_energy(positions, chrg=self.charge)
+        (g,) = torch.autograd.grad(e, positions)
+        return float(e.detach()), g.detach().numpy()
+
+
+@register_calculator("gpaw")
+class GPAW(HostCalculator):
+    """GPAW periodic-DFT bridge (ref: Calculator/gpaw_calculation_tools.py).
+    options: mode ("lcao"/"pw"), xc, kpts."""
+
+    def __init__(self, mode="lcao", xc="PBE", charge=0, multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            import gpaw  # noqa: F401
+            import ase  # noqa: F401
+        except ImportError as e:
+            raise ImportError("gpaw is not installed") from e
+        self.mode = mode
+        self.xc = xc
+
+    def _host_energy_gradient(self, coords, z):
+        import ase
+        from ase import units as aseu
+        from gpaw import GPAW as _GPAW
+        atoms = ase.Atoms(numbers=np.asarray(z, int),
+                          positions=coords * BOHR2ANGSTROM)
+        atoms.center(vacuum=4.0)
+        atoms.calc = _GPAW(mode=self.mode, xc=self.xc, txt=None,
+                           **self.options.get("gpaw_kwargs", {}))
+        e = atoms.get_potential_energy() / aseu.Hartree
+        g = -atoms.get_forces() / aseu.Hartree / ANGSTROM2BOHR
+        return float(e), np.asarray(g)
+
+
+@register_calculator("pwscf")
+class PWSCF(HostCalculator):
+    """Quantum-ESPRESSO pw.x bridge through ASE
+    (ref: Calculator/pwscf_calculation_tools.py; binary path from
+    software_path.conf like the reference's read_software_path)."""
+
+    def __init__(self, pseudopotentials=None, charge=0, multiplicity=1, **kw):
+        super().__init__(charge=charge, multiplicity=multiplicity, **kw)
+        try:
+            import ase  # noqa: F401
+            from ase.calculators.espresso import Espresso  # noqa: F401
+        except ImportError as e:
+            raise ImportError("ase (with espresso support) is not "
+                              "installed") from e
+        self.pseudopotentials = pseudopotentials or {}
+
+    def _host_energy_gradient(self, coords, z):
+        import ase
+        from ase import units as aseu
+        from ase.calculators.espresso import Espresso
+        cmd = read_software_path().get("pwscf")
+        atoms = ase.Atoms(numbers=np.asarray(z, int),
+                          positions=coords * BOHR2ANGSTROM)
+        atoms.center(vacuum=5.0)
+        kw = dict(pseudopotentials=self.pseudopotentials,
+                  **self.options.get("espresso_kwargs", {}))
+        if cmd:
+            kw["command"] = cmd
+        atoms.calc = Espresso(**kw)
+        e = atoms.get_potential_energy() / aseu.Hartree
+        g = -atoms.get_forces() / aseu.Hartree / ANGSTROM2BOHR
+        return float(e), np.asarray(g)

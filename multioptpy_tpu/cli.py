@@ -300,6 +300,9 @@ def run_nebmain(argv=None):
     p.add_argument("-k", "--spring_const", type=float, default=0.01)
     p.add_argument("-cist", "--ci_start", type=int, default=20)
     p.add_argument("-idpp", "--use_idpp", action="store_true")
+    p.add_argument("-nebopt", "--neb_optimizer", default="fire",
+                   help="band clock: fire | quickmin | lbfgs | sd | cg_pr | "
+                        "cg_fr | cg_hs | cg_dy | cg_hz")
     p.add_argument("-dmfb", "--dmf_beta", type=float, default=10.0,
                    help="MaxFlux reciprocal temperature (1/Hartree)")
     p.add_argument("-dmfn", "--dmf_nsegs", type=int, default=4,
@@ -328,6 +331,7 @@ def run_nebmain(argv=None):
     bias = _make_bias(args, z)
     cfg = NEBConfig(variant=args.neb_variant, n_steps=args.NSTEP,
                     k_spring=args.spring_const, climbing_start=args.ci_start,
+                    optimizer=args.neb_optimizer,
                     dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs)
 
     def cb(it, path, energies, fmax):

@@ -381,6 +381,10 @@ class NEBConfig:
     dt0: float = 0.3
     dt_max: float = 1.0
     sd_step: float = 0.5          # sd/quickmin step scale
+    max_move: float = 0.3         # per-image move clamp (Bohr) — lbfgs/cg
+                                  # band clocks need it: NEB forces are
+                                  # non-conservative, so curvature-based
+                                  # engines can otherwise overshoot to NaN
     dmf_beta: float = 10.0        # MaxFlux reciprocal temperature (1/Ha)
     dmf_nsegs: int = 4            # action-quadrature subdivision per segment
                                   # (ref: pathopt_dmf_force.py nsegs)
@@ -397,6 +401,12 @@ class NEBResult(NamedTuple):
 
 def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
     """One jitted NEB iteration: (path, fire_state, it) -> ..."""
+    opt = config.optimizer
+    if opt not in ("fire", "quickmin", "lbfgs", "sd") and not (
+            opt.startswith("cg")):
+        raise ValueError(f"unknown NEB optimizer '{opt}' (choose from fire, "
+                         f"quickmin, lbfgs, sd, cg_pr, cg_fr, cg_hs, cg_dy, "
+                         f"cg_hz)")
     base_variant = ("neb" if config.variant == "cineb"
                     else config.variant)
 
@@ -436,10 +446,23 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
                                       -forces.reshape(-1),
                                       delta=config.sd_step)
             fire_new = lb_new
+        elif config.optimizer.startswith("cg"):
+            # conjugate-gradient band clock
+            # (ref: Optimizer/conjugate_gradient_neb.py:6)
+            from multioptpy_tpu.steppers.first_order import cg_step
+            variant = (config.optimizer.split("_", 1)[1]
+                       if "_" in config.optimizer else "pr")
+            move, cg_new = cg_step(fire_state, -forces.reshape(-1),
+                                   variant=variant, delta=config.sd_step)
+            fire_new = cg_new
         else:  # sd
             move = config.sd_step * forces.reshape(-1)
             fire_new = fire_state
-        path_new = path + move.reshape(path.shape)
+        mv = move.reshape(path.shape)
+        # per-image clamp (see NEBConfig.max_move)
+        mv_norm = jnp.sqrt(_image_dot(mv, mv) + 1e-30)
+        mv = mv * jnp.minimum(1.0, config.max_move / mv_norm)
+        path_new = path + mv
         if config.variant in ("qsm", "string"):
             # string-method reparametrization: equal arc-length respacing
             # every iteration (ref: neb.py:572 _align_geometries)
@@ -462,6 +485,9 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     if config.optimizer == "lbfgs":
         from multioptpy_tpu.steppers.first_order import lbfgs_init
         fire_state = lbfgs_init(n_dof, dtype=path.dtype)
+    elif config.optimizer.startswith("cg"):
+        from multioptpy_tpu.steppers.first_order import cg_init
+        fire_state = cg_init(n_dof, path.dtype)
     else:
         fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
     e_hist = []
@@ -483,6 +509,50 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     return NEBResult(
         path=path, energies=energies, converged=jnp.asarray(converged),
         n_iterations=it, energy_history=np.asarray(e_hist),
+        ts_index=ts_index,
+    )
+
+
+def neb_scan(calc, path0, z, config=NEBConfig(), bias_engine=None):
+    """Fully-on-device NEB: a fixed `config.n_steps`-iteration `lax.scan`
+    with no host round-trips (no early exit). One dispatch for the whole
+    band — use for throughput runs and ensembles; `neb()` (host loop with
+    early exit and callbacks) remains the interactive driver.
+
+    On the tunneled single-chip setup the host loop costs ~3 ms dispatch
+    PER ITERATION; this variant pays it once per band.
+    """
+    path = jnp.asarray(path0)
+    z = jnp.asarray(z)
+    step = make_neb_step(calc, z, config, bias_engine)
+
+    if config.optimizer == "lbfgs":
+        from multioptpy_tpu.steppers.first_order import lbfgs_init
+        fire_state = lbfgs_init(path.size, dtype=path.dtype)
+    elif config.optimizer.startswith("cg"):
+        from multioptpy_tpu.steppers.first_order import cg_init
+        fire_state = cg_init(path.size, path.dtype)
+    else:
+        fire_state = fire_init(path.size, path.dtype, dt0=config.dt0)
+
+    @jax.jit
+    def run(p0, f0):
+        def body(carry, it):
+            p, f = carry
+            p, f, energies, fmax = step(p, f, it)
+            return (p, f), (energies, fmax)
+        (p, _), (e_hist, fmax_hist) = jax.lax.scan(
+            body, (p0, f0), jnp.arange(1, config.n_steps + 1))
+        return p, e_hist, fmax_hist
+
+    path, e_hist, fmax_hist = run(path, fire_state)
+    energies = e_hist[-1]
+    e_np = np.asarray(energies)
+    ts_index = int(np.argmax(e_np[1:-1])) + 1 if len(e_np) > 2 else 0
+    return NEBResult(
+        path=path, energies=energies,
+        converged=jnp.asarray(float(fmax_hist[-1]) < config.fmax),
+        n_iterations=config.n_steps, energy_history=np.asarray(e_hist),
         ts_index=ts_index,
     )
 

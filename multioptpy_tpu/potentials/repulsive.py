@@ -111,3 +111,96 @@ class LJRepulsiveV2(_PairwiseLJ):
         r = self._pair_dist(coords)
         x = r0 / r
         return jnp.sum(eps * (x ** self.a - 2.0 * x ** self.b))
+
+
+@register_potential
+class LJRepulsiveGaussian(BiasPotential):
+    """Fragment-pair 12-6 LJ plus an attractive Gaussian well at a chosen
+    distance (ref: LJ_repulsive_potential.py:256 LJRepulsivePotentialGaussian;
+    gau_range_const = 0.03):
+        E = sum_pairs eps[(r0/r)^12 - 2(r0/r)^6]
+            - D exp(-(r - r_g)^2 / (0.03 r_range^2))
+    params = [eps(kJ/mol), r0(ang), D(kJ/mol), r_g(ang), r_range(ang)].
+    """
+
+    name = "lj_repulsive_gaussian"
+
+    def __init__(self, well_depth, dist, gau_well_depth, gau_dist, gau_range,
+                 fragm_1, fragm_2, element_z=None, **kw):
+        super().__init__(**kw)
+        self.i_idx = idx0(fragm_1)
+        self.j_idx = idx0(fragm_2)
+        self._p0 = [float(well_depth), float(dist), float(gau_well_depth),
+                    float(gau_dist), float(gau_range)]
+
+    def init_params(self):
+        return np.asarray(self._p0, dtype=np.float64)
+
+    def energy(self, coords, params):
+        from multioptpy_tpu.units import HARTREE2KJMOL
+        eps = params[0] / HARTREE2KJMOL
+        r0 = params[1] * ANGSTROM2BOHR
+        d_g = params[2] / HARTREE2KJMOL
+        r_g = params[3] * ANGSTROM2BOHR
+        rng = params[4] * ANGSTROM2BOHR
+        diff = coords[self.i_idx][:, None, :] - coords[self.j_idx][None, :, :]
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        s6 = (r0 / r) ** 6
+        lj = eps * (s6 * s6 - 2.0 * s6)
+        gau = -d_g * jnp.exp(-(r - r_g) ** 2 / (0.03 * rng ** 2 + 1e-30))
+        return jnp.sum(lj + gau)
+
+
+@register_potential
+class ConePotential(BiasPotential):
+    """Tolman-cone steric wall (ACS Catal. 12 (2022) 3752; ref:
+    LJ_repulsive_potential.py:297 LJRepulsivePotentialCone): a cone of
+    half-angle theta/2 sits with its apex 2.28 ang behind `center` along
+    the inverted mean direction of `three_atoms`; each target atom feels a
+    shifted 12-6 LJ of its distance to the cone surface. The reference's
+    in-cone/out-of-cone branch becomes a `where`.
+
+    params = [well(kJ/mol), dist(ang), cone_angle(deg)].
+    center/three_atoms/target are 1-based.
+    """
+
+    name = "cone"
+
+    def __init__(self, well_value, dist_value, cone_angle, center,
+                 three_atoms, target, element_z, a_value=1.0, **kw):
+        super().__init__(**kw)
+        self.center = int(idx0([center])[0])
+        self.three = idx0(three_atoms)
+        self.target = idx0(target)
+        z = np.asarray(element_z)
+        self.t_eps = np.asarray(UFF_VDW_EPS)[z[self.target]]
+        self.t_rv = np.asarray(UFF_VDW_R)[z[self.target]]
+        self.a_value = float(a_value)
+        self._p0 = [float(well_value), float(dist_value), float(cone_angle)]
+
+    def init_params(self):
+        return np.asarray(self._p0, dtype=np.float64)
+
+    def energy(self, coords, params):
+        from multioptpy_tpu.units import HARTREE2KJMOL
+        well = params[0] / HARTREE2KJMOL
+        dist = params[1] * ANGSTROM2BOHR
+        half = 0.5 * jnp.deg2rad(params[2])
+        c = coords[self.center]
+        back = jnp.sum(coords[self.three], axis=0) - 3.0 * c
+        back = back / (jnp.linalg.norm(back) + 1e-30)
+        apex = c - (2.28 * ANGSTROM2BOHR) * back
+        ca = c - apex
+        ca_n = jnp.linalg.norm(ca) + 1e-30
+        sa = coords[self.target] - apex[None, :]
+        sa_n = jnp.sqrt(jnp.sum(sa * sa, axis=-1) + 1e-12)
+        cosang = jnp.clip((sa @ ca) / (sa_n * ca_n), -1.0, 1.0)
+        sub = jnp.arccos(cosang)
+        # distance to the cone surface; beyond pi/2 use the apex distance
+        length = jnp.where(sub - half <= jnp.pi / 2,
+                           sa_n * jnp.sin(jnp.maximum(sub - half, 0.0)),
+                           sa_n)
+        eps = jnp.sqrt(well * jnp.asarray(self.t_eps, coords.dtype))
+        r0 = jnp.sqrt(dist * jnp.asarray(self.t_rv, coords.dtype))
+        s = r0 / (length + self.a_value * r0)
+        return jnp.sum(4.0 * eps * (s ** 12 - s ** 6))
