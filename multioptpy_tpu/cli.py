@@ -219,7 +219,12 @@ def _is_number(s):
 def _opt_config(args):
     from multioptpy_tpu.drivers.optimize import OptimizeConfig
 
-    kw = dict(method=args.opt_method[0], nsteps=args.NSTEP,
+    # `-o high_force_engine quasi_newton` enables sigmoid RMS-force
+    # switching (ref: optimizer.py:582; e.g. `-o fire rfo_fsb`)
+    method = (args.opt_method[1] if len(args.opt_method) > 1
+              else args.opt_method[0])
+    switch = args.opt_method[0] if len(args.opt_method) > 1 else None
+    kw = dict(method=method, switch_method=switch, nsteps=args.NSTEP,
               saddle_order=args.saddle_order, fc_count=args.fc_count,
               mfc_count=args.mfc_count, trust_radius_ang=args.trust_radius,
               diis_variant=getattr(args, "diis_variant", None))

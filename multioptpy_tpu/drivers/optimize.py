@@ -80,6 +80,11 @@ class OptimizeConfig:
                                      # gediis,kdiis}.py)
     follow_mode_index: int = 0       # initial mode for mf_rsirfo_* methods
                                      # (ref: Optimizer/mf_rsirfo.py)
+    switch_method: Optional[str] = None  # high-force first-order engine for
+                                     # sigmoid RMS-force switching toward
+                                     # `method` near convergence
+                                     # (ref: optimizer.py:582
+                                     # switch_move_vector; CLI: -o m1 m2)
     project_tr_rot: bool = True
 
     def effective_diis(self):
@@ -176,8 +181,13 @@ def _parse_method(method):
         # trust-region L-BFGS (ref: Optimizer/tr_lbfgs.py): L-BFGS direction
         # with ratio-adaptive trust clamping
         return ("lbfgs", "tr")
-    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd", "eve", "gan", "rl"):
+    if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd", "eve", "gan", "rl",
+             "mwsd"):
         return (m, None)
+    if m.startswith("mw"):
+        # mass-weighted quasi-Newton variants (ref: optimizer.py:68-255
+        # mw/mwmf/mws prefixes); the mw flag is read off config.method
+        return _parse_method(m[2:])
     from multioptpy_tpu.steppers.ml import OPTAX_STEPPERS
     if m in OPTAX_STEPPERS:
         return ("optax", m)
@@ -260,7 +270,7 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         b0 = internals.b_matrix(coords)
         g_q0 = internals.g_pinv(internals.g_matrix(b0)) @ (b0 @ g.reshape(-1))
         fo = fo + (_dic_diag_hessian(internals, dtype), g_q0, q0)
-    if config.method.lower().startswith("mf_rsirfo"):
+    if config.method.lower().replace("mw", "", 1).startswith("mf_rsirfo"):
         # initial followed mode (ref: Optimizer/mf_rsirfo.py Initialization)
         from multioptpy_tpu.steppers.enhancements import (
             mode_following_direction)
@@ -275,6 +285,20 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         ini = {"gdiis": diis_init, "gediis": gediis_init,
                "kdiis": kdiis_init}[dv]
         fo = fo + (ini(3 * n, dtype=dtype),)
+
+    if config.switch_method:
+        # RMS-force engine switching (ref: optimizer.py:582): the high-force
+        # first-order engine gets its own state slot at the END of fo_state
+        if dv:
+            raise ValueError("switch_method does not compose with DIIS")
+        sk, _ = _parse_method(config.switch_method)
+        if sk in ("fire", "fire2", "abc_fire"):
+            fo = fo + (fire_init(3 * n, dtype),)
+        elif sk in ("sd", "mwsd"):
+            fo = fo + (jnp.zeros((0,), dtype),)   # stateless placeholder
+        else:
+            raise ValueError("switch_method must be a first-order engine "
+                             "(fire/fire2/abc_fire/sd/mwsd)")
 
     zero = jnp.zeros_like(coords)
     return OptState(
@@ -424,7 +448,19 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             state.trust_radius, actual, state.predicted_change,
             tr_min=tr_min, tr_max=tr_max)
         trust_new = jnp.where(state.iteration > 0, trust_new, state.trust_radius)
-        is_mf = config.method.lower().startswith("mf_rsirfo")
+        # mass-weighted solve (ref: optimizer.py mw* method names): step in
+        # M^{1/2}-scaled coordinates, transformed back afterwards
+        is_mw = config.method.lower().startswith("mw")
+        if is_mw:
+            from multioptpy_tpu.geometry import masses_from_z
+            m3 = jnp.repeat(masses_from_z(np.asarray(z)).astype(g_flat.dtype),
+                            3)
+            minv = 1.0 / jnp.sqrt(m3)
+            g_flat = g_flat * minv
+            h_eff = h_eff * minv[:, None] * minv[None, :]
+
+        is_mf = config.method.lower().replace("mw", "", 1).startswith(
+            "mf_rsirfo")
         is_crs = config.method.lower().startswith("crsirfo")
         if kind == "prfo" and is_mf:
             # mode-following P-RFO (ref: Optimizer/mf_rsirfo.py:6): maximize
@@ -455,6 +491,8 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         else:
             step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
                                     saddle_order=saddle_order)
+        if is_mw:
+            step = step * minv
         dv = config.effective_diis()
         if dv:
             from multioptpy_tpu.steppers.diis import (gdiis_step, gediis_step,
@@ -474,6 +512,12 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
     def first_order_move(state, g_flat):
         if kind == "sd":
             mv, fo_new = sd_step(g_flat, delta=config.delta), None
+        elif kind == "mwsd":
+            from multioptpy_tpu.geometry import masses_from_z
+            from multioptpy_tpu.steppers.first_order import mwsd_step
+            m3 = jnp.repeat(masses_from_z(np.asarray(z)).astype(g_flat.dtype),
+                            3)
+            mv, fo_new = mwsd_step(g_flat, m3, delta=config.delta), None
         else:
             fo = state.fo_state[0]
             if kind in ("fire", "fire2", "abc_fire"):
@@ -534,6 +578,28 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             mv_flat, h, trust, predicted, fo = first_order_move(state, g_flat)
             if not fo:
                 fo = state.fo_state
+
+        if config.switch_method and kind in ("rfo", "prfo"):
+            # sigmoid RMS-force blend toward the first-order engine at high
+            # force (ref: optimizer.py:582 switch_move_vector; thresholds
+            # 0.05/0.005, steepness 10, offset 0.5)
+            from multioptpy_tpu.steppers.first_order import (abc_fire_step,
+                                                             fire2_step)
+            sk, _ = _parse_method(config.switch_method)
+            sw_state = state.fo_state[-1]
+            if sk in ("fire", "fire2", "abc_fire"):
+                fn = {"fire": fire_step, "fire2": fire2_step,
+                      "abc_fire": abc_fire_step}[sk]
+                mv_fo, sw_new = fn(sw_state, g_flat)
+            else:
+                mv_fo, sw_new = sd_step(g_flat, delta=config.delta), sw_state
+            rms = jnp.sqrt(jnp.mean(g_flat ** 2))
+            x_j = jnp.clip((rms - 0.005) / (0.05 - 0.005), 0.0, 1.0)
+            f_hi = jax.nn.sigmoid(10.0 * (x_j - 0.5))
+            f_hi = jnp.where(rms > 0.05, 1.0, jnp.where(rms <= 0.005, 0.0,
+                                                        f_hi))
+            mv_flat = f_hi * mv_fo + (1.0 - f_hi) * mv_flat
+            fo = fo + (sw_new,)
 
         move = mv_flat.reshape(state.coords.shape)
         # frozen once converged (ensemble masking)

@@ -350,3 +350,32 @@ def test_geodesic_correct_move():
     # zero move is a fixed point
     zero = geodesic_correct_move(jnp.zeros(9), coords, ic)
     np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-10)
+
+
+def test_mass_weighted_rfo_and_switching():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    calc = LennardJones()
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [6.5, 0.0, 0.0],
+                          [3.2, 5.6, 0.0]])
+    z = jnp.array([18, 18, 18])
+    ref = optimize(calc, coords, z,
+                   config=OptimizeConfig(method="rfo_bfgs", nsteps=60))
+    # mw-prefixed quasi-Newton
+    res_mw = optimize(calc, coords, z,
+                      config=OptimizeConfig(method="mwrfo_bfgs", nsteps=80))
+    assert bool(res_mw.converged)
+    assert float(res_mw.energy) == pytest.approx(float(ref.energy), abs=1e-7)
+    # mwsd engine
+    res_sd = optimize(calc, coords, z, config=OptimizeConfig(
+        method="mwsd", nsteps=400, delta=3e3,
+        max_force=5e-5, rms_force=3e-5,
+        max_displacement=2e-2, rms_displacement=1e-2))
+    assert float(res_sd.energy) < float(calc.energy(coords, z))
+    # fire -> rfo sigmoid switching
+    res_sw = optimize(calc, coords, z, config=OptimizeConfig(
+        method="rfo_bfgs", switch_method="fire", nsteps=120))
+    assert bool(res_sw.converged)
+    assert float(res_sw.energy) == pytest.approx(float(ref.energy), abs=1e-7)
