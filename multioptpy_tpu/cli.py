@@ -184,11 +184,24 @@ def _make_constraints(args):
     from multioptpy_tpu.constraints import Constraints
 
     fixed = num_parse(args.fix_atoms) if args.fix_atoms else []
-    bonds, angles, dihedrals = [], [], []
+    bonds, angles, dihedrals, fbonds = [], [], [], []
     pc = list(args.projection_constrain)
     i = 0
     while i < len(pc):
         kind = pc[i]
+        if kind == "fbond":
+            # fragment-centroid distance: fbond f1_atoms f2_atoms [value]
+            # (ref: constraint_condition.py:385)
+            f1 = num_parse(pc[i + 1])
+            f2 = num_parse(pc[i + 2])
+            val = None
+            if i + 3 < len(pc) and _is_number(pc[i + 3]):
+                val = float(pc[i + 3])
+                i += 4
+            else:
+                i += 3
+            fbonds.append((f1, f2, val))
+            continue
         atoms = num_parse(pc[i + 1])
         val = None
         if i + 2 < len(pc) and _is_number(pc[i + 2]):
@@ -202,10 +215,13 @@ def _make_constraints(args):
             angles.append((atoms[0], atoms[1], atoms[2], val))
         elif kind == "dihedral":
             dihedrals.append((atoms[0], atoms[1], atoms[2], atoms[3], val))
-    if not (fixed or bonds or angles or dihedrals):
+        else:
+            raise SystemExit(f"error: unknown -pc kind '{kind}' (choose "
+                             f"from bond, fbond, angle, dihedral)")
+    if not (fixed or bonds or angles or dihedrals or fbonds):
         return None
     return Constraints(bonds=bonds, angles=angles, dihedrals=dihedrals,
-                       fixed_atoms=fixed)
+                       fbonds=fbonds, fixed_atoms=fixed)
 
 
 def _is_number(s):

@@ -45,7 +45,8 @@ class Constraints:
     """
 
     def __init__(self, bonds=(), angles=(), dihedrals=(), fixed_atoms=(),
-                 fixed_coords=(), n_atoms=None):
+                 fixed_coords=(), fbonds=(), projection_vectors=(),
+                 n_atoms=None):
         self.bond_idx = np.asarray([[b[0] - 1, b[1] - 1] for b in bonds],
                                    np.int32).reshape(-1, 2)
         self.bond_targets = [b[2] for b in bonds]
@@ -60,16 +61,28 @@ class Constraints:
         self.fixed_atoms = np.asarray([a - 1 for a in fixed_atoms], np.int32)
         ax_map = {"x": 0, "y": 1, "z": 2}
         self.fixed_coords = [(a - 1, ax_map[ax]) for a, ax in fixed_coords]
+        # fragment-centroid distance constraints
+        # (ref: constraint_condition.py:385 "fbond"):
+        # list of (fragm1_atoms, fragm2_atoms, target_ang or None), 1-based
+        self.fbond_idx = [(np.asarray(f[0], np.int32) - 1,
+                           np.asarray(f[1], np.int32) - 1) for f in fbonds]
+        self.fbond_targets = [f[2] for f in fbonds]
+        # arbitrary fixed directions projected out of gradient and step
+        # (ref: constraint_condition.py:414 "eigvec" — resolve the Hessian
+        # eigenvector ONCE at setup and pass it here)
+        self.projection_vectors = [np.asarray(v, np.float64).reshape(-1)
+                                   for v in projection_vectors]
         self.n_atoms = n_atoms
 
     @property
     def n_constraints(self):
         return (len(self.bond_idx) + len(self.angle_idx)
-                + len(self.dihedral_idx))
+                + len(self.dihedral_idx) + len(self.fbond_idx))
 
     def has_any(self):
         return (self.n_constraints > 0 or len(self.fixed_atoms) > 0
-                or len(self.fixed_coords) > 0)
+                or len(self.fixed_coords) > 0
+                or len(self.projection_vectors) > 0)
 
     # --- values ------------------------------------------------------------
 
@@ -83,6 +96,9 @@ class Constraints:
             parts.append(_angle(coords[i], coords[j], coords[k]))
         for i, j, k, l in self.dihedral_idx:
             parts.append(_dihedral(coords[i], coords[j], coords[k], coords[l]))
+        for f1, f2 in self.fbond_idx:
+            d = jnp.mean(coords[f1], axis=0) - jnp.mean(coords[f2], axis=0)
+            parts.append(jnp.sqrt(jnp.sum(d * d) + 1e-14))
         if not parts:
             return jnp.zeros((0,), coords.dtype)
         return jnp.stack(parts)
@@ -102,6 +118,9 @@ class Constraints:
         for t in self.dihedral_targets:
             out.append(current[idx] if t is None else float(t) * DEG2RAD)
             idx += 1
+        for t in self.fbond_targets:
+            out.append(current[idx] if t is None else float(t) * ANGSTROM2BOHR)
+            idx += 1
         return jnp.asarray(out, dtype=jnp.asarray(coords0).dtype)
 
     # --- Jacobian & projections -------------------------------------------
@@ -112,14 +131,20 @@ class Constraints:
             lambda x: self.values(x.reshape(n, 3)))(coords.reshape(-1))
 
     def _projector_apply(self, vec_flat, coords):
-        """v - B^T (B B^T)^-1 B v."""
-        if self.n_constraints == 0:
-            return vec_flat
-        b = self.jacobian(coords)
-        bbt = b @ b.T
-        lam = jnp.linalg.solve(
-            bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype), b @ vec_flat)
-        return vec_flat - b.T @ lam
+        """v - B^T (B B^T)^-1 B v, plus removal of any fixed projection
+        vectors (eigvec constraints)."""
+        if self.n_constraints:
+            b = self.jacobian(coords)
+            bbt = b @ b.T
+            lam = jnp.linalg.solve(
+                bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype),
+                b @ vec_flat)
+            vec_flat = vec_flat - b.T @ lam
+        for v in self.projection_vectors:
+            u = jnp.asarray(v, vec_flat.dtype)
+            u = u / (jnp.linalg.norm(u) + 1e-30)
+            vec_flat = vec_flat - jnp.dot(u, vec_flat) * u
+        return vec_flat
 
     def mask(self, dtype=jnp.float64):
         """(N,3) multiplicative freeze mask (1 = free)."""

@@ -94,3 +94,43 @@ class TestRelaxedScan:
         for geom, val in zip(res.geometries, res.values):
             d = np.linalg.norm(geom[0] - geom[1]) * 0.52917721067
             assert d == pytest.approx(val, abs=1e-6)
+
+
+def test_fbond_constraint_holds_fragment_distance():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.constraints import Constraints
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    calc = LennardJones()
+    # two Ar2 fragments
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [7.3, 0.0, 0.0],
+                          [3.6, 9.5, 0.0], [10.9, 9.5, 0.0]])
+    z = jnp.array([18, 18, 18, 18])
+    cons = Constraints(fbonds=[([1, 2], [3, 4], None)])  # hold centroid dist
+    d0 = float(jnp.linalg.norm(jnp.mean(coords[:2], axis=0)
+                               - jnp.mean(coords[2:], axis=0)))
+    res = optimize(calc, coords, z, constraints=cons,
+                   config=OptimizeConfig(method="rfo_bfgs", nsteps=60))
+    c = res.coords
+    d = float(jnp.linalg.norm(jnp.mean(c[:2], axis=0)
+                              - jnp.mean(c[2:], axis=0)))
+    assert d == pytest.approx(d0, abs=1e-5)
+    assert float(res.energy) < float(calc.energy(coords, z))
+
+
+def test_projection_vector_blocks_motion(rng):
+    import jax.numpy as jnp
+    from multioptpy_tpu.constraints import Constraints
+
+    n = 3
+    coords = jnp.asarray(rng.normal(size=(n, 3)))
+    v = np.zeros(9)
+    v[2] = 1.0  # block z-motion of atom 1
+    cons = Constraints(projection_vectors=[v], n_atoms=n)
+    g = jnp.asarray(rng.normal(size=(n, 3)))
+    g_proj = cons.project_gradient(g, coords)
+    assert abs(float(g_proj[0, 2])) < 1e-12
+    # other components untouched (no other constraints)
+    np.testing.assert_allclose(np.asarray(g_proj[1:]), np.asarray(g[1:]),
+                               atol=1e-12)
