@@ -169,7 +169,7 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
     frozen). `climbing` may be a traced bool enabling CI on the highest
     interior image."""
     known = ("neb", "cineb", "dneb", "lup", "om", "qsm", "qsm2", "string",
-             "bneb", "nesb", "dmf", "ewbneb", "gpneb")
+             "bneb", "bneb2", "bneb3", "nesb", "dmf", "ewbneb", "gpneb")
     if variant not in known:
         raise ValueError(f"unknown NEB variant '{variant}' "
                          f"(choose from {', '.join(known)})")
@@ -218,6 +218,45 @@ def neb_forces(coords, energies, gradients, k_spring=0.01, variant="neb",
             k_fwd = jnp.concatenate([k_seg, k_seg[-1:]])[:, None, None]
             k_bwd = jnp.concatenate([k_seg[:1], k_seg])[:, None, None]
             force = force + (k_fwd * dp_n - k_bwd * dm_n) * t_atom
+    elif variant == "bneb2":
+        # two-stage per-atom Wilson-B projection (ref:
+        # MEP/pathopt_bneb_force.py:226 CaluculationBNEB2): remove each
+        # atom's gradient components along its directions to BOTH
+        # neighbouring images (closed-form 2x2 Gram solve instead of the
+        # reference's pseudoinverse), then along the per-atom chord.
+        u1 = (x_prev - coords)
+        u1 = u1 / (jnp.sqrt(jnp.sum(u1 ** 2, -1, keepdims=True)) + 1e-15)
+        u2 = (x_next - coords)
+        u2 = u2 / (jnp.sqrt(jnp.sum(u2 ** 2, -1, keepdims=True)) + 1e-15)
+        c12 = jnp.sum(u1 * u2, -1)                        # (I,N)
+        g1 = jnp.sum(g * u1, -1)
+        g2 = jnp.sum(g * u2, -1)
+        det = 1.0 - c12 ** 2
+        safe = jnp.abs(det) > 1e-10
+        det_s = jnp.where(safe, det, 1.0)
+        a1 = jnp.where(safe, (g1 - c12 * g2) / det_s, g1)
+        a2 = jnp.where(safe, (g2 - c12 * g1) / det_s, 0.0)
+        g_p = g - a1[..., None] * u1 - a2[..., None] * u2
+        uc = x_next - x_prev
+        uc = uc / (jnp.sqrt(jnp.sum(uc ** 2, -1, keepdims=True)) + 1e-15)
+        g_p = g_p - jnp.sum(g_p * uc, -1, keepdims=True) * uc
+        force = -g_p
+    elif variant == "bneb3":
+        # per-atom tangent projection + equal-spacing image springs
+        # (ref: MEP/pathopt_bneb_force.py:305 CaluculationBNEB3,
+        # spring_force_const=0.05): the reference's hand-assembled 5-image
+        # spring force is the gradient of 0.5 k sum_j (L_j - L_{j-1})^2 —
+        # taken here with jax.grad over the whole path.
+        t_atom = _per_atom_tangents(coords, energies)
+        g_par_atom = jnp.sum(g * t_atom, axis=-1, keepdims=True) * t_atom
+        force = -(g - g_par_atom)
+
+        def spacing_penalty(path):
+            seg = path[1:] - path[:-1]
+            ell = jnp.sqrt(jnp.sum(seg ** 2, axis=(1, 2)) + 1e-14)
+            return 0.5 * 0.05 * jnp.sum((ell[1:] - ell[:-1]) ** 2)
+
+        force = force - jax.grad(spacing_penalty)(coords)
     elif variant == "qsm2":
         # Ayala-Schlegel tangent QSM (ref: MEP/pathopt_qsmv2_force.py:19):
         # perpendicular gradient with tangents PROPAGATED downhill from the

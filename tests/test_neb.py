@@ -175,3 +175,15 @@ def test_qsm2_ayala_tangents_and_force():
     f = neb_forces(res.path, res.energies, grads, variant="qsm2")
     for i in range(1, 11):
         assert abs(float(jnp.sum(f[i] * tau[i]))) < 1e-8
+
+
+def test_bneb2_bneb3_variants():
+    calc = MullerBrown()
+    path0 = _mb_path(10)
+    z = jnp.array([1])
+    for variant in ("bneb2", "bneb3"):
+        res = neb(calc, path0, z, NEBConfig(
+            variant=variant, n_steps=150, dt0=0.05, dt_max=0.3, fmax=5e-4))
+        e = np.asarray(res.energies)
+        assert np.all(np.isfinite(e)), variant
+        assert e[res.ts_index] > max(e[0], e[-1]), variant
