@@ -156,3 +156,110 @@ RESAMPLERS = {
     "bernstein": bernstein_resample,
     "geodesic": geodesic_resample,
 }
+
+
+def ritz_resample(path, energies, n_out=None, gradients=None,
+                  concentration=2.0):
+    """B-spline Ritz redistribution (ref:
+    Interpolation/ritz_interpolation.py:77 distribute_geometry_bspline_ritz):
+    cubic-spline the geometry AND the energy along normalized arc length,
+    then place images by inverse-CDF sampling of the density
+    w(s) = 1 + c (exp(2 E_scaled(s)) - 1) — concentrated around the barrier
+    for c > 0, uniform arc spacing for c = 0. Host-side (used between NEB
+    rounds, like the reference)."""
+    path = np.asarray(path)
+    energies = np.asarray(energies)
+    n_old = len(path)
+    n_out = n_old if n_out is None else int(n_out)
+    flat = path.reshape(n_old, -1)
+    seg = np.linalg.norm(np.diff(flat, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    if s[-1] < 1e-12 or n_old < 4:
+        return jnp.asarray(path)
+    s = s / s[-1]
+
+    from scipy.interpolate import CubicSpline
+    geom_sp = CubicSpline(s, flat, axis=0)
+    if gradients is not None:
+        # gradient-corrected energy spline: Hermite with projected dE/ds
+        g = np.asarray(gradients).reshape(n_old, -1)
+        tan = np.gradient(flat, s, axis=0)
+        tn = np.linalg.norm(tan, axis=1, keepdims=True)
+        tn[tn < 1e-12] = 1.0
+        dE_ds = np.sum(g * tan / tn, axis=1) * np.sum(seg)
+        from scipy.interpolate import CubicHermiteSpline
+        e_sp = CubicHermiteSpline(s, energies, dE_ds)
+    else:
+        e_sp = CubicSpline(s, energies)
+
+    s_fine = np.linspace(0.0, 1.0, 1000)
+    e_fine = e_sp(s_fine)
+    e_rng = e_fine.max() - e_fine.min()
+    if concentration > 1e-3 and e_rng > 1e-12:
+        e_sc = (e_fine - e_fine.min()) / e_rng
+        w = 1.0 + concentration * (np.exp(2.0 * e_sc) - 1.0)
+    else:
+        w = np.ones_like(s_fine)
+    cdf = np.concatenate([[0.0], np.cumsum(0.5 * (w[1:] + w[:-1])
+                                           * np.diff(s_fine))])
+    cdf /= cdf[-1]
+    s_new = np.interp(np.linspace(0.0, 1.0, n_out), cdf, s_fine)
+    out = geom_sp(s_new).reshape(n_out, *path.shape[1:])
+    out[0], out[-1] = path[0], path[-1]
+    return jnp.asarray(out)
+
+
+def adaptive_resample(path, energies, gradients, n_out=None,
+                      boost_factor=2.0):
+    """Hidden-TS adaptive redistribution (ref:
+    Interpolation/adaptive_interpolation.py:46 predict_hidden_ts_weights +
+    :127): fit a cubic Hermite E(t) on each segment from endpoint energies
+    and path-projected gradients; segments whose cubic has an INTERIOR local
+    maximum (a TS the discrete images straddle) get their image-density
+    weight boosted by `boost_factor`. Host-side."""
+    path = np.asarray(path)
+    energies = np.asarray(energies)
+    gradients = np.asarray(gradients).reshape(len(path), -1)
+    n_old = len(path)
+    n_out = n_old if n_out is None else int(n_out)
+    flat = path.reshape(n_old, -1)
+    seg_vec = np.diff(flat, axis=0)
+    seg_len = np.linalg.norm(seg_vec, axis=1)
+    weights = np.ones(n_old - 1)
+    for i in range(n_old - 1):
+        L = seg_len[i]
+        if L < 1e-8:
+            continue
+        u = seg_vec[i] / L
+        e0, e1 = energies[i], energies[i + 1]
+        d0 = np.dot(gradients[i], u) * L          # dE/dt at t=0
+        d1 = np.dot(gradients[i + 1], u) * L
+        # cubic Hermite h(t) = a3 t^3 + a2 t^2 + a1 t + a0 on t in [0,1]
+        a3 = 2 * (e0 - e1) + d0 + d1
+        a2 = -3 * (e0 - e1) - 2 * d0 - d1
+        a1 = d0
+        disc = a2 ** 2 - 3 * a3 * a1
+        if disc <= 0:
+            continue
+        for root in ((-a2 + np.sqrt(disc)) / (3 * a3 + 1e-30),
+                     (-a2 - np.sqrt(disc)) / (3 * a3 + 1e-30)):
+            if 0.05 < root < 0.95:
+                curv = 6 * a3 * root + 2 * a2
+                if curv < 0:                       # interior local MAX
+                    weights[i] += boost_factor
+                    break
+    # inverse-CDF over boosted segment density
+    density = weights * seg_len
+    cdf = np.concatenate([[0.0], np.cumsum(density)])
+    cdf /= cdf[-1]
+    s_cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    s_cum /= s_cum[-1]
+    targets = np.linspace(0.0, 1.0, n_out)
+    s_new = np.interp(targets, cdf, s_cum)
+    # linear geometry interpolation at the new arc positions
+    out = np.empty((n_out, flat.shape[1]))
+    for d in range(flat.shape[1]):
+        out[:, d] = np.interp(s_new, s_cum, flat[:, d])
+    out = out.reshape(n_out, *path.shape[1:])
+    out[0], out[-1] = path[0], path[-1]
+    return jnp.asarray(out)
