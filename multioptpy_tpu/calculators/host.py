@@ -110,7 +110,8 @@ class PySCF(HostCalculator):
     """
 
     def __init__(self, method="B3LYP", basis="6-31G*", charge=0,
-                 multiplicity=1, **kw):
+                 multiplicity=1, sub_basis=None, ecp=None, excited_state=0,
+                 **kw):
         super().__init__(charge=charge, multiplicity=multiplicity, **kw)
         try:
             import pyscf  # noqa: F401
@@ -118,12 +119,21 @@ class PySCF(HostCalculator):
             raise ImportError("pyscf is not installed") from e
         self.method = method
         self.basis = basis
+        # per-element basis overrides / ECPs / TDA excited state index
+        # (ref: pyscf_calculation_tools.py:53 excited_state, :88 ecp,
+        # sub-basis dict)
+        self.sub_basis = sub_basis or {}
+        self.ecp = ecp
+        self.excited_state = int(excited_state)
 
     def _build_mf(self, coords, z):
         from pyscf import gto, dft, scf
+        basis = (dict(self.sub_basis, default=self.basis)
+                 if self.sub_basis else self.basis)
         mol = gto.M(
             atom=[(int(zi), tuple(c * BOHR2ANGSTROM)) for zi, c in zip(z, coords)],
-            basis=self.basis, charge=self.charge, spin=self.multiplicity - 1,
+            basis=basis, ecp=self.ecp,
+            charge=self.charge, spin=self.multiplicity - 1,
             unit="Angstrom",
         )
         if self.method.upper() in ("HF", "RHF", "UHF"):
@@ -136,6 +146,15 @@ class PySCF(HostCalculator):
     def _host_energy_gradient(self, coords, z):
         mf = self._build_mf(coords, z)
         e = mf.kernel()
+        if self.excited_state > 0:
+            # TDA excited-state gradient (ref: pyscf_calculation_tools.py:126)
+            from pyscf import tdscf
+            td = tdscf.TDA(mf)
+            td.nstates = max(3, self.excited_state)
+            td.kernel()
+            g = td.nuc_grad_method().kernel(state=self.excited_state)
+            e = float(mf.e_tot + td.e[self.excited_state - 1])
+            return float(e), np.asarray(g)
         g = mf.nuc_grad_method().kernel()
         return float(e), np.asarray(g)
 

@@ -58,6 +58,10 @@ def _base_parser(description):
     p.add_argument("-loose", "--loose_convergence_criteria",
                    action="store_true")
     p.add_argument("-tr", "--trust_radius", type=float, default=None)
+    p.add_argument("-delta", "--delta", type=float, default=1.0,
+                   help="first-order step scale (mwsd needs ~1e3)")
+    p.add_argument("-es", "--excited_state", type=int, default=0,
+                   help="TDA excited-state index for the pyscf backend")
     # bias potentials (subset of ref: interface.py:205 parser_for_biasforce)
     p.add_argument("-ma", "--manual_AFIR", nargs="*", default=[],
                    help="gamma(kJ/mol) fragm1 fragm2 (repeatable triplets)")
@@ -114,7 +118,9 @@ def _make_calculator(args):
         name, kw = "tblite", {"method": args.xtb}
     elif args.usepyscf:
         name, kw = "pyscf", {"method": args.functional,
-                             "basis": args.basisset}
+                             "basis": args.basisset,
+                             "excited_state": getattr(args, "excited_state",
+                                                      0)}
     else:
         name, kw = "lj", {}
     return get_calculator(name, charge=args.charge,
@@ -243,7 +249,8 @@ def _opt_config(args):
     kw = dict(method=method, switch_method=switch, nsteps=args.NSTEP,
               saddle_order=args.saddle_order, fc_count=args.fc_count,
               mfc_count=args.mfc_count, trust_radius_ang=args.trust_radius,
-              diis_variant=getattr(args, "diis_variant", None))
+              diis_variant=getattr(args, "diis_variant", None),
+              delta=getattr(args, "delta", 1.0))
     if args.model_hessian:
         kw["init_hessian"] = f"model:{args.model_hessian}"
     if args.tight_convergence_criteria:
