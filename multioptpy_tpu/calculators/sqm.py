@@ -276,6 +276,73 @@ def _fermi_occupations(eps, n_elec, kt=_FERMI_KT, n_iter=60):
     return 2.0 * jax.nn.sigmoid(-(eps - mu) / kt), mu
 
 
+# GFN0-xTB short-range bond (SRB) correction parameters — the published xtb
+# gfn0 data the reference ships in SQM/sqm2/sqm2_data.py:17-21,:103-140.
+# Z-indexed (0 pad; Z=1..86). Defaults k=-0.013 (attractive gaussian at the
+# EN-corrected covalent distance — tightens bond lengths).
+_SRB_K, _SRB_ETA, _SRB_GSCAL, _SRB_C1, _SRB_C2 = -0.013, 3.48, 0.51, -1.71, 2.11
+_SRB_EN = np.zeros(87)
+_SRB_EN[1:87] = [
+    2.30085633, 2.78445145, 1.52956084, 1.51714704, 2.20568300,
+    2.49640820, 2.81007174, 4.51078438, 4.67476223, 3.29383610,
+    2.84505365, 2.20047950, 2.31739628, 2.03636974, 1.97558064,
+    2.13446570, 2.91638164, 1.54098156, 2.91656301, 2.26312147,
+    2.25621439, 1.32628677, 2.27050569, 1.86790977, 2.44759456,
+    2.49480042, 2.91545568, 3.25897750, 2.68723778, 1.86132251,
+    2.01200832, 1.97030722, 1.95495427, 2.68920990, 2.84503857,
+    2.61591858, 2.64188286, 2.28442252, 1.33011187, 1.19809388,
+    1.89181390, 2.40186898, 1.89282464, 3.09963488, 2.50677823,
+    2.61196704, 2.09943450, 2.66930105, 1.78349472, 2.09634533,
+    2.00028974, 1.99869908, 2.59072029, 2.54497829, 2.52387890,
+    2.30204667, 1.60119300, 2.00000000, 2.00000000, 2.00000000,
+    2.00000000, 2.00000000, 2.00000000, 2.00000000, 2.00000000,
+    2.00000000, 2.00000000, 2.00000000, 2.00000000, 2.00000000,
+    2.00000000, 2.30089349, 1.75039077, 1.51785130, 2.62972945,
+    2.75372921, 2.62540906, 2.55860939, 3.32492356, 2.65140898,
+    1.52014458, 2.54984804, 1.72021963, 2.69303422, 1.81031095,
+    2.34224386]
+_SRB_R0 = np.zeros(87)
+_SRB_R0[1:87] = [
+    0.55682207, 0.80966997, 2.49092101, 1.91705642, 1.35974851,
+    0.98310699, 0.98423007, 0.76716063, 1.06139799, 1.17736822,
+    2.85570926, 2.56149012, 2.31673425, 2.03181740, 1.82568535,
+    1.73685958, 1.97498207, 2.00136196, 3.58772537, 2.68096221,
+    2.23355957, 2.33135502, 2.15870365, 2.10522128, 2.16376162,
+    2.10804037, 1.96460045, 2.00476257, 2.22628712, 2.43846700,
+    2.39408483, 2.24245792, 2.05751204, 2.15427677, 2.27191920,
+    2.19722638, 3.80910350, 3.26020971, 2.99716916, 2.71707818,
+    2.34950167, 2.11644818, 2.47180659, 2.32198800, 2.32809515,
+    2.15244869, 2.55958313, 2.59141300, 2.62030465, 2.39935278,
+    2.56912355, 2.54374096, 2.56914830, 2.53680807, 4.24537037,
+    3.66542289, 3.19903011, 2.80000000, 2.80000000, 2.80000000,
+    2.80000000, 2.80000000, 2.80000000, 2.80000000, 2.80000000,
+    2.80000000, 2.80000000, 2.80000000, 2.80000000, 2.80000000,
+    2.80000000, 2.34880037, 2.37597108, 2.49067697, 2.14100577,
+    2.33473532, 2.19498900, 2.12678348, 2.34895048, 2.33422774,
+    2.86560827, 2.62488837, 2.88376127, 2.75174124, 2.83054552,
+    2.63264944]
+
+
+def srb_energy(coords, z, k=_SRB_K, eta=_SRB_ETA, g_scal=_SRB_GSCAL,
+               c1=_SRB_C1, c2=_SRB_C2):
+    """GFN0 short-range bond correction (ref: sqm2_srb.py:21 calculation):
+    E = k sum_{i<j} exp(-eta (1 + g dEN^2) (r - r_cov)^2),
+    r_cov = (r0_i + r0_j)(1 - c1 dEN - c2 dEN^2). Attractive gaussians at
+    EN-corrected covalent distances — tightens bond lengths. Pure JAX;
+    autodiff gradients/Hessians for free."""
+    z_np = np.asarray(z)
+    n = len(z_np)
+    en = jnp.asarray(_SRB_EN[z_np], coords.dtype)
+    r0 = jnp.asarray(_SRB_R0[z_np], coords.dtype)
+    diff = coords[:, None, :] - coords[None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    den = jnp.abs(en[:, None] - en[None, :])
+    r_cov = (r0[:, None] + r0[None, :]) * (1.0 - c1 * den - c2 * den ** 2)
+    expo = -eta * (1.0 + g_scal * den ** 2) * (r - r_cov) ** 2
+    mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    return jnp.sum(jnp.where(mask, k * jnp.exp(expo), 0.0))
+
+
 @register_calculator("sqm")
 class SQM(Calculator):
     """On-device semiempirical backend (H-Ar)."""
@@ -284,7 +351,7 @@ class SQM(Calculator):
 
     def __init__(self, charge=0, multiplicity=1, kt=_FERMI_KT,
                  rep_k=_REP_K, rep_r0_scale=_REP_R0_SCALE, rep_hh=_REP_HH,
-                 **kw):
+                 srb=False, **kw):
         super().__init__(charge=charge, multiplicity=multiplicity, **kw)
         self.kt = float(kt)
         self.rep_k = float(rep_k)
@@ -293,13 +360,17 @@ class SQM(Calculator):
         # radius makes the generic exponential negligible at r_e(H2)
         # (GFN-xTB special-cases the H,H pair the same way)
         self.rep_hh = float(rep_hh)
+        # opt-in GFN0 SRB term (ref: sqm2_srb.py). OFF by default: the
+        # EHT/rep parameters here were calibrated WITHOUT it, and adding it
+        # shifts all equilibrium bond lengths ~0.05-0.1 Bohr shorter.
+        self.srb = bool(srb)
         self.k_ss = float(kw.pop("k_ss", _K_WH))
         self.k_sp = float(kw.pop("k_sp", _K_SP))
         self.k_pp = float(kw.pop("k_pp", _K_WH))
 
     def energy(self, coords, z):
         t = self.energy_terms(coords, z)
-        return t["eht"] + t["eeq"] + t["rep"] + t["disp"]
+        return t["eht"] + t["eeq"] + t["rep"] + t["disp"] + t["srb"]
 
     def hessian(self, coords, z):
         """Seminumerical: central differences of the ANALYTIC gradient.
@@ -433,5 +504,7 @@ class SQM(Calculator):
         e_disp_pair = -_D2_S6 * c6_ij / r ** 6 * f_damp
         e_disp = 0.5 * jnp.sum(jnp.where(off, e_disp_pair, 0.0))
 
+        e_srb = (srb_energy(coords, z_np) if self.srb
+                 else jnp.asarray(0.0, dtype))
         return {"eht": e_eht, "eeq": e_eeq, "rep": e_rep, "disp": e_disp,
-                "charges": q}
+                "srb": e_srb, "charges": q}

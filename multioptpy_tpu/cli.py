@@ -62,6 +62,9 @@ def _base_parser(description):
                    help="first-order step scale (mwsd needs ~1e3)")
     p.add_argument("-es", "--excited_state", type=int, default=0,
                    help="TDA excited-state index for the pyscf backend")
+    p.add_argument("-srb", "--srb", action="store_true",
+                   help="enable the GFN0 short-range bond correction in "
+                        "the sqm backend")
     # bias potentials (subset of ref: interface.py:205 parser_for_biasforce)
     p.add_argument("-ma", "--manual_AFIR", nargs="*", default=[],
                    help="gamma(kJ/mol) fragm1 fragm2 (repeatable triplets)")
@@ -114,6 +117,8 @@ def _make_calculator(args):
 
     if args.calculator:
         name, kw = args.calculator, {}
+        if name == "sqm" and getattr(args, "srb", False):
+            kw["srb"] = True
     elif args.xtb:
         name, kw = "tblite", {"method": args.xtb}
     elif args.usepyscf:

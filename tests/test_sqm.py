@@ -154,3 +154,39 @@ def test_shape_preferences(calc):
     assert e_pyr < e_pla
     barrier_kcal = (e_pla - e_pyr) * 627.509
     assert 1.0 < barrier_kcal < 15.0  # exp ~6
+
+
+def test_srb_term_opt_in_and_tightens_bonds():
+    """GFN0 SRB correction (ref: sqm2_srb.py): off by default, attractive
+    at covalent distances, shortens the optimized bond when enabled."""
+    from multioptpy_tpu.calculators.sqm import SQM, srb_energy
+
+    z = jnp.array([6, 6])
+    r_cov = 2 * 0.98310699  # C r0 sum
+    c = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, r_cov]])
+    e_at = float(srb_energy(c, np.asarray(z)))
+    assert e_at == pytest.approx(-0.013 * np.exp(0.0), rel=1e-10)  # peak
+    far = c.at[1, 2].set(12.0)
+    assert abs(float(srb_energy(far, np.asarray(z)))) < 1e-10
+
+    # default SQM ignores it; srb=True includes it
+    base = SQM()
+    withs = SQM(srb=True)
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.4]])
+    zh = jnp.array([1, 1])
+    t0 = base.energy_terms(coords, zh)
+    t1 = withs.energy_terms(coords, zh)
+    assert float(t0["srb"]) == 0.0
+    assert float(t1["srb"]) != 0.0
+    assert float(base.energy(coords, zh)) != float(withs.energy(coords, zh))
+
+    # optimized H2 bond is SHORTER with the attractive SRB on
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+    cfg = OptimizeConfig(method="rfo_bfgs", nsteps=60, fc_count=10,
+                         project_tr_rot=False)
+    r_off = float(jnp.linalg.norm(
+        optimize(base, coords, zh, config=cfg).coords[1]
+        - optimize(base, coords, zh, config=cfg).coords[0]))
+    res_on = optimize(withs, coords, zh, config=cfg)
+    r_on = float(jnp.linalg.norm(res_on.coords[1] - res_on.coords[0]))
+    assert r_on < r_off
