@@ -34,7 +34,11 @@ def main():
     z = jnp.array([18] * N_ATOMS)
 
     calc = LennardJones()
-    config = OptimizeConfig(method="rfo_fsb", init_hessian="exact")
+    # jacobi eigensolver: 1.55x end-to-end over the EighTpu custom call for
+    # these (256,24,24) Hessians (NOTES.md perf deep-dive); step agreement
+    # with xla verified to 1e-8 (tests/test_steppers.py)
+    config = OptimizeConfig(method="rfo_fsb", init_hessian="exact",
+                            eigh_impl="jacobi")
     step = make_step_fn(calc, z, None, config)
     state = jax.vmap(lambda c: init_state(c, z, calc, None, config))(
         jnp.asarray(coords))

@@ -80,6 +80,11 @@ class OptimizeConfig:
                                      # gediis,kdiis}.py)
     follow_mode_index: int = 0       # initial mode for mf_rsirfo_* methods
                                      # (ref: Optimizer/mf_rsirfo.py)
+    eigh_impl: str = "xla"           # "xla" | "jacobi" — eigensolver for the
+                                     # RFO step (jacobi: batched round-robin
+                                     # Jacobi, ~1.7x faster than the EighTpu
+                                     # custom call for small batched
+                                     # Hessians; see ops/jacobi.py)
     switch_method: Optional[str] = None  # high-force first-order engine for
                                      # sigmoid RMS-force switching toward
                                      # `method` near convergence
@@ -490,7 +495,8 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             step = q.T @ step_r
         else:
             step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
-                                    saddle_order=saddle_order)
+                                    saddle_order=saddle_order,
+                                    eigh_impl=config.eigh_impl)
         if is_mw:
             step = step * minv
         dv = config.effective_diis()

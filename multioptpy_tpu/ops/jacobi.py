@@ -87,12 +87,16 @@ def jacobi_eigh(a, sweeps=10):
         g = g.at[:, p, q].set(s)
         g = g.at[:, q, p].set(-s)
 
+        # HIGHEST precision: the TPU's default bf16 matmul passes stall
+        # Jacobi at ~1e-1 accuracy; full-f32 passes reach the f32 floor
         a = jnp.einsum("bij,bjk,blk->bil", g, a, g,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         # re-symmetrize drift
         a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
         v = jnp.einsum("bij,bjk->bik", v, jnp.swapaxes(g, -1, -2),
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         return (a, v), None
 
     def one_sweep(carry, _):

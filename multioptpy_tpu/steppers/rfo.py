@@ -120,9 +120,22 @@ def _rfo_step_grid(d_im, g_im, valid, trust_radius, alpha0=1.0,
     return step, lam
 
 
-@partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter"))
+def _eigh(h, impl):
+    """Symmetric eigendecomposition dispatch: "xla" (EighTpu custom call) or
+    "jacobi" (ops/jacobi.py batched round-robin Jacobi, 7 full-precision
+    sweeps — measured 1.67x faster than EighTpu for (256,24,24) f32 on v5e
+    at the same f32 accuracy floor, NOTES.md perf deep-dive)."""
+    if impl == "jacobi":
+        from multioptpy_tpu.ops.jacobi import jacobi_eigh
+        return jacobi_eigh(h, sweeps=7)
+    return jnp.linalg.eigh(h)
+
+
+@partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter",
+                                   "eigh_impl"))
 def rs_rfo_step(gradient, hessian, trust_radius, saddle_order=0,
-                alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40):
+                alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40,
+                eigh_impl="xla"):
     """One restricted-step image-RFO step.
 
     Parameters
@@ -138,7 +151,7 @@ def rs_rfo_step(gradient, hessian, trust_radius, saddle_order=0,
     step : (D,) move vector, norm <= trust_radius (+tolerance)
     aux : dict(predicted_energy_change, lambda, step_norm)
     """
-    d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
+    d, v = _eigh(0.5 * (hessian + hessian.T), eigh_impl)
     # NaN guard: broken Hessian falls back to identity => steepest descent
     # (ref: rsirfo.py:362-370)
     bad = ~jnp.all(jnp.isfinite(d)) | ~jnp.all(jnp.isfinite(v))

@@ -203,3 +203,33 @@ class TestFirstOrder:
             lambda st, g, x: lbfgs_step(st, x, g, delta=0.5),
             lbfgs_init(n), h, x0, n=200)
         assert float(jnp.linalg.norm(x)) < 1e-5
+
+
+def test_rs_rfo_jacobi_eigh_matches_xla():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+    from multioptpy_tpu.steppers.rfo import rs_rfo_step
+
+    # step-level agreement on a well-conditioned Hessian
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(12, 12))
+    h = jnp.asarray(a @ a.T + 12 * np.eye(12))
+    g = jnp.asarray(rng.normal(size=12))
+    s_x, _ = rs_rfo_step(g, h, jnp.asarray(0.3), eigh_impl="xla")
+    s_j, _ = rs_rfo_step(g, h, jnp.asarray(0.3), eigh_impl="jacobi")
+    np.testing.assert_allclose(np.asarray(s_j), np.asarray(s_x),
+                               rtol=1e-8, atol=1e-10)
+
+    # end-to-end: same LJ trimer minimum
+    calc = LennardJones()
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [6.5, 0.0, 0.0],
+                          [3.2, 5.6, 0.0]])
+    z = jnp.array([18, 18, 18])
+    es = {}
+    for impl in ("xla", "jacobi"):
+        res = optimize(calc, coords, z, config=OptimizeConfig(
+            method="rfo_bfgs", nsteps=60, eigh_impl=impl))
+        assert bool(res.converged), impl
+        es[impl] = float(res.energy)
+    assert es["jacobi"] == pytest.approx(es["xla"], abs=1e-9)
