@@ -122,12 +122,19 @@ def _rfo_step_grid(d_im, g_im, valid, trust_radius, alpha0=1.0,
 
 def _eigh(h, impl):
     """Symmetric eigendecomposition dispatch: "xla" (EighTpu custom call) or
-    "jacobi" (ops/jacobi.py batched round-robin Jacobi, 7 full-precision
+    "jacobi" (ops/jacobi.py batched round-robin Jacobi, full-precision
     sweeps — measured 1.67x faster than EighTpu for (256,24,24) f32 on v5e
-    at the same f32 accuracy floor, NOTES.md perf deep-dive)."""
+    at the same f32 accuracy floor, NOTES.md perf deep-dive). The sweep
+    count grows logarithmically with dimension (cyclic Jacobi needs
+    ~log(D) extra sweeps past the small-D floor of 5; D=24 -> 6,
+    D=128 -> 8)."""
     if impl == "jacobi":
+        import numpy as _np
+
         from multioptpy_tpu.ops.jacobi import jacobi_eigh
-        return jacobi_eigh(h, sweeps=7)
+        d = h.shape[-1]
+        sweeps = 5 + max(0, int(_np.ceil(_np.log2(max(d, 16) / 16.0))))
+        return jacobi_eigh(h, sweeps=sweeps)
     return jnp.linalg.eigh(h)
 
 
