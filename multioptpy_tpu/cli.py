@@ -300,11 +300,20 @@ def run_optmain(argv=None):
     logger = RunLogger(out, tracked_params=tracked)
     log_cb = logger.make_callback()
 
+    # per-step dE/dparam for every bias potential (ref: potential.py:137-144
+    # logs jacrev wrt bias_pot_params each step)
+    pgrad_rows = []
+
     def cb(it, st):
         print(f"# iter {it:4d}  E = {float(st.energy):+.10f}  "
               f"max|g| = {float(abs(st.gradient).max()):.3e}  "
               f"trust = {float(st.trust_radius):.4f}")
         log_cb(it, st)
+        if bias is not None and len(bias):
+            pg = bias.compute(st.coords).param_grads
+            pgrad_rows.append(np.concatenate(
+                [np.atleast_1d(np.asarray(g)).ravel() for g in pg])
+                if pg else np.zeros(0))
 
     cfg = _opt_config(args)
     snapshot_config(out, cfg, extra={"input": args.input})
@@ -318,6 +327,13 @@ def run_optmain(argv=None):
                      res.coords_history * BOHR2ANGSTROM)
     np.savetxt(os.path.join(out, "energies.csv"), res.energy_history,
                header="energy_hartree")
+    if pgrad_rows and pgrad_rows[0].size:
+        names = []
+        for pot in bias.potentials:
+            n_p = len(np.atleast_1d(pot.init_params()))
+            names += [f"{pot.name}_p{k}" for k in range(n_p)]
+        np.savetxt(os.path.join(out, "bias_param_grads.csv"),
+                   np.vstack(pgrad_rows), header=" ".join(names))
     print(f"converged: {bool(res.converged)} after {res.n_iterations} steps; "
           f"E = {float(res.energy):.10f} Ha -> {out}/")
     return 0 if bool(res.converged) else 1

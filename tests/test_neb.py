@@ -187,3 +187,20 @@ def test_bneb2_bneb3_variants():
         e = np.asarray(res.energies)
         assert np.all(np.isfinite(e)), variant
         assert e[res.ts_index] > max(e[0], e[-1]), variant
+
+
+def test_neb_scan_matches_host_loop():
+    from multioptpy_tpu.drivers.neb import neb_scan
+
+    calc = MullerBrown()
+    path0 = _mb_path(10)
+    z = jnp.array([1])
+    cfg = NEBConfig(variant="neb", n_steps=80, k_spring=5e-4, dt0=0.05,
+                    dt_max=0.3, fmax=1e-12)   # fixed iterations both ways
+    r_host = neb(calc, path0, z, cfg)
+    r_scan = neb_scan(calc, path0, z, cfg)
+    np.testing.assert_allclose(np.asarray(r_scan.path),
+                               np.asarray(r_host.path), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r_scan.energies),
+                               np.asarray(r_host.energies), atol=1e-12)
+    assert r_scan.energy_history.shape[0] == 80
