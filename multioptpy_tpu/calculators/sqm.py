@@ -276,6 +276,47 @@ def _fermi_occupations(eps, n_elec, kt=_FERMI_KT, n_iter=60):
     return 2.0 * jax.nn.sigmoid(-(eps - mu) / kt), mu
 
 
+def _sym_solve(a, b):
+    """Solve the symmetric (indefinite, bordered) EEQ system.
+
+    TPU implements only F32 LuDecomposition, so f64 `jnp.linalg.solve`
+    fails to compile on device; in that regime solve via the pure-matmul
+    Jacobi eigendecomposition (ops/jacobi.py) instead — any dtype, any
+    backend. CPU / f32 keep the LAPACK-path solve (faster forward AND
+    a cheap transpose rule for autodiff)."""
+    import jax as _jax
+
+    if a.dtype == jnp.float64 and _jax.default_backend() != "cpu":
+        # fixed-iteration CG on the normal equations: only adds/matvecs,
+        # which are the f64 ops the TPU emulation handles reliably (batched
+        # Jacobi showed spectrum drift in f64 there). A^T A is SPD; CG
+        # converges in <= dim steps in exact arithmetic; 3*dim iterations
+        # cover f64 roundoff for these tiny, well-scaled EEQ systems.
+        ata = a.T @ a
+        atb = a.T @ b
+        n_it = 3 * a.shape[-1]
+
+        def body(_, xrp):
+            x, r, p = xrp
+            ap = ata @ p
+            denom = jnp.dot(p, ap)
+            alpha = jnp.where(jnp.abs(denom) > 1e-300,
+                              jnp.dot(r, r) / jnp.where(
+                                  jnp.abs(denom) > 1e-300, denom, 1.0), 0.0)
+            x = x + alpha * p
+            r_new = r - alpha * ap
+            beta_den = jnp.dot(r, r)
+            beta = jnp.where(beta_den > 1e-300,
+                             jnp.dot(r_new, r_new) / jnp.where(
+                                 beta_den > 1e-300, beta_den, 1.0), 0.0)
+            return x, r_new, r_new + beta * p
+
+        x0 = jnp.zeros_like(b)
+        x, _, _ = _jax.lax.fori_loop(0, n_it, body, (x0, atb, atb))
+        return x
+    return jnp.linalg.solve(a, b)
+
+
 # GFN0-xTB short-range bond (SRB) correction parameters — the published xtb
 # gfn0 data the reference ships in SQM/sqm2/sqm2_data.py:17-21,:103-140.
 # Z-indexed (0 pad; Z=1..86). Defaults k=-0.013 (attractive gaussian at the
@@ -474,7 +515,7 @@ class SQM(Calculator):
         big = big.at[:n, n].set(1.0)
         big = big.at[n, :n].set(1.0)
         rhs = jnp.concatenate([-chi, jnp.asarray([float(self.charge)], dtype)])
-        sol = jnp.linalg.solve(big, rhs)
+        sol = _sym_solve(big, rhs)
         q = sol[:n]
         e_eeq = jnp.dot(chi, q) + 0.5 * jnp.dot(q, a_mat @ q)
 
