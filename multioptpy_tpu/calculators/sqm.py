@@ -276,6 +276,31 @@ def _fermi_occupations(eps, n_elec, kt=_FERMI_KT, n_iter=60):
     return 2.0 * jax.nn.sigmoid(-(eps - mu) / kt), mu
 
 
+def _inv_sqrt_newton_schulz(s, n_iter=34):
+    """S^{-1/2} of an SPD matrix by the coupled Newton-Schulz iteration
+    (Denman-Beavers NS form):
+        Y_0 = S/c, Z_0 = I;  T_k = 0.5 (3I - Z_k Y_k)
+        Y_{k+1} = Y_k T_k,   Z_{k+1} = T_k Z_k
+        => Z -> (S/c)^{-1/2},  result = Z / sqrt(c)
+    Convergence needs the spectrum of S/c in (0, 2): c is the Gershgorin
+    row-sum bound, so eigenvalues lie in (0, 1]. Quadratic convergence;
+    34 iterations cover overlap condition numbers to ~1e4 at f64, f32
+    saturates earlier. Fixed trip count -> jit/vmap-safe; pure matmuls ->
+    exact autodiff with no custom-call JVPs."""
+    d = s.shape[-1]
+    eye = jnp.eye(d, dtype=s.dtype)
+    c = jnp.max(jnp.sum(jnp.abs(s), axis=-1)) + 1e-30
+    y0 = s / c
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (3.0 * eye - z @ y)
+        return y @ t, t @ z
+
+    y, z = jax.lax.fori_loop(0, n_iter, body, (y0, eye))
+    return z / jnp.sqrt(c)
+
+
 def _sym_solve(a, b):
     """Solve the symmetric (indefinite, bordered) EEQ system.
 
@@ -287,34 +312,62 @@ def _sym_solve(a, b):
     import jax as _jax
 
     if a.dtype == jnp.float64 and _jax.default_backend() != "cpu":
-        # fixed-iteration CG on the normal equations: only adds/matvecs,
-        # which are the f64 ops the TPU emulation handles reliably (batched
-        # Jacobi showed spectrum drift in f64 there). A^T A is SPD; CG
-        # converges in <= dim steps in exact arithmetic; 3*dim iterations
-        # cover f64 roundoff for these tiny, well-scaled EEQ systems.
-        ata = a.T @ a
-        atb = a.T @ b
-        n_it = 3 * a.shape[-1]
-
-        def body(_, xrp):
-            x, r, p = xrp
-            ap = ata @ p
-            denom = jnp.dot(p, ap)
-            alpha = jnp.where(jnp.abs(denom) > 1e-300,
-                              jnp.dot(r, r) / jnp.where(
-                                  jnp.abs(denom) > 1e-300, denom, 1.0), 0.0)
-            x = x + alpha * p
-            r_new = r - alpha * ap
-            beta_den = jnp.dot(r, r)
-            beta = jnp.where(beta_den > 1e-300,
-                             jnp.dot(r_new, r_new) / jnp.where(
-                                 beta_den > 1e-300, beta_den, 1.0), 0.0)
-            return x, r_new, r_new + beta * p
-
-        x0 = jnp.zeros_like(b)
-        x, _, _ = _jax.lax.fori_loop(0, n_it, body, (x0, atb, atb))
-        return x
+        return _cg_solve(a, b)
     return jnp.linalg.solve(a, b)
+
+
+def _cg_raw(a, b):
+    """Fixed-iteration CG on the normal equations: only adds/matvecs, which
+    are the f64 ops the TPU emulation handles reliably (batched Jacobi shows
+    spectrum drift in f64 there; LU/cholesky/triangular custom calls are
+    F32-only). A^T A is SPD; CG converges in <= dim steps in exact
+    arithmetic; 3*dim iterations cover f64 roundoff for these tiny,
+    well-scaled EEQ systems."""
+    ata = a.T @ a
+    atb = a.T @ b
+    n_it = 3 * a.shape[-1]
+
+    def body(_, xrp):
+        x, r, p = xrp
+        ap = ata @ p
+        denom = jnp.dot(p, ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-300,
+                          jnp.dot(r, r) / jnp.where(
+                              jnp.abs(denom) > 1e-300, denom, 1.0), 0.0)
+        x = x + alpha * p
+        r_new = r - alpha * ap
+        beta_den = jnp.dot(r, r)
+        beta = jnp.where(beta_den > 1e-300,
+                         jnp.dot(r_new, r_new) / jnp.where(
+                             beta_den > 1e-300, beta_den, 1.0), 0.0)
+        return x, r_new, r_new + beta * p
+
+    x0 = jnp.zeros_like(b)
+    x, _, _ = jax.lax.fori_loop(0, n_it, body, (x0, atb, atb))
+    return x
+
+
+@jax.custom_vjp
+def _cg_solve(a, b):
+    return _cg_raw(a, b)
+
+
+def _cg_solve_fwd(a, b):
+    x = _cg_raw(a, b)
+    return x, (a, x)
+
+
+def _cg_solve_bwd(res, xbar):
+    # implicit-function adjoint of x = A^-1 b: solve A^T lam = xbar (one
+    # more forward CG — reverse-differentiating THROUGH the loop NaNs in
+    # f64 on TPU and is wasteful everywhere), then b_bar = lam,
+    # A_bar = -lam x^T
+    a, x = res
+    lam = _cg_raw(a.T, xbar)
+    return (-jnp.outer(lam, x), lam)
+
+
+_cg_solve.defvjp(_cg_solve_fwd, _cg_solve_bwd)
 
 
 # GFN0-xTB short-range bond (SRB) correction parameters — the published xtb
@@ -472,11 +525,16 @@ class SQM(Calculator):
         # ---- generalized eigenproblem via Cholesky whitening ----------
         # (ref: sqm1_core.py:690 uses the same factorization; Cholesky
         # gradients are degeneracy-safe, unlike a Loewdin S-eigh)
-        from jax.scipy.linalg import cholesky, solve_triangular
+        # Loewdin orthogonalization via Newton-Schulz S^{-1/2}: pure
+        # matmuls, so it is (a) MXU-native, (b) smooth/differentiable at
+        # overlap-eigenvalue degeneracies (the reason the earlier Cholesky
+        # whitening needed custom handling), and (c) f64-safe on TPU where
+        # the cholesky/triangular_solve custom calls are F32-only.
+        # H' = S^{-1/2} H S^{-1/2} is similar to the Cholesky-whitened
+        # L^-1 H L^-T, so the band energy is unchanged.
         s_reg = s_mat + 1e-10 * jnp.eye(4 * n, dtype=dtype)
-        l_fac = cholesky(s_reg, lower=True)
-        tmp = solve_triangular(l_fac, h_mat, lower=True)
-        h_prime = solve_triangular(l_fac, tmp.T, lower=True).T
+        s_inv_sqrt = _inv_sqrt_newton_schulz(s_reg)
+        h_prime = s_inv_sqrt @ h_mat @ s_inv_sqrt
         h_prime = 0.5 * (h_prime + h_prime.T)
 
         n_elec = float(np.sum(_T["n_val"][z_np]) - self.charge)
