@@ -48,16 +48,12 @@ def _normalize(v, eps=1e-14):
     return v / n
 
 
-def improved_tangents(coords, energies):
-    """(I,N,3),(I,) -> unit tangents (I,N,3), Henkelman improved tangent."""
-    x_prev = jnp.roll(coords, 1, axis=0)
-    x_next = jnp.roll(coords, -1, axis=0)
+def _tangents_from_halo(coords, x_prev, x_next, e, e_prev, e_next):
+    """Improved tangents given explicit ±1 neighbor halos — shared by the
+    single-array path (halos = jnp.roll) and the shard_map path (halos =
+    lax.ppermute ring exchange)."""
     d_plus = x_next - coords   # to next image
     d_minus = coords - x_prev  # from previous image
-
-    e = energies
-    e_prev = jnp.roll(e, 1)
-    e_next = jnp.roll(e, -1)
 
     uphill = (e_next > e) & (e > e_prev)
     downhill = (e_next < e) & (e < e_prev)
@@ -72,6 +68,13 @@ def improved_tangents(coords, energies):
                     jnp.where(downhill[:, None, None], d_minus,
                               w_plus * d_plus + w_minus * d_minus))
     return _normalize(tau)
+
+
+def improved_tangents(coords, energies):
+    """(I,N,3),(I,) -> unit tangents (I,N,3), Henkelman improved tangent."""
+    return _tangents_from_halo(
+        coords, jnp.roll(coords, 1, axis=0), jnp.roll(coords, -1, axis=0),
+        energies, jnp.roll(energies, 1), jnp.roll(energies, -1))
 
 
 def _per_atom_tangents(coords, energies):
@@ -590,6 +593,198 @@ def neb_scan(calc, path0, z, config=NEBConfig(), bias_engine=None):
     ts_index = int(np.argmax(e_np[1:-1])) + 1 if len(e_np) > 2 else 0
     return NEBResult(
         path=path, energies=energies,
+        converged=jnp.asarray(float(fmax_hist[-1]) < config.fmax),
+        n_iterations=config.n_steps, energy_history=np.asarray(e_hist),
+        ts_index=ts_index,
+    )
+
+
+# --------------------------------------------------------------------------
+# sharded NEB: image axis over a device mesh, ppermute neighbor exchange
+# --------------------------------------------------------------------------
+
+class NEBState(NamedTuple):
+    """Whole-band NEB state for the sharded step (pytree; coords/velocity/
+    energies carry the image axis, scalars are replicated)."""
+    coords: jnp.ndarray     # (I,N,3)
+    velocity: jnp.ndarray   # (I,N,3) FIRE velocity
+    dt: jnp.ndarray         # scalar
+    alpha: jnp.ndarray      # scalar
+    n_good: jnp.ndarray     # int scalar
+    iteration: jnp.ndarray  # int scalar
+    energies: jnp.ndarray   # (I,) from the last step
+    fmax: jnp.ndarray       # scalar max |force| from the last step
+
+
+def neb_init(path0, z, calc=None, config=NEBConfig()):
+    """Initial NEBState for `neb_sharded_step` (z/calc accepted for symmetry
+    with the other drivers; energies are filled by the first step)."""
+    path0 = jnp.asarray(path0)
+    dt = path0.dtype
+    return NEBState(
+        coords=path0,
+        velocity=jnp.zeros_like(path0),
+        dt=jnp.asarray(config.dt0, dt),
+        alpha=jnp.asarray(0.1, dt),
+        n_good=jnp.asarray(0, jnp.int32),
+        iteration=jnp.asarray(0, jnp.int32),
+        energies=jnp.zeros((path0.shape[0],), dt),
+        fmax=jnp.asarray(jnp.inf, dt),
+    )
+
+
+def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
+                     bias_engine=None):
+    """One NEB iteration with the IMAGE axis sharded over a device mesh.
+
+    This is the one true NEB communication pattern (SURVEY §5.8 item 2,
+    replacing the reference's sequential per-image loop at
+    ref: Calculator/tblite_calculation_tools.py:312): each device holds a
+    contiguous block of images, evaluates its QM energies/gradients locally,
+    and exchanges the ±1 boundary images/energies with its ring neighbors
+    via `lax.ppermute` to build tangents and springs. The climbing-image
+    index comes from an `all_gather` of the (tiny) per-image energies; the
+    FIRE clock's global reductions are `psum`s. The ring wraparound
+    reproduces `jnp.roll`, so this matches the single-device
+    `make_neb_step` numerically (see tests/test_neb_sharded.py).
+
+    Supports the improved-tangent family ("neb"/"cineb") with the FIRE
+    band optimizer — the throughput configuration.
+    """
+    from jax import lax
+
+    if mesh is None:
+        from multioptpy_tpu.parallel.mesh import ensemble_mesh
+        mesh = ensemble_mesh(axis=axis)
+    if config.variant not in ("neb", "cineb"):
+        raise ValueError("neb_sharded_step supports variants neb/cineb")
+    if config.optimizer != "fire":
+        raise ValueError("neb_sharded_step supports the fire optimizer")
+
+    n_dev = int(mesh.shape[axis])
+    z = jnp.asarray(z)
+
+    def energy_grad_one(x):
+        e, g = calc.energy_and_gradient(x, z)
+        if bias_engine is not None and len(bias_engine):
+            be, bg = bias_engine.energy_and_gradient(x)
+            e, g = e + be, g + bg
+        return e, g
+
+    from jax.sharding import PartitionSpec as P
+    img = P(axis)
+    rep = P()
+    in_specs = NEBState(coords=img, velocity=img, dt=rep, alpha=rep,
+                        n_good=rep, iteration=rep, energies=img, fmax=rep)
+
+    perm_from_next = [((d + 1) % n_dev, d) for d in range(n_dev)]
+    perm_from_prev = [((d - 1) % n_dev, d) for d in range(n_dev)]
+
+    def local_step(state):
+        coords_l = state.coords          # (m,N,3) local block
+        m = coords_l.shape[0]
+        dev = lax.axis_index(axis)
+        n_images = n_dev * m
+        gidx = dev * m + jnp.arange(m)   # global image indices
+
+        e_l, g_l = jax.vmap(energy_grad_one)(coords_l)
+
+        # ±1 halo exchange over the ring (wraparound == jnp.roll semantics;
+        # the wrapped values only feed frozen endpoint rows).
+        x_from_next = lax.ppermute(coords_l[0], axis, perm_from_next)
+        x_from_prev = lax.ppermute(coords_l[-1], axis, perm_from_prev)
+        e_from_next = lax.ppermute(e_l[0], axis, perm_from_next)
+        e_from_prev = lax.ppermute(e_l[-1], axis, perm_from_prev)
+        x_prev = jnp.concatenate([x_from_prev[None], coords_l[:-1]], axis=0)
+        x_next = jnp.concatenate([coords_l[1:], x_from_next[None]], axis=0)
+        e_prev = jnp.concatenate([e_from_prev[None], e_l[:-1]])
+        e_next = jnp.concatenate([e_l[1:], e_from_next[None]])
+
+        tau = _tangents_from_halo(coords_l, x_prev, x_next,
+                                  e_l, e_prev, e_next)
+        g_par = _image_dot(g_l, tau) * tau
+        g_perp = g_l - g_par
+        d_plus_n = jnp.sqrt(
+            _image_dot(x_next - coords_l, x_next - coords_l) + 1e-14)
+        d_minus_n = jnp.sqrt(
+            _image_dot(coords_l - x_prev, coords_l - x_prev) + 1e-14)
+        force = -g_perp + config.k_spring * (d_plus_n - d_minus_n) * tau
+
+        # climbing image: global argmax of interior energies (all_gather of
+        # I floats — negligible traffic)
+        e_full = lax.all_gather(e_l, axis).reshape(-1)         # (I,)
+        interior_full = ((jnp.arange(n_images) > 0)
+                         & (jnp.arange(n_images) < n_images - 1))
+        ci_idx = jnp.argmax(jnp.where(interior_full, e_full, -jnp.inf))
+        climbing = jnp.asarray(
+            (config.variant == "cineb"), bool
+        ) & (state.iteration + 1 >= config.climbing_start)
+        is_ci = ((gidx == ci_idx)[:, None, None]) & climbing
+        force = jnp.where(is_ci, -g_l + 2.0 * g_par, force)
+
+        is_end = ((gidx == 0) | (gidx == n_images - 1))[:, None, None]
+        end_force = -g_l if config.optimize_endpoints else jnp.zeros_like(g_l)
+        force = jnp.where(is_end, end_force, force)
+
+        # FIRE with psum'd global reductions (same math/constants as
+        # steppers/first_order.fire_step over the flattened band)
+        v = state.velocity
+        power = lax.psum(jnp.sum(v * force), axis)
+        vnorm = jnp.sqrt(lax.psum(jnp.sum(v * v), axis))
+        fnorm = jnp.sqrt(lax.psum(jnp.sum(force * force), axis))
+        v_mix = (1.0 - state.alpha) * v + state.alpha * vnorm * force / (
+            fnorm + 1e-8)
+        downhill = power > 0.0
+        accelerate = downhill & (state.n_good > 5)
+        dt_new = jnp.where(
+            downhill,
+            jnp.where(accelerate, jnp.minimum(state.dt * 1.10, config.dt_max),
+                      state.dt),
+            state.dt * 0.50)
+        alpha_new = jnp.where(
+            downhill,
+            jnp.where(accelerate, state.alpha * 0.99, state.alpha),
+            jnp.asarray(0.1, v.dtype))
+        v_new = jnp.where(downhill, v_mix, jnp.zeros_like(v)) + dt_new * force
+        n_good = jnp.where(downhill, state.n_good + 1, 0)
+        mv = dt_new * v_new
+
+        mv_norm = jnp.sqrt(_image_dot(mv, mv) + 1e-30)
+        mv = mv * jnp.minimum(1.0, config.max_move / mv_norm)
+        fmax = lax.pmax(jnp.max(jnp.abs(force)), axis)
+
+        return NEBState(coords=coords_l + mv, velocity=v_new, dt=dt_new,
+                        alpha=alpha_new, n_good=n_good,
+                        iteration=state.iteration + 1, energies=e_l,
+                        fmax=fmax)
+
+    return jax.shard_map(local_step, mesh=mesh, in_specs=(in_specs,),
+                         out_specs=in_specs)
+
+
+def neb_sharded(calc, path0, z, config=NEBConfig(), mesh=None, axis="batch",
+                bias_engine=None):
+    """Run sharded NEB to `config.n_steps` via lax.scan (one dispatch)."""
+    from multioptpy_tpu.parallel.mesh import ensemble_mesh, shard_batch
+
+    if mesh is None:
+        mesh = ensemble_mesh(axis=axis)
+    state = neb_init(path0, z, calc, config)
+    state = shard_batch(state, mesh, axis)
+    step = neb_sharded_step(calc, z, config, mesh, axis, bias_engine)
+
+    @jax.jit
+    def run(s0):
+        def body(s, _):
+            s = step(s)
+            return s, (s.energies, s.fmax)
+        return jax.lax.scan(body, s0, None, length=config.n_steps)
+
+    state, (e_hist, fmax_hist) = run(state)
+    e_np = np.asarray(state.energies)
+    ts_index = int(np.argmax(e_np[1:-1])) + 1 if len(e_np) > 2 else 0
+    return NEBResult(
+        path=state.coords, energies=state.energies,
         converged=jnp.asarray(float(fmax_hist[-1]) < config.fmax),
         n_iterations=config.n_steps, energy_history=np.asarray(e_hist),
         ts_index=ts_index,
