@@ -1,11 +1,13 @@
-"""Benchmark: per-structure optimizer-step overhead, batched RS-RFO ensemble.
+"""Benchmarks: batched RS-RFO overhead (headline), 32-image SQM NEB, and
+f64 on-device SQM optimization throughput.
 
-Target from BASELINE.md: < 1 ms/structure for a 256-structure batched RFO
-step (the reference advances structures sequentially in Python; its per-step
-optimizer overhead on one CPU core is the implicit baseline, measured here
-as `vs_baseline` = baseline_ms / our_ms, >1 means faster).
+Targets from BASELINE.md: < 1 ms/structure for a 256-structure batched RFO
+step and < 1 ms/image for a 32-image NEB step (the reference advances
+structures/images sequentially in Python; `vs_baseline` =
+baseline_ms / our_ms, >1 means faster).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the headline {"metric", "value", "unit",
+"vs_baseline"} plus an "extras" list with the secondary rows.
 """
 
 import json
@@ -14,7 +16,16 @@ import time
 import numpy as np
 
 
-def main():
+def _timeit(fn, reps=3):
+    """Mean wall-clock of fn() over reps (fn must block on its result)."""
+    fn()  # compile / warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_rfo_lj():
     import jax
     import jax.numpy as jnp
 
@@ -23,14 +34,11 @@ def main():
         OptimizeConfig, init_state, make_step_fn)
     from multioptpy_tpu.periodic import UFF_VDW_R
 
-    BATCH = 256
-    N_ATOMS = 8
-    N_STEPS = 20
-
+    BATCH, N_ATOMS, N_STEPS = 256, 8, 20
     rmin = float(UFF_VDW_R[18])
     rng = np.random.default_rng(7)
-    # random Ar8 clusters, loosely packed
-    coords = (rng.standard_normal((BATCH, N_ATOMS, 3)) * rmin * 0.8).astype(np.float32)
+    coords = (rng.standard_normal((BATCH, N_ATOMS, 3)) * rmin * 0.8
+              ).astype(np.float32)
     z = jnp.array([18] * N_ATOMS)
 
     calc = LennardJones()
@@ -50,31 +58,120 @@ def main():
         final, _ = jax.lax.scan(body, state, None, length=N_STEPS)
         return final
 
-    # compile
-    out = run(state)
-    jax.block_until_ready(out.coords)
+    dt = _timeit(lambda: jax.block_until_ready(run(state).coords))
+    ms = dt / (BATCH * N_STEPS) * 1e3
+    return {"metric": "batched_rfo_step_overhead_256xAr8",
+            "value": round(ms, 6), "unit": "ms/structure/step",
+            "vs_baseline": round(1.0 / ms, 3)}
 
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = run(state)
-        jax.block_until_ready(out.coords)
-    dt = (time.perf_counter() - t0) / reps
 
-    ms_per_structure_step = dt / (BATCH * N_STEPS) * 1e3
+def bench_sqm_neb32():
+    """32-image NEB on the on-device SQM backend (water isomerization-ish
+    stretch path), neb_scan driver — BASELINE target < 1 ms/image/step."""
+    import jax
+    import jax.numpy as jnp
 
-    # Baseline: the reference's optimizer overhead is a sequential numpy
-    # RS-RFO step (two 3Nx3N eigh + brentq micro-cycles) per structure;
-    # BASELINE.md sets the target at 1 ms/structure on v5e — use that as
-    # the baseline number.
-    baseline_ms = 1.0
-    print(json.dumps({
-        "metric": "batched_rfo_step_overhead_256xAr8",
-        "value": round(ms_per_structure_step, 6),
-        "unit": "ms/structure/step",
-        "vs_baseline": round(baseline_ms / ms_per_structure_step, 3),
-    }))
+    from multioptpy_tpu.calculators.sqm import SQM
+    from multioptpy_tpu.drivers.neb import NEBConfig, interpolate_linear
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    N_IMAGES, N_STEPS = 32, 20
+    water = np.array([[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+                      [0.0, -0.7572, -0.4692]]) * ANGSTROM2BOHR
+    stretched = water.copy()
+    stretched[1, 1] += 1.5
+    z = jnp.array([8, 1, 1])
+    path0 = interpolate_linear(jnp.asarray(np.float32(water)),
+                               jnp.asarray(np.float32(stretched)), N_IMAGES)
+    calc = SQM()
+    config = NEBConfig(variant="cineb", optimizer="fire", n_steps=N_STEPS)
+
+    # build the jitted band program ONCE (calling neb_scan repeatedly would
+    # re-trace its inner closure and time compiles instead of steps)
+    from multioptpy_tpu.drivers.neb import make_neb_step
+    from multioptpy_tpu.steppers.first_order import fire_init
+
+    step = make_neb_step(calc, z, config)
+    fire0 = fire_init(path0.size, path0.dtype, dt0=config.dt0)
+
+    @jax.jit
+    def run(p, f):
+        def body(carry, it):
+            p, f = carry
+            p, f, _, _ = step(p, f, it)
+            return (p, f), None
+        (p, f), _ = jax.lax.scan(body, (p, f),
+                                 jnp.arange(1, N_STEPS + 1))
+        return p
+
+    dt = _timeit(lambda: jax.block_until_ready(run(path0, fire0)))
+    ms = dt / (N_IMAGES * N_STEPS) * 1e3
+    return {"metric": "sqm_neb_step_32img_water",
+            "value": round(ms, 6), "unit": "ms/image/step",
+            "vs_baseline": round(1.0 / ms, 3)}
+
+
+def bench_sqm_f64_tight():
+    """f64 on-device SQM + RFO, 64x water ensemble, 40 steps — proves the
+    full QM gradient path runs in x64 on the TPU (round-1 blocker) and
+    records its throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.calculators.sqm import SQM
+    from multioptpy_tpu.drivers.optimize import (
+        OptimizeConfig, init_state, make_step_fn)
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        BATCH, N_STEPS = 64, 40
+        water = np.array([[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+                          [0.0, -0.7572, -0.4692]]) * ANGSTROM2BOHR
+        rng = np.random.default_rng(0)
+        coords = np.stack([water + 0.1 * rng.standard_normal(water.shape)
+                           for _ in range(BATCH)])
+        z = jnp.array([8, 1, 1])
+        calc = SQM()
+        config = OptimizeConfig(method="rfo_fsb", init_hessian="identity")
+        step = make_step_fn(calc, z, None, config)
+        state = jax.vmap(lambda c: init_state(
+            c, z, calc, None, config, hessian0=jnp.eye(9)))(
+            jnp.asarray(coords, jnp.float64))
+
+        @jax.jit
+        def run(state):
+            def body(s, _):
+                return jax.vmap(step)(s), None
+            final, _ = jax.lax.scan(body, state, None, length=N_STEPS)
+            return final
+
+        dt = _timeit(lambda: jax.block_until_ready(run(state).coords))
+        final = run(state)
+        assert final.coords.dtype == jnp.float64
+        max_g = float(jnp.max(jnp.abs(final.gradient)))
+        ms = dt / (BATCH * N_STEPS) * 1e3
+        return {"metric": "sqm_f64_rfo_64xwater",
+                "value": round(ms, 6), "unit": "ms/structure/step",
+                "vs_baseline": round(1.0 / ms, 3),
+                "final_max_grad": round(max_g, 9)}
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def main():
+    headline = bench_rfo_lj()
+    extras = []
+    for fn in (bench_sqm_neb32, bench_sqm_f64_tight):
+        try:
+            extras.append(fn())
+        except Exception as exc:  # never lose the headline to a sub-bench
+            extras.append({"metric": fn.__name__, "error": repr(exc)[:200]})
+    headline["extras"] = extras
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
     main()
+
+

@@ -40,7 +40,21 @@ def jacobi_eigh(a, sweeps=10):
 
     Returns (w, v) with a = v @ diag(w) @ v.T (same convention as
     jnp.linalg.eigh). D is padded to even internally.
+
+    f64-on-TPU guard: the TPU's f64 matmul emulation drifts the Jacobi
+    similarity transforms enough to corrupt the spectrum (NOTES.md round-1
+    perf deep-dive), so that combination silently falls back to
+    jnp.linalg.eigh — Jacobi is a THROUGHPUT optimization for the f32
+    batched path, never worth wrong answers.
     """
+    if a.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        import warnings
+
+        warnings.warn(
+            "jacobi_eigh: f64 on a non-CPU backend drifts the spectrum "
+            "(TPU f64 matmul emulation); falling back to jnp.linalg.eigh.",
+            RuntimeWarning, stacklevel=2)
+        return jnp.linalg.eigh(a)
     batch_shape = a.shape[:-2]
     d0 = a.shape[-1]
     a = a.reshape((-1, d0, d0))
