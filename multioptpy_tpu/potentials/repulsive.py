@@ -12,7 +12,7 @@ import numpy as np
 
 from multioptpy_tpu.periodic import UFF_VDW_EPS, UFF_VDW_R
 from multioptpy_tpu.potentials.base import BiasPotential, idx0, register_potential
-from multioptpy_tpu.units import ANGSTROM2BOHR, HARTREE2KCALMOL
+from multioptpy_tpu.units import ANGSTROM2BOHR, HARTREE2KJMOL
 
 
 class _PairwiseLJ(BiasPotential):
@@ -60,23 +60,24 @@ class LJRepulsiveScale(_PairwiseLJ):
 
 @register_potential
 class LJRepulsiveValue(_PairwiseLJ):
-    """Same form with explicit well depth (kJ/mol) and distance (Angstrom)
-    for every pair (ref: LJ_repulsive_potential.py:64-115).
-    params = [well_kjmol... actually [well_value, dist_value_ang]]."""
+    """Same form with explicit well depth (kJ/mol, matching the reference's
+    `/hartree2kjmol` at LJ_repulsive_potential.py:110) and distance
+    (Angstrom) for every pair (ref: LJ_repulsive_potential.py:64-115).
+    params = [well_value_kjmol, dist_value_ang]."""
 
     name = "lj_repulsive_value"
 
-    def __init__(self, well_value_kcal, dist_value_ang, fragm_1, fragm_2,
+    def __init__(self, well_value_kjmol, dist_value_ang, fragm_1, fragm_2,
                  element_z, **kw):
         super().__init__(fragm_1, fragm_2, element_z, **kw)
-        self.well_value = float(well_value_kcal)
+        self.well_value = float(well_value_kjmol)
         self.dist_value = float(dist_value_ang)
 
     def init_params(self):
         return np.array([self.well_value, self.dist_value], dtype=np.float64)
 
     def energy(self, coords, params):
-        eps = params[0] / HARTREE2KCALMOL
+        eps = params[0] / HARTREE2KJMOL
         r0 = params[1] * ANGSTROM2BOHR
         r = self._pair_dist(coords)
         s6 = (r0 / r) ** 6
