@@ -104,6 +104,64 @@ def _primitive_constants(kind, coords, z, bonds, angles, torsions, n_atoms):
                            * rho(torsions[:, 1], torsions[:, 2])
                            * rho(torsions[:, 2], torsions[:, 3]))
 
+    elif kind == "lindh2007":
+        # Lindh 2007 all-tuple screening model with D4 long-range terms
+        # (ref: ModelHessian/lindh2007d4.py:22-56 constants, :322 bond,
+        # :414 angle, :625 dihedral). Groups: H | He..F | rest (:61
+        # select_idx uses Z<2 / Z<10); kr/kf/kt = 0.45/0.10/0.0025; the
+        # D4 pair force constant joins a pair's screening only beyond
+        # 2x the covalent length (:364-366). The reference's rAv table is
+        # dead code there (bonds use the covalent-radii sum, :356-358).
+        from multioptpy_tpu.hessian.dispersion import (
+            d4_charges, d4_pair_force_const, d4_pair_tables)
+
+        g3 = np.where(np.asarray(z) < 2, 0,
+                      np.where(np.asarray(z) < 10, 1, 2))
+        alpha_t = np.array([[1.0000, 0.3949, 0.3949],
+                            [0.3949, 0.2800, 0.1200],
+                            [0.3949, 0.1200, 0.0600]])
+        d_t = np.array([[0.0, 3.6, 3.6],
+                        [3.6, 5.3, 5.3],
+                        [3.6, 5.3, 5.3]])
+        kr, kf, kt, kd = 0.45, 0.10, 0.0025, 0.05
+        charges = d4_charges(coords, z)
+        c6m, c8m, r0m = d4_pair_tables(z, dtype=np.float64)
+
+        def g_pair(i, j):
+            """exp screening + gated half/full D4 term for the pair."""
+            i = np.asarray(i)
+            j = np.asarray(j)
+            r = _dist(coords, i, j)
+            rc = jnp.asarray(rcov[i] + rcov[j])
+            alpha = jnp.asarray(alpha_t[g3[i], g3[j]])
+            g = jnp.exp(alpha * (rc ** 2 - r * r))
+            qs = jnp.exp(-3.0 * (charges[i] ** 2 + charges[j] ** 2))
+            d4 = d4_pair_force_const(r, jnp.asarray(c6m[i, j]),
+                                     jnp.asarray(c8m[i, j]),
+                                     jnp.asarray(r0m[i, j]), qs)
+            return g, jnp.where(r > 2.0 * rc, d4, 0.0), \
+                jnp.asarray(d_t[g3[i], g3[j]])
+
+        if len(bonds):
+            g, d4, _ = g_pair(bonds[:, 0], bonds[:, 1])
+            k_parts.append(kr * g + kd * d4)
+        if len(angles):
+            g1, d41, d01 = g_pair(angles[:, 1], angles[:, 0])
+            g2, d42, d02 = g_pair(angles[:, 1], angles[:, 2])
+            half = 0.5 * kd / kr
+            k_parts.append(kf * (g1 + 0.5 * kd * d41 + half * d01)
+                           * (g2 + 0.5 * kd * d42 + half * d02))
+        if len(torsions):
+            # the reference MULTIPLIES each leg's screening by the d-table
+            # factor (lindh2007d4.py:731-733, as written — the angle term's
+            # analogous expression ADDS it, :500)
+            half = 0.5 * kd / kr
+            legs = []
+            for a, b in ((0, 1), (1, 2), (2, 3)):
+                g, d4, d0 = g_pair(torsions[:, a], torsions[:, b])
+                legs.append((g + 0.5 * kd * d4) * half * d0)
+            k_parts.append(kt * legs[0] * legs[1] * legs[2])
+
     elif kind == "fischer":
         if len(bonds):
             r = _dist(coords, bonds[:, 0], bonds[:, 1])
@@ -245,8 +303,40 @@ _GFN0_EN[1:55] = [
 ]
 
 
-MODEL_HESSIAN_KINDS = ("lindh", "fischer", "schlegel", "swart", "morse",
-                       "gfn0", "gfnff")
+MODEL_HESSIAN_KINDS = ("lindh", "lindh2007", "fischer", "schlegel", "swart",
+                       "morse", "gfn0", "gfnff")
+
+
+def lindh2007_primitives(coords, z, rho_cutoff=1e-6):
+    """Tuple lists for the Lindh-2007 all-pairs model: every pair is a
+    'bond' primitive (the exp screening kills distant ones), triples are
+    kept when both legs' screenings survive `rho_cutoff`, torsions come
+    from ordinary connectivity (their screened constants are <=1e-6 beyond
+    bonded chains). Host-side (static shapes for jit);
+    ref: lindh2007d4.py:322/:414 loops over all pairs/triples."""
+    from multioptpy_tpu.periodic import COVALENT_RADII_1
+
+    coords = np.asarray(coords)
+    z = np.asarray(z)
+    n = len(z)
+    rcov = np.asarray(COVALENT_RADII_1)[z]
+    g3 = np.where(z < 2, 0, np.where(z < 10, 1, 2))
+    alpha_t = np.array([[1.0000, 0.3949, 0.3949],
+                        [0.3949, 0.2800, 0.1200],
+                        [0.3949, 0.1200, 0.0600]])
+    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    rc = rcov[:, None] + rcov[None, :]
+    rho = np.exp(alpha_t[g3[:, None], g3[None, :]] * (rc ** 2 - d ** 2))
+
+    bonds = np.array([(i, j) for i in range(n) for j in range(i + 1, n)],
+                     dtype=np.int32).reshape(-1, 2)
+    angles = [(j, i, k)
+              for i in range(n) for j in range(n) for k in range(n)
+              if j < k and i != j and i != k
+              and rho[i, j] * rho[i, k] > rho_cutoff]
+    angles = np.asarray(angles, dtype=np.int32).reshape(-1, 3)
+    _, _, torsions = detect_primitives(coords, z)
+    return bonds, angles, np.asarray(torsions, np.int32).reshape(-1, 4)
 
 
 def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
@@ -261,7 +351,12 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     round-2 work)."""
     z = np.asarray(z)
     n_atoms = len(z)
-    base = kind.lower().replace("2007", "")
+    base = kind.lower()
+    if base != "lindh2007" and not base.startswith("lindh2007d"):
+        # "fischerd3"-style names fold to their parent; lindh2007 is a
+        # DISTINCT kind (all-pairs screening + its own alpha/d tables,
+        # ref: ModelHessian/lindh2007d4.py:40-56)
+        base = base.replace("2007", "")
     make_ts = False
     if base.endswith("_ts"):
         # Householder-reflected TS guess (ref: ModelHessian/tshess.py)
@@ -275,9 +370,11 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     dispersion = None
     for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
         if base.endswith(suffix):
-            # d3/d4 -> the D3(BJ) C6+C8 correction (the reference's own d3/d4
-            # model Hessians reuse D2 C6 values, lindh2007d3.py:107)
-            dispersion = "d2" if suffix.endswith("2") else "d3"
+            # d2 -> Grimme D2; d3 -> the D3(BJ) C6+C8 correction (the
+            # reference's d3 model Hessians reuse D2 C6 values,
+            # lindh2007d3.py:107); d4 -> the charge-scaled C6/C8 model
+            # (ref: lindh2007d4.py:186-259, dispersion.d4_hessian)
+            dispersion = "d" + suffix[-1]
             base = base[: -len(suffix)]
             break
     ic = InternalCoordinates(bonds, angles, torsions, n_atoms)
@@ -299,6 +396,9 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
         elif dispersion == "d3":
             from multioptpy_tpu.hessian.dispersion import d3_hessian
             h = h + d3_hessian(coords, z)
+        elif dispersion == "d4":
+            from multioptpy_tpu.hessian.dispersion import d4_hessian
+            h = h + d4_hessian(coords, z)
         if add_sr:
             h = h + short_range_hessian(coords, z, bonds=np.asarray(bonds))
         h = 0.5 * (h + h.T)
@@ -315,7 +415,10 @@ def model_hessian(coords, z, kind="lindh", project=True, primitives=None):
     """One-shot model Hessian; detects primitives host-side."""
     coords = jnp.asarray(coords)
     if primitives is None:
-        primitives = detect_primitives(np.asarray(coords), z)
+        if kind.lower().startswith("lindh2007"):
+            primitives = lindh2007_primitives(np.asarray(coords), z)
+        else:
+            primitives = detect_primitives(np.asarray(coords), z)
     bonds, angles, torsions = primitives
     fn = make_model_hessian_fn(z, bonds, angles, torsions, kind, project)
     return fn(coords)

@@ -595,3 +595,111 @@ def test_convergence_checker_matches_reference(seed, scale_g, scale_d):
     crit = (3e-4, 2e-4, 1.5e-3, 1e-3)   # ref: optimization.py:129-132
     got = bool(check_convergence(jnp.asarray(g), jnp.asarray(d), crit))
     assert got == conv_oracle(g, d, crit)
+
+
+# ==========================================================================
+# D4 dispersion (ref: Parameters/d4.py, ModelHessian/lindh2007d4.py:98-322)
+# ==========================================================================
+
+D4_REF = dict(s6=1.0, s8=1.03683, a1=0.4171, a2=4.5337, ga=3.0)
+# D2 C6 (J nm^6/mol) for the Casimir-Polder combination
+# (ref: Parameters/d2.py; get_c6_coefficient uses D2_C6_coeff_lib)
+D2_C6_JNM6 = {"H": 0.14, "C": 1.75, "O": 0.70}
+D4_R4R2_REF = {"H": 8.0589, "C": 7.8715, "O": 4.7566}
+D4_EN_REF = {"H": 2.20, "C": 2.55, "O": 3.44}
+_C6_CONV = 1.0 / 6.02214076e23 / 4.3597447222071e-18 / 0.052917721067 ** 6
+
+
+def d4_params_oracle(s1, s2, q1=0.0, q2=0.0):
+    """ref: lindh2007d4.py:218 get_d4_parameters."""
+    c6_1 = D2_C6_JNM6[s1] * _C6_CONV
+    c6_2 = D2_C6_JNM6[s2] * _C6_CONV
+    c6 = 2.0 * c6_1 * c6_2 / (c6_1 + c6_2)
+    c8 = 3.0 * c6 * np.sqrt(D4_R4R2_REF[s1] * D4_R4R2_REF[s2])
+    # reference divides its already-Bohr UFF radii by bohr2angstroms again
+    r0 = (UFF_R_ANG[s1] / BOHR2ANG + UFF_R_ANG[s2] / BOHR2ANG) / BOHR2ANG
+    qs = np.exp(-D4_REF["ga"] * (q1 ** 2 + q2 ** 2))
+    return c6, c8, r0, qs
+
+
+def d4_fc_oracle(r, c6, c8, r0, qs):
+    """ref: lindh2007d4.py:186 calc_d4_force_const."""
+    bj6 = ((r0 + D4_REF["a1"]) * D4_REF["a2"]) ** 6
+    bj8 = ((r0 + D4_REF["a1"]) * D4_REF["a2"]) ** 8
+    f6 = r ** 6 / (r ** 6 + bj6)
+    f8 = r ** 8 / (r ** 8 + bj8)
+    e6 = -D4_REF["s6"] * c6 * qs * f6 / r ** 6
+    e8 = -D4_REF["s8"] * c8 * qs * f8 / r ** 8
+    return -(e6 + e8)
+
+
+def test_d4_pair_force_const():
+    from multioptpy_tpu.hessian.dispersion import (
+        d4_pair_force_const, d4_pair_tables)
+    z = np.array([6, 8])
+    c6m, c8m, r0m = d4_pair_tables(z)
+    c6o, c8o, r0o, _ = d4_params_oracle("C", "O")
+    np.testing.assert_allclose(c6m[0, 1], c6o, rtol=1e-10)
+    np.testing.assert_allclose(c8m[0, 1], c8o, rtol=1e-10)
+    np.testing.assert_allclose(r0m[0, 1], r0o, rtol=1e-10)
+    for r in (6.0, 10.0, 20.0):
+        got = float(d4_pair_force_const(jnp.asarray(r), c6m[0, 1],
+                                        c8m[0, 1], r0m[0, 1], 0.9))
+        ref = d4_fc_oracle(r, c6o, c8o, r0o, 0.9)
+        np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_d4_charge_estimate():
+    """ref: lindh2007d4.py:110 estimate_atomic_charges — per bond transfer
+    0.1 tanh(0.2 dEN), mean-centered. Water fixture."""
+    from multioptpy_tpu.hessian.dispersion import d4_charges
+    geom = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.81],
+                     [1.75, 0.0, -0.48]])
+    z = np.array([8, 1, 1])
+    q = np.asarray(d4_charges(jnp.asarray(geom), z))
+    t = 0.1 * np.tanh(0.2 * (D4_EN_REF["H"] - D4_EN_REF["O"]))
+    q_ref = np.array([2 * t, -t, -t])
+    q_ref -= q_ref.mean()
+    np.testing.assert_allclose(q, q_ref, rtol=1e-10)
+
+
+def test_lindh2007_bond_constant():
+    """kr exp(alpha (rcov^2 - r^2)) + gated kd D4 term
+    (ref: lindh2007d4.py:360-369). Close pair: pure exp screening; far
+    pair: D4 term joins."""
+    from multioptpy_tpu.hessian.model import _primitive_constants
+    z = np.array([6, 8])
+    rc = crad("C") + crad("O")
+
+    # close pair — no D4 gate
+    coords = np.zeros((2, 3))
+    coords[1, 0] = 2.2
+    k = np.asarray(_primitive_constants(
+        "lindh2007", jnp.asarray(coords), z,
+        np.array([[0, 1]]), np.zeros((0, 3), int), np.zeros((0, 4), int), 2))
+    k_ref = 0.45 * np.exp(0.2800 * (rc ** 2 - 2.2 ** 2))
+    np.testing.assert_allclose(k[0], k_ref, rtol=1e-10)
+
+    # far pair — D4 term gated in (charges are zero for 2 identical legs)
+    coords[1, 0] = 3.0 * rc
+    k = np.asarray(_primitive_constants(
+        "lindh2007", jnp.asarray(coords), z,
+        np.array([[0, 1]]), np.zeros((0, 3), int), np.zeros((0, 4), int), 2))
+    c6o, c8o, r0o, _ = d4_params_oracle("C", "O")
+    r = 3.0 * rc
+    k_ref = (0.45 * np.exp(0.2800 * (rc ** 2 - r ** 2))
+             + 0.05 * d4_fc_oracle(r, c6o, c8o, r0o, 1.0))
+    np.testing.assert_allclose(k[0], k_ref, rtol=1e-8)
+
+
+def test_lindh2007_d4_model_hessian_smoke():
+    from multioptpy_tpu.hessian.model import model_hessian
+    geom = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.81],
+                     [1.75, 0.0, -0.48], [4.9, 0.1, 0.2]])
+    z = np.array([8, 1, 1, 18])
+    h = np.asarray(model_hessian(jnp.asarray(geom), z, kind="lindh2007d4"))
+    assert h.shape == (12, 12)
+    assert np.all(np.isfinite(h))
+    np.testing.assert_allclose(h, h.T, atol=1e-12)
+    w = np.linalg.eigvalsh(h)
+    assert w.max() > 0.1   # bonded stretches present
