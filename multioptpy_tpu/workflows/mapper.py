@@ -1,38 +1,444 @@
-"""Reaction-network mapper: repeated AutoTS exploration with deduplication.
+"""Reaction-network mapper: queue-driven AutoTS exploration with structure
+and bond-topology deduplication.
 
-ref: multioptpy/Wrapper/mapper.py (2292 LoC): ReactionNetworkMapper :1220
-drives AutoTS runs from a queue of AFIR perturbations (:760
-PerturbationGenerator), dedupes nodes via RMSD/distance fingerprints
-(:104-405 StructureChecker) and bond topology (:407), builds an EQ/TS graph
-(:942-1136) persisted as JSON (:1040).
+Full rebuild of the reference's mapper machinery
+(ref: multioptpy/Wrapper/mapper.py, 2292 LoC):
 
-Lite TPU rebuild: the queue/graph logic stays host-side (cheap); each
-exploration step is an on-device AutoTS run (AFIR push between a random
-atom pair). Restartable via the saved JSON.
+  StructureChecker        :104-405  PCA-aligned, permutation-invariant
+                                    Kabsch RMSD with degeneracy-aware
+                                    rotation grids
+  BondTopologyChecker     :407-505  element-pair bond-count fingerprints
+  ExplorationQueue ABC    :508      priority queue with probabilistic
+                                    acceptance + refresh_priorities
+  BoltzmannQueue          :650      exp(-dE/kT) priorities
+  RCMCQueue               Utils/rcmc.py:26 — kinetics-driven priorities
+                                    (wired to workflows.kinetics)
+  ExploredPairsLog        :674-758  persistent (node, pair, sign) log
+  PerturbationGenerator   :760-940  distance-window AFIR pair candidates
+  ProfileParser           :1139     -> `parse_profile` (file-compat shim;
+                                    the in-memory AutoTSResult carries the
+                                    same data without the file round-trip)
+  ReactionNetworkMapper   :1220     -> `map_network`
+
+The control flow is host-side Python (graphs and queues are cheap); every
+exploration task runs the on-device AutoTS stack (AFIR scan -> NEB -> TS
+refine -> IRC), so the expensive inner loop is compiled XLA.
 """
 
 import dataclasses
 import json
-from typing import NamedTuple
+import os
+from abc import ABC, abstractmethod
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+from multioptpy_tpu.periodic import COVALENT_RADII_1
+from multioptpy_tpu.units import BOHR2ANGSTROM, KB_HARTREE
 from multioptpy_tpu.workflows.autots import AutoTSConfig, autots
 
 
-@dataclasses.dataclass(frozen=True)
-class MapperConfig:
-    max_nodes: int = 10
-    max_explorations: int = 20
-    afir_gamma: float = 150.0
-    dedupe_threshold: float = 0.15   # sorted-distance fingerprint, Bohr
-    seed: int = 0
-    opt: OptimizeConfig = dataclasses.field(
-        default_factory=lambda: OptimizeConfig(method="rfo_fsb", nsteps=150))
-    autots: AutoTSConfig = dataclasses.field(default_factory=AutoTSConfig)
+# ==========================================================================
+# StructureChecker (ref: mapper.py:104-405)
+# ==========================================================================
 
+class StructureChecker:
+    """Minimum RMSD between two structures over proper rotations AND
+    atom-index permutations (per-element Hungarian assignment), with
+    PCA-degeneracy-aware rotation sampling. Coordinates in Bohr; the
+    default threshold matches the reference's 0.30 Angstrom."""
+
+    _DEGENERACY_REL_TOL = 0.02
+
+    def __init__(self, rmsd_threshold_ang=0.30):
+        self.rmsd_threshold = rmsd_threshold_ang / BOHR2ANGSTROM  # Bohr
+
+    def are_similar(self, z_a, coords_a, z_b, coords_b):
+        return self.compute_rmsd(z_a, coords_a, z_b, coords_b) \
+            < self.rmsd_threshold
+
+    def compute_rmsd(self, z_a, coords_a, z_b, coords_b):
+        z_a = np.asarray(z_a)
+        z_b = np.asarray(z_b)
+        coords_a = np.asarray(coords_a, dtype=np.float64)
+        coords_b = np.asarray(coords_b, dtype=np.float64)
+        if len(z_a) != len(z_b) or set(z_a.tolist()) != set(z_b.tolist()):
+            return float("inf")
+
+        ca = coords_a - coords_a.mean(axis=0)
+        cb = coords_b - coords_b.mean(axis=0)
+        ca, ev_a = self._pca_align(ca)
+        cb, ev_b = self._pca_align(cb)
+
+        # stage 1: the 4 proper sign-flip rotations (ref: :252)
+        best = self._try_candidates(self._sign_flips(), z_a, ca, z_b, cb)
+        if best < self.rmsd_threshold:
+            return best
+
+        # stage 2: degeneracy flags decide whether grids are needed (:158)
+        deg01, deg12 = self._degeneracy_flags(ev_a, ev_b)
+        if not deg01 and not deg12:
+            return best
+
+        # stage 3: coarse planar / SO(3) grid (:168)
+        best = min(best, self._try_candidates(
+            self._planar_candidates(deg01, deg12, 6, 4), z_a, ca, z_b, cb))
+        if best < self.rmsd_threshold:
+            return best
+
+        # stage 4: fine grid only for full degeneracy (:179)
+        if deg01 and deg12:
+            best = min(best, self._try_candidates(
+                self._planar_candidates(deg01, deg12, 12, 8),
+                z_a, ca, z_b, cb))
+        return best
+
+    # -- internals ---------------------------------------------------
+
+    def _try_candidates(self, rotations, z_a, ca, z_b, cb):
+        best = float("inf")
+        for rot in rotations:
+            cb_rot = cb @ rot.T
+            perm = self._optimal_mapping(z_a, ca, z_b, cb_rot)
+            if perm is None:
+                continue
+            best = min(best, self._kabsch_rmsd(ca, cb_rot[perm]))
+        return best
+
+    @staticmethod
+    def _pca_align(coords):
+        """Principal axes -> cartesian axes with det=+1 (a reflection here
+        would silently equate enantiomers, ref: :219-223)."""
+        if len(coords) < 2:
+            return coords, np.ones(3)
+        ev, vec = np.linalg.eigh(np.cov(coords.T))
+        order = ev.argsort()[::-1]
+        ev = ev[order]
+        vec = vec[:, order]
+        if np.linalg.det(vec) < 0:
+            vec[:, -1] *= -1
+        return coords @ vec, ev
+
+    @staticmethod
+    def _sign_flips():
+        return [np.diag([1.0, 1.0, 1.0]), np.diag([-1.0, -1.0, 1.0]),
+                np.diag([-1.0, 1.0, -1.0]), np.diag([1.0, -1.0, -1.0])]
+
+    @classmethod
+    def _degeneracy_flags(cls, ev_a, ev_b):
+        def close(ev, i, j):
+            denom = max(abs(ev[i]), abs(ev[j]), 1e-10)
+            return abs(ev[i] - ev[j]) / denom < cls._DEGENERACY_REL_TOL
+        deg01 = close(ev_a, 0, 1) or close(ev_b, 0, 1)
+        deg12 = close(ev_a, 1, 2) or close(ev_b, 1, 2)
+        return deg01, deg12
+
+    @classmethod
+    def _planar_candidates(cls, deg01, deg12, n_plane, n_sphere):
+        def rz(t):
+            c, s = np.cos(t), np.sin(t)
+            return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+        def rx(t):
+            c, s = np.cos(t), np.sin(t)
+            return np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+
+        if deg01 and deg12:
+            extra = [rz(a) @ rx(b) @ rz(c)
+                     for a in np.linspace(0, 2 * np.pi, n_sphere, False)
+                     for b in np.linspace(0, np.pi, n_sphere, False)
+                     for c in np.linspace(0, 2 * np.pi, n_sphere, False)]
+        elif deg01:
+            extra = [rz(2 * np.pi * k / n_plane) for k in range(n_plane)]
+        else:
+            extra = [rx(2 * np.pi * k / n_plane) for k in range(n_plane)]
+        return [s @ r for s in cls._sign_flips() for r in extra]
+
+    @staticmethod
+    def _optimal_mapping(z_a, ca, z_b, cb):
+        """Per-element Hungarian assignment minimizing squared distance
+        (ref: :361-380)."""
+        from scipy.optimize import linear_sum_assignment
+        from scipy.spatial.distance import cdist
+
+        perm = [None] * len(z_a)
+        for elem in set(np.asarray(z_a).tolist()):
+            ia = [i for i, s in enumerate(z_a) if s == elem]
+            ib = [i for i, s in enumerate(z_b) if s == elem]
+            if len(ia) != len(ib):
+                return None
+            cost = cdist(ca[ia], cb[ib], metric="sqeuclidean")
+            rows, cols = linear_sum_assignment(cost)
+            for r, c in zip(rows, cols):
+                perm[ia[r]] = ib[c]
+        return None if None in perm else perm
+
+    @staticmethod
+    def _kabsch_rmsd(pa, pb):
+        """Proper-rotation Kabsch RMSD (det correction, ref: :387-400)."""
+        u, _, vt = np.linalg.svd(pb.T @ pa)
+        d = np.diag([1.0, 1.0, np.linalg.det(vt.T @ u.T)])
+        rot = vt.T @ d @ u.T
+        diff = pa - pb @ rot.T
+        return float(np.sqrt((diff ** 2).sum() / len(pa)))
+
+
+# ==========================================================================
+# BondTopologyChecker (ref: mapper.py:407-505)
+# ==========================================================================
+
+class BondTopologyChecker:
+    """Element-pair bond-count fingerprints: permutation-invariant detection
+    of covalent rearrangement (conformers share a fingerprint; reactions
+    change it). Coordinates in Bohr; margin 1.2 x covalent-radii sum."""
+
+    def __init__(self, covalent_margin=1.2):
+        self.covalent_margin = covalent_margin
+
+    def fingerprint(self, z, coords):
+        z = np.asarray(z)
+        coords = np.asarray(coords)
+        rcov = np.asarray(COVALENT_RADII_1)[z]
+        d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+        thresh = self.covalent_margin * (rcov[:, None] + rcov[None, :])
+        counts = {}
+        n = len(z)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if d[i, j] <= thresh[i, j]:
+                    key = (int(min(z[i], z[j])), int(max(z[i], z[j])))
+                    counts[key] = counts.get(key, 0) + 1
+        return counts
+
+    def has_rearrangement(self, z_ref, coords_ref, z_new, coords_new):
+        if sorted(np.asarray(z_ref).tolist()) != sorted(
+                np.asarray(z_new).tolist()):
+            return True
+        return (self.fingerprint(z_ref, coords_ref)
+                != self.fingerprint(z_new, coords_new))
+
+
+# ==========================================================================
+# Exploration queues (ref: mapper.py:508-672, Utils/rcmc.py:26)
+# ==========================================================================
+
+@dataclasses.dataclass
+class ExplorationTask:
+    node_id: int
+    pair: tuple            # 0-based (i, j)
+    gamma: float           # kJ/mol (signed)
+    priority: float = 0.0
+    metadata: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def key(self):
+        return (self.node_id, self.pair, float(self.gamma))
+
+
+class ExplorationQueue(ABC):
+    """Priority queue with duplicate suppression and probabilistic
+    node acceptance (ref: mapper.py:508)."""
+
+    def __init__(self, rng_seed=42):
+        self._tasks = []
+        self._submitted = set()
+        self._rng = np.random.default_rng(rng_seed)
+
+    def push(self, task):
+        if task.key in self._submitted:
+            return False
+        task.priority = self.compute_priority(task)
+        self._tasks.append(task)
+        self._tasks.sort(key=lambda t: t.priority, reverse=True)
+        self._submitted.add(task.key)
+        return True
+
+    def pop(self):
+        return self._tasks.pop(0) if self._tasks else None
+
+    def should_add(self, delta_e_hartree):
+        """Acceptance probability = priority of a task at that dE
+        (ref: :563-585)."""
+        p = self.compute_priority(ExplorationTask(
+            node_id=-1, pair=(-1, -1), gamma=0.0,
+            metadata={"delta_E_hartree": delta_e_hartree}))
+        return bool(self._rng.random() < p)
+
+    def refresh_priorities(self, ref_energy):
+        """Re-weight queued tasks against the latest reference (minimum)
+        energy (ref: :587-614)."""
+        if not self._tasks or ref_energy is None:
+            return
+        for t in self._tasks:
+            src = t.metadata.get("source_node_energy")
+            if src is not None:
+                t.metadata["delta_E_hartree"] = src - ref_energy
+            t.priority = self.compute_priority(t)
+        self._tasks.sort(key=lambda t: t.priority, reverse=True)
+
+    def __len__(self):
+        return len(self._tasks)
+
+    @abstractmethod
+    def compute_priority(self, task):
+        """float in [0, 1]."""
+
+
+class BoltzmannQueue(ExplorationQueue):
+    """exp(-dE / kB T) priorities (ref: mapper.py:650-672)."""
+
+    def __init__(self, temperature_k=300.0, rng_seed=42):
+        super().__init__(rng_seed)
+        self.temperature_k = temperature_k
+
+    def compute_priority(self, task):
+        de = task.metadata.get("delta_E_hartree", 0.0)
+        if de <= 0.0:
+            return 1.0
+        return min(1.0, float(np.exp(-de / (KB_HARTREE * self.temperature_k))))
+
+
+class RandomQueue(ExplorationQueue):
+    """Uniform-random exploration (the round-1 lite behavior, kept as an
+    explicit strategy; ref docstring example at mapper.py:526)."""
+
+    def compute_priority(self, task):
+        return float(self._rng.random())
+
+
+class RCMCQueue(ExplorationQueue):
+    """Kinetics-driven priorities: node populations from the rate-constant
+    matrix of the CURRENT network (ref: Utils/rcmc.py:26; numerics in
+    workflows.kinetics). Call `set_network` after each graph change."""
+
+    def __init__(self, temperature_k=300.0, reaction_time=1.0, rng_seed=42):
+        super().__init__(rng_seed)
+        self.temperature_k = temperature_k
+        self.reaction_time = reaction_time
+        self._pops = None
+
+    def set_network(self, network, start_node=0):
+        from multioptpy_tpu.workflows.kinetics import kinetic_priorities
+        self._pops = kinetic_priorities(
+            network, self.temperature_k, self.reaction_time, start_node)
+        self.refresh_priorities(ref_energy=None)
+        for t in self._tasks:
+            t.priority = self.compute_priority(t)
+        self._tasks.sort(key=lambda t: t.priority, reverse=True)
+
+    def compute_priority(self, task):
+        if self._pops is None or not (0 <= task.node_id < len(self._pops)):
+            return 0.5
+        return float(np.clip(self._pops[task.node_id], 0.0, 1.0))
+
+    def should_add(self, delta_e_hartree):
+        # population-based acceptance needs a node id; accept and let the
+        # priority ordering do the work (matches rcmc.py:54 behavior)
+        return True
+
+
+# ==========================================================================
+# ExploredPairsLog (ref: mapper.py:674-758)
+# ==========================================================================
+
+class ExploredPairsLog:
+    """Text-file-persisted log of (node, atom pair, gamma sign) explorations
+    so restarts never repeat work. Same line format as the reference:
+    `EQ{node:06d} {i_1based} {j_1based} {+|-}`."""
+
+    def __init__(self, filepath=None):
+        self._filepath = filepath
+        self._explored = set()
+        if filepath and os.path.isfile(filepath):
+            with open(filepath) as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) >= 4 and parts[0].startswith("EQ"):
+                        try:
+                            self._explored.add((int(parts[0][2:]),
+                                                int(parts[1]),
+                                                int(parts[2]), parts[3]))
+                        except ValueError:
+                            continue
+
+    def has(self, node_id, atom_i, atom_j, gamma_sign):
+        return (node_id, atom_i, atom_j, gamma_sign) in self._explored
+
+    def record(self, node_id, atom_i, atom_j, gamma_sign):
+        key = (node_id, atom_i, atom_j, gamma_sign)
+        if key in self._explored:
+            return
+        self._explored.add(key)
+        if self._filepath:
+            with open(self._filepath, "a") as fh:
+                fh.write(f"EQ{node_id:06d} {atom_i} {atom_j} {gamma_sign}\n")
+
+    def __len__(self):
+        return len(self._explored)
+
+
+# ==========================================================================
+# PerturbationGenerator (ref: mapper.py:760-940)
+# ==========================================================================
+
+class PerturbationGenerator:
+    """AFIR perturbation candidates: atom pairs inside a distance window
+    and OUTSIDE covalent contact (already-bonded pairs are skipped), with
+    optional negative-gamma duplicates. Distances in the config are
+    Angstrom (reference CLI convention); coords are Bohr."""
+
+    def __init__(self, afir_gamma_kjmol=100.0, max_pairs=5,
+                 dist_lower_ang=1.5, dist_upper_ang=5.0, rng_seed=0,
+                 covalent_margin=1.2, active_atoms=None,
+                 include_negative_gamma=False):
+        self.gamma = afir_gamma_kjmol
+        self.max_pairs = max_pairs
+        self.lo = dist_lower_ang / BOHR2ANGSTROM
+        self.hi = dist_upper_ang / BOHR2ANGSTROM
+        self.covalent_margin = covalent_margin
+        self.active = set(active_atoms) if active_atoms else None
+        self.include_negative = include_negative_gamma
+        self._rng = np.random.default_rng(rng_seed)
+
+    def candidate_pairs(self, z, coords):
+        z = np.asarray(z)
+        coords = np.asarray(coords)
+        n = len(z)
+        idx = np.array([i for i in range(n)
+                        if self.active is None or (i + 1) in self.active])
+        if len(idx) < 2:
+            return []
+        sub = coords[idx]
+        d = np.linalg.norm(sub[:, None] - sub[None, :], axis=-1)
+        rcov = np.asarray(COVALENT_RADII_1)[z[idx]]
+        ii, jj = np.triu_indices(len(idx), k=1)
+        dist = d[ii, jj]
+        keep = ((dist >= self.lo) & (dist <= self.hi)
+                & (dist > self.covalent_margin * (rcov[ii] + rcov[jj])))
+        return list(zip(idx[ii[keep]].tolist(), idx[jj[keep]].tolist()))
+
+    def generate(self, z, coords):
+        """-> list of (pair, gamma) selections, up to max_pairs (x2 with
+        negative gammas)."""
+        cands = self.candidate_pairs(z, coords)
+        if not cands:
+            return []
+        n_sel = min(self.max_pairs, len(cands))
+        chosen = self._rng.choice(len(cands), size=n_sel, replace=False)
+        out = []
+        for c in chosen:
+            pair = cands[int(c)]
+            out.append((pair, self.gamma))
+            if self.include_negative:
+                out.append((pair, -self.gamma))
+        return out
+
+
+# ==========================================================================
+# Network model + profile parsing (ref: mapper.py:942-1136, :1139)
+# ==========================================================================
 
 class EQNode(NamedTuple):
     coords: np.ndarray
@@ -76,73 +482,184 @@ class Network(NamedTuple):
         return cls(nodes=nodes, edges=edges)
 
 
-def _fingerprint(coords):
-    n = len(coords)
-    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
-    return np.sort(d[np.triu_indices(n, 1)])
+def parse_profile(txt_path):
+    """Parse a `Label, index, energy` profile file into
+    {TS, Endpoint_1, Endpoint_2} energies — file-format compatibility with
+    the reference's ProfileParser (ref: mapper.py:1193-1216). The in-memory
+    AutoTSResult makes this unnecessary inside map_network itself."""
+    result = {"TS": None, "Endpoint_1": None, "Endpoint_2": None}
+    if not os.path.isfile(txt_path):
+        return result
+    with open(txt_path) as fh:
+        for line in fh:
+            s = line.strip()
+            if not s or s.startswith("#"):
+                continue
+            parts = [p.strip() for p in s.split(",")]
+            if len(parts) >= 3 and parts[0] in result:
+                try:
+                    result[parts[0]] = float(parts[2])
+                except ValueError:
+                    pass
+    return result
 
 
-def _find_node(coords, nodes, thresh):
-    fp = _fingerprint(np.asarray(coords))
-    for i, node in enumerate(nodes):
-        if np.max(np.abs(fp - _fingerprint(node.coords))) < thresh:
-            return i
-    return None
+# ==========================================================================
+# map_network (ref: mapper.py:1220 ReactionNetworkMapper.run :1372)
+# ==========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    max_nodes: int = 10
+    max_explorations: int = 20
+    afir_gamma: float = 150.0
+    max_pairs_per_node: int = 5
+    dist_lower_ang: float = 0.5
+    dist_upper_ang: float = 6.0
+    include_negative_gamma: bool = False
+    queue: str = "boltzmann"        # boltzmann | rcmc | random
+    temperature_k: float = 300.0
+    rmsd_threshold_ang: float = 0.30
+    seed: int = 0
+    work_dir: Optional[str] = None  # explored-pairs log + network JSON
+    opt: OptimizeConfig = dataclasses.field(
+        default_factory=lambda: OptimizeConfig(method="rfo_fsb", nsteps=150))
+    autots: AutoTSConfig = dataclasses.field(default_factory=AutoTSConfig)
+
+
+def _make_queue(config):
+    if config.queue == "boltzmann":
+        return BoltzmannQueue(config.temperature_k, config.seed)
+    if config.queue == "rcmc":
+        return RCMCQueue(config.temperature_k, rng_seed=config.seed)
+    if config.queue == "random":
+        return RandomQueue(config.seed)
+    raise ValueError(f"unknown queue '{config.queue}' "
+                     f"(boltzmann | rcmc | random)")
 
 
 def map_network(calc, coords, z, config=MapperConfig(), resume=None):
-    """Explore the reaction network from one structure
-    (ref: mapper.py:1372 run). Returns a Network."""
-    rng = np.random.default_rng(config.seed)
+    """Explore the reaction network from one seed structure.
+
+    Host-side loop (ref: mapper.py:1372 run): maintain a priority queue of
+    (node, AFIR pair, gamma) tasks; each popped task runs AutoTS on device;
+    IRC endpoints are classified against existing nodes via the
+    permutation-invariant StructureChecker, with BondTopologyChecker
+    separating true rearrangements from conformer moves; new nodes seed new
+    tasks through the queue's acceptance rule. Restartable from the
+    persisted network JSON + explored-pairs log.
+    """
     z = jnp.asarray(z)
-    n_atoms = np.asarray(coords).shape[0]
+    z_np = np.asarray(z)
+    checker = StructureChecker(config.rmsd_threshold_ang)
+    topo = BondTopologyChecker()
+    queue = _make_queue(config)
+    gen = PerturbationGenerator(
+        afir_gamma_kjmol=config.afir_gamma,
+        max_pairs=config.max_pairs_per_node,
+        dist_lower_ang=config.dist_lower_ang,
+        dist_upper_ang=config.dist_upper_ang,
+        rng_seed=config.seed,
+        include_negative_gamma=config.include_negative_gamma)
+
+    log_path = net_path = None
+    if config.work_dir:
+        os.makedirs(config.work_dir, exist_ok=True)
+        log_path = os.path.join(config.work_dir, "explored_pairs.log")
+        net_path = os.path.join(config.work_dir, "network.json")
+    pairs_log = ExploredPairsLog(log_path)
 
     if resume is not None:
         net = Network.load(resume)
+        nodes, edges = net.nodes, net.edges
+    elif net_path and os.path.isfile(net_path):
+        net = Network.load(net_path)
         nodes, edges = net.nodes, net.edges
     else:
         res0 = optimize(calc, jnp.asarray(coords), z, config=config.opt)
         nodes = [EQNode(np.asarray(res0.coords), float(res0.energy))]
         edges = []
 
-    explored_pairs = set()
-    for _ in range(config.max_explorations):
+    def find_node(c):
+        """Existing node index, or None. Bond-topology fingerprint first
+        (cheap, permutation-invariant), RMSD to confirm."""
+        fp = topo.fingerprint(z_np, c)
+        for i, node in enumerate(nodes):
+            if topo.fingerprint(z_np, node.coords) != fp:
+                continue
+            if checker.are_similar(z_np, c, z_np, node.coords):
+                return i
+        return None
+
+    def seed_tasks(node_id):
+        ref_e = min(n.energy for n in nodes)
+        de = nodes[node_id].energy - ref_e
+        for pair, gamma in gen.generate(z_np, nodes[node_id].coords):
+            sign = "+" if gamma >= 0 else "-"
+            if pairs_log.has(node_id, pair[0] + 1, pair[1] + 1, sign):
+                continue
+            queue.push(ExplorationTask(
+                node_id=node_id, pair=pair, gamma=gamma,
+                metadata={"delta_E_hartree": de,
+                          "source_node_energy": nodes[node_id].energy}))
+
+    seed_tasks(0)
+
+    def persist():
+        if net_path:
+            Network(nodes, edges).save(net_path)
+
+    persist()
+    explorations = 0
+    while explorations < config.max_explorations:
         if len(nodes) >= config.max_nodes:
             break
-        # pick a node and an atom pair to push (ref: mapper.py:760)
-        node_idx = int(rng.integers(len(nodes)))
-        i, j = sorted(rng.choice(n_atoms, size=2, replace=False))
-        key = (node_idx, int(i), int(j))
-        if key in explored_pairs:
-            continue
-        explored_pairs.add(key)
+        if isinstance(queue, RCMCQueue):
+            queue.set_network(Network(nodes, edges))
+        else:
+            queue.refresh_priorities(min(n.energy for n in nodes))
+        task = queue.pop()
+        if task is None:
+            break
+        explorations += 1
+        i, j = task.pair
+        pairs_log.record(task.node_id, i + 1, j + 1,
+                         "+" if task.gamma >= 0 else "-")
+        persist()
 
         cfg = dataclasses.replace(
-            config.autots, afir_gamma=config.afir_gamma,
-            afir_fragm_1=(int(i) + 1,), afir_fragm_2=(int(j) + 1,))
+            config.autots, afir_gamma=abs(task.gamma) * np.sign(task.gamma)
+            if task.gamma else config.afir_gamma,
+            afir_fragm_1=(i + 1,), afir_fragm_2=(j + 1,))
         try:
-            res = autots(calc, jnp.asarray(nodes[node_idx].coords), z, cfg)
+            res = autots(calc, jnp.asarray(nodes[task.node_id].coords), z,
+                         cfg)
         except Exception:
             continue
         if res.n_imaginary != 1:
             continue
 
-        # register the two IRC endpoints and the TS edge
         ids = []
         for end_coords, end_e in ((res.reactant_coords, res.reactant_energy),
                                   (res.product_coords, res.product_energy)):
-            found = _find_node(end_coords, nodes, config.dedupe_threshold)
+            found = find_node(end_coords)
             if found is None:
-                nodes.append(EQNode(np.asarray(end_coords), end_e))
+                nodes.append(EQNode(np.asarray(end_coords), float(end_e)))
                 found = len(nodes) - 1
+                ref_e = min(n.energy for n in nodes)
+                if queue.should_add(float(end_e) - ref_e):
+                    seed_tasks(found)
             ids.append(found)
+
         if ids[0] != ids[1]:
-            dup = any(e.node_a == ids[0] and e.node_b == ids[1]
+            dup = any(sorted((e.node_a, e.node_b)) == sorted(ids)
                       and abs(e.ts_energy - res.ts_energy) < 1e-6
                       for e in edges)
             if not dup:
                 edges.append(TSEdge(ids[0], ids[1],
                                     np.asarray(res.ts_coords),
-                                    res.ts_energy))
+                                    float(res.ts_energy)))
+        persist()
 
+    persist()
     return Network(nodes=nodes, edges=edges)
