@@ -39,6 +39,9 @@ class AutoTSConfig:
         fmax=5e-4, dt0=0.05, dt_max=0.4))
     use_idpp: bool = False
     # step 3: saddle refinement
+    top_n_candidates: int = 3   # refine the N highest NEB local maxima
+                                # (ref: autots.py:40,152 — one guess per run
+                                # misses the true TS on multi-maximum paths)
     saddle: OptimizeConfig = dataclasses.field(
         default_factory=lambda: OptimizeConfig(
             method="rfo_bofill", saddle_order=1, nsteps=100, fc_count=5,
@@ -107,17 +110,42 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     else:
         path0 = interpolate_linear(reactant, product_coords, config.n_images)
     neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
-    ts_guess = neb_res.path[neb_res.ts_index]
 
-    # ---- step 3: saddle refinement (ref: autots.py:193) -----------------
-    res3 = refine_saddle(calc, ts_guess, z, config.saddle, bias_engine)
-    ts_coords = res3.coords
-    ts_energy = float(res3.energy)
+    # ---- step 3: refine the top-N NEB local maxima (ref: autots.py:152
+    # _filter_candidates_by_energy + :193 per-candidate refinement; v2
+    # consolidation :935) and keep the best true TS -------------------
+    e_path = np.asarray(neb_res.energies)
+    maxima = [i for i in range(1, len(e_path) - 1)
+              if e_path[i] >= e_path[i - 1] and e_path[i] >= e_path[i + 1]]
+    if not maxima:
+        maxima = [neb_res.ts_index]
+    maxima.sort(key=lambda i: e_path[i], reverse=True)
+    candidates = maxima[:max(1, config.top_n_candidates)]
 
-    # frequency sanity: exactly one imaginary mode expected
-    h_ts = calc.hessian(ts_coords, z)
-    nm = normal_modes(h_ts, ts_coords, z)
-    n_imag = count_imaginary(nm.frequencies_cm1)
+    refined = []   # (coords, energy, n_imag, hessian, converged)
+    for idx in candidates:
+        res3 = refine_saddle(calc, neb_res.path[idx], z, config.saddle,
+                             bias_engine)
+        h = calc.hessian(res3.coords, z)
+        nm = normal_modes(h, res3.coords, z)
+        ni = count_imaginary(nm.frequencies_cm1)
+        # consolidate duplicates: identical refined TSs collapse
+        # (ref: autots.py:935 consolidate_ts / v2 dedup)
+        c_np = np.asarray(res3.coords)
+        if any(np.sqrt(np.mean((c_np - np.asarray(r[0])) ** 2)) < 1e-3
+               for r in refined):
+            continue
+        refined.append((res3.coords, float(res3.energy), ni, h,
+                        bool(res3.converged)))
+
+    # candidates stay ordered by NEB-path energy (rate-limiting barrier
+    # first, the reference's descending-energy ordering, autots.py:185);
+    # pick the first that refined to a CONVERGED first-order saddle, so a
+    # false global maximum (wrong curvature / no convergence) falls through
+    # to the next candidate instead of poisoning the run
+    valid = [r for r in refined if r[4] and r[2] == 1]
+    pick = valid[0] if valid else refined[0]
+    ts_coords, ts_energy, n_imag, h_ts = pick[:4]
 
     # ---- step 4: IRC + endpoint optimization (ref: autots.py:237) -------
     irc_res = irc(calc, ts_coords, z, hessian=h_ts, config=config.irc,
