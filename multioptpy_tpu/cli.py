@@ -51,7 +51,8 @@ def _base_parser(description):
                    help="lindh | fischer | schlegel | swart")
     p.add_argument("-order", "--saddle_order", type=int, default=0)
     p.add_argument("-diis", "--diis_variant", default=None,
-                   choices=["gdiis", "gediis", "kdiis"],
+                   choices=["gdiis", "gediis", "kdiis", "ediis", "adiis",
+                            "c2diis"],
                    help="DIIS extrapolation chained onto quasi-Newton steps")
     p.add_argument("-tight", "--tight_convergence_criteria",
                    action="store_true")

@@ -46,7 +46,7 @@ class Constraints:
 
     def __init__(self, bonds=(), angles=(), dihedrals=(), fixed_atoms=(),
                  fixed_coords=(), fbonds=(), projection_vectors=(),
-                 n_atoms=None):
+                 atoms_pairs=(), n_atoms=None):
         self.bond_idx = np.asarray([[b[0] - 1, b[1] - 1] for b in bonds],
                                    np.int32).reshape(-1, 2)
         self.bond_targets = [b[2] for b in bonds]
@@ -72,6 +72,12 @@ class Constraints:
         # eigenvector ONCE at setup and pass it here)
         self.projection_vectors = [np.asarray(v, np.float64).reshape(-1)
                                    for v in projection_vectors]
+        # "atoms_pair": project out the mutual approach/retreat direction of
+        # an atom pair (ref: constraint_condition.py:425 "atoms_pair" —
+        # there the vector is frozen at the initial geometry; here it is
+        # rebuilt from the CURRENT geometry so it stays meaningful when the
+        # molecule rotates). 1-based pairs.
+        self.atoms_pairs = [(p[0] - 1, p[1] - 1) for p in atoms_pairs]
         self.n_atoms = n_atoms
 
     @property
@@ -82,7 +88,8 @@ class Constraints:
     def has_any(self):
         return (self.n_constraints > 0 or len(self.fixed_atoms) > 0
                 or len(self.fixed_coords) > 0
-                or len(self.projection_vectors) > 0)
+                or len(self.projection_vectors) > 0
+                or len(self.atoms_pairs) > 0)
 
     # --- values ------------------------------------------------------------
 
@@ -142,6 +149,13 @@ class Constraints:
             vec_flat = vec_flat - b.T @ lam
         for v in self.projection_vectors:
             u = jnp.asarray(v, vec_flat.dtype)
+            u = u / (jnp.linalg.norm(u) + 1e-30)
+            vec_flat = vec_flat - jnp.dot(u, vec_flat) * u
+        for i, j in self.atoms_pairs:
+            d = coords[j] - coords[i]
+            u = jnp.zeros((coords.shape[0], 3), vec_flat.dtype)
+            u = u.at[i].set(d).at[j].set(-d)
+            u = u.reshape(-1)
             u = u / (jnp.linalg.norm(u) + 1e-30)
             vec_flat = vec_flat - jnp.dot(u, vec_flat) * u
         return vec_flat

@@ -403,6 +403,98 @@ def idpp_path(start, end, n_images, n_steps=300, dt_scale=0.05):
 
 
 # --------------------------------------------------------------------------
+# per-image trust radii + adaptive per-image FIRE
+# --------------------------------------------------------------------------
+
+def per_image_trust_clamp(path, forces, mv, end_tr=0.5):
+    """Per-image trust-radius clamp (ref: Optimizer/trust_radius_neb.py:4
+    TR_NEB.TR_calc): each interior image's move is limited to HALF its
+    distance to a neighbor it moves toward, so stiff images cannot blow
+    through soft ones; a move opposing the image's NEB force is zeroed
+    (projected velocity-Verlet rule). Endpoints get a plain min(0.5, |d|)
+    clamp. Branchless whole-band version of the reference's per-image
+    Python loop."""
+    eps = 1e-15
+    x_prev = jnp.roll(path, 1, axis=0)
+    x_next = jnp.roll(path, -1, axis=0)
+    d_norm = jnp.sqrt(_image_dot(mv, mv) + eps)
+    tr1 = 0.5 * jnp.sqrt(_image_dot(path - x_prev, path - x_prev) + eps)
+    tr2 = 0.5 * jnp.sqrt(_image_dot(x_next - path, x_next - path) + eps)
+    u1 = (x_prev - path) / (2.0 * tr1 + eps)
+    u2 = (x_next - path) / (2.0 * tr2 + eps)
+    dhat = mv / d_norm
+    cos1 = _image_dot(u1, dhat)
+    cos2 = _image_dot(u2, dhat)
+    f_norm = jnp.sqrt(_image_dot(forces, forces) + eps)
+    fcos = _image_dot(forces, mv) / (f_norm * d_norm)
+
+    clamp1 = tr1 / d_norm
+    clamp2 = tr2 / d_norm
+    xor_case = (cos1 > 0) ^ (cos2 > 0)
+    both_neg = (cos1 < 0) & (cos2 < 0)
+    scale_xor = jnp.where((d_norm > tr1) & (cos1 > 0), clamp1,
+                          jnp.where((d_norm > tr2) & (cos2 > 0), clamp2, 1.0))
+    scale_else = jnp.where(d_norm > tr1, clamp1,
+                           jnp.where(d_norm > tr2, clamp2, 1.0))
+    scale = jnp.where(both_neg, 1.0,
+                      jnp.where(xor_case, scale_xor, scale_else))
+    scale = jnp.where(fcos >= 0, scale, 0.0)   # projected-VV zeroing
+
+    n_images = path.shape[0]
+    is_end = ((jnp.arange(n_images) == 0)
+              | (jnp.arange(n_images) == n_images - 1))[:, None, None]
+    end_scale = jnp.minimum(1.0, end_tr / d_norm)
+    return mv * jnp.where(is_end, end_scale, scale)
+
+
+class AFireState(NamedTuple):
+    """Per-image FIRE clocks (ref: Optimizer/afire_neb.py AFIRE_NEB —
+    'adaptive parameters for each image in the NEB chain')."""
+    velocity: jnp.ndarray   # (I,N,3)
+    dt: jnp.ndarray         # (I,)
+    alpha: jnp.ndarray      # (I,)
+    n_good: jnp.ndarray     # (I,) int32
+
+
+def afire_init(n_images, n_atoms, dtype=jnp.float64, dt0=0.1, alpha0=0.1):
+    return AFireState(
+        velocity=jnp.zeros((n_images, n_atoms, 3), dtype),
+        dt=jnp.full((n_images,), dt0, dtype),
+        alpha=jnp.full((n_images,), alpha0, dtype),
+        n_good=jnp.zeros((n_images,), jnp.int32))
+
+
+def afire_step(state, forces, dt_max=1.0, n_acc=5, f_inc=1.10, f_acc=0.99,
+               f_dec=0.50, alpha_start=0.1, maxstep=0.1):
+    """One adaptive-FIRE step with INDEPENDENT per-image dt/alpha/n_good
+    (same control constants as afire_neb.py:28-34; maxstep default 0.1 as
+    its `maxstep` config). Regions of different curvature along the band
+    accelerate independently instead of sharing one global clock."""
+    v = state.velocity
+    power = jnp.sum(v * forces, axis=(1, 2))              # (I,)
+    vnorm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2)) + 1e-30)
+    fnorm = jnp.sqrt(jnp.sum(forces * forces, axis=(1, 2)) + 1e-30)
+    downhill = power > 0.0
+    accelerate = downhill & (state.n_good > n_acc)
+    dt = jnp.where(downhill,
+                   jnp.where(accelerate,
+                             jnp.minimum(state.dt * f_inc, dt_max), state.dt),
+                   state.dt * f_dec)
+    alpha = jnp.where(downhill,
+                      jnp.where(accelerate, state.alpha * f_acc, state.alpha),
+                      jnp.asarray(alpha_start, v.dtype))
+    a3 = state.alpha[:, None, None]
+    v_mix = (1.0 - a3) * v + a3 * (vnorm / fnorm)[:, None, None] * forces
+    v_new = jnp.where(downhill[:, None, None], v_mix,
+                      jnp.zeros_like(v)) + dt[:, None, None] * forces
+    n_good = jnp.where(downhill, state.n_good + 1, 0)
+    mv = dt[:, None, None] * v_new
+    mv_norm = jnp.sqrt(_image_dot(mv, mv) + 1e-30)
+    mv = mv * jnp.minimum(1.0, maxstep / mv_norm)
+    return mv, AFireState(v_new, dt, alpha, n_good)
+
+
+# --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
 
@@ -412,9 +504,10 @@ class NEBConfig:
     spring k, CI start iteration (ref: APPLY_CI_NEB)."""
 
     variant: str = "cineb"
-    optimizer: str = "fire"       # fire | quickmin | lbfgs | sd
-                                  # (ref: Optimizer/{fire,gradientdescent,
-                                  # lbfgs,rfo}_neb.py per-image optimizers)
+    optimizer: str = "fire"       # fire | afire | quickmin | lbfgs | sd
+                                  # (ref: Optimizer/{fire,afire,
+                                  # gradientdescent,lbfgs,rfo}_neb.py;
+                                  # afire = per-image adaptive FIRE clocks)
     n_steps: int = 100
     k_spring: float = 0.01
     climbing_start: int = 10
@@ -427,6 +520,9 @@ class NEBConfig:
                                   # band clocks need it: NEB forces are
                                   # non-conservative, so curvature-based
                                   # engines can otherwise overshoot to NaN
+    per_image_trust: bool = False  # geometry-aware per-image trust radii
+                                  # (half neighbor distance + projected-VV
+                                  # zeroing; ref: trust_radius_neb.py:4)
     dmf_beta: float = 10.0        # MaxFlux reciprocal temperature (1/Ha)
     dmf_nsegs: int = 4            # action-quadrature subdivision per segment
                                   # (ref: pathopt_dmf_force.py nsegs)
@@ -444,11 +540,11 @@ class NEBResult(NamedTuple):
 def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
     """One jitted NEB iteration: (path, fire_state, it) -> ..."""
     opt = config.optimizer
-    if opt not in ("fire", "quickmin", "lbfgs", "sd") and not (
+    if opt not in ("fire", "afire", "quickmin", "lbfgs", "sd") and not (
             opt.startswith("cg")):
         raise ValueError(f"unknown NEB optimizer '{opt}' (choose from fire, "
-                         f"quickmin, lbfgs, sd, cg_pr, cg_fr, cg_hs, cg_dy, "
-                         f"cg_hz)")
+                         f"afire, quickmin, lbfgs, sd, cg_pr, cg_fr, cg_hs, "
+                         f"cg_dy, cg_hz)")
     base_variant = ("neb" if config.variant == "cineb"
                     else config.variant)
 
@@ -469,7 +565,12 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
                             config.optimize_endpoints, config.dmf_beta,
                             config.dmf_nsegs)
         # one optimizer clock for the whole path (treated as a single vector)
-        if config.optimizer == "fire":
+        if config.optimizer == "afire":
+            mv, fire_new = afire_step(fire_state, forces,
+                                      dt_max=config.dt_max,
+                                      maxstep=config.max_move)
+            move = mv.reshape(-1)
+        elif config.optimizer == "fire":
             move, fire_new = fire_step(fire_state, -forces.reshape(-1),
                                        dt_max=config.dt_max)
         elif config.optimizer == "quickmin":
@@ -501,9 +602,13 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
             move = config.sd_step * forces.reshape(-1)
             fire_new = fire_state
         mv = move.reshape(path.shape)
-        # per-image clamp (see NEBConfig.max_move)
-        mv_norm = jnp.sqrt(_image_dot(mv, mv) + 1e-30)
-        mv = mv * jnp.minimum(1.0, config.max_move / mv_norm)
+        if config.per_image_trust:
+            # geometry-aware per-image clamp (ref: trust_radius_neb.py:4)
+            mv = per_image_trust_clamp(path, forces, mv)
+        else:
+            # per-image norm clamp (see NEBConfig.max_move)
+            mv_norm = jnp.sqrt(_image_dot(mv, mv) + 1e-30)
+            mv = mv * jnp.minimum(1.0, config.max_move / mv_norm)
         path_new = path + mv
         if config.variant in ("qsm", "string"):
             # string-method reparametrization: equal arc-length respacing
@@ -530,6 +635,9 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     elif config.optimizer.startswith("cg"):
         from multioptpy_tpu.steppers.first_order import cg_init
         fire_state = cg_init(n_dof, path.dtype)
+    elif config.optimizer == "afire":
+        fire_state = afire_init(path.shape[0], path.shape[1], path.dtype,
+                                dt0=config.dt0)
     else:
         fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
     e_hist = []
@@ -574,6 +682,9 @@ def neb_scan(calc, path0, z, config=NEBConfig(), bias_engine=None):
     elif config.optimizer.startswith("cg"):
         from multioptpy_tpu.steppers.first_order import cg_init
         fire_state = cg_init(path.size, path.dtype)
+    elif config.optimizer == "afire":
+        fire_state = afire_init(path.shape[0], path.shape[1], path.dtype,
+                                dt0=config.dt0)
     else:
         fire_state = fire_init(path.size, path.dtype, dt0=config.dt0)
 

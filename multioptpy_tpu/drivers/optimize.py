@@ -75,9 +75,10 @@ class OptimizeConfig:
     use_gdiis: bool = False          # GDIIS extrapolation on top of the
                                      # quasi-Newton step (ref: optimizer.py
                                      # enhancement chain :328-387)
-    diis_variant: Optional[str] = None  # gdiis | gediis | kdiis (overrides
-                                     # use_gdiis; ref: Optimizer/{gdiis,
-                                     # gediis,kdiis}.py)
+    diis_variant: Optional[str] = None  # gdiis | gediis | kdiis | ediis |
+                                     # adiis | c2diis (overrides use_gdiis;
+                                     # ref: Optimizer/{gdiis,gediis,kdiis,
+                                     # ediis,adiis,c2diis}.py)
     follow_mode_index: int = 0       # initial mode for mf_rsirfo_* methods
                                      # (ref: Optimizer/mf_rsirfo.py)
     eigh_impl: str = "xla"           # "xla" | "jacobi" — eigensolver for the
@@ -287,8 +288,11 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
             and not config.method.lower().startswith("dic")):
         from multioptpy_tpu.steppers.diis import (diis_init, gediis_init,
                                                   kdiis_init)
+        # ediis/adiis/c2diis share the gediis history state
+        # (ref: Optimizer/{ediis,adiis,c2diis}.py)
         ini = {"gdiis": diis_init, "gediis": gediis_init,
-               "kdiis": kdiis_init}[dv]
+               "kdiis": kdiis_init, "ediis": gediis_init,
+               "adiis": gediis_init, "c2diis": gediis_init}[dv]
         fo = fo + (ini(3 * n, dtype=dtype),)
 
     if config.switch_method:
@@ -501,8 +505,9 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             step = step * minv
         dv = config.effective_diis()
         if dv:
-            from multioptpy_tpu.steppers.diis import (gdiis_step, gediis_step,
-                                                      kdiis_step)
+            from multioptpy_tpu.steppers.diis import (
+                adiis_step, c2diis_step, ediis_step, gdiis_step, gediis_step,
+                kdiis_step)
             diis = state.fo_state[-1]
             x_flat = state.coords.reshape(-1)
             if dv == "gediis":
@@ -510,6 +515,10 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
                                              g_flat, step)
             elif dv == "kdiis":
                 step, diis_new = kdiis_step(diis, x_flat, g_flat, step)
+            elif dv in ("ediis", "adiis", "c2diis"):
+                fn = {"ediis": ediis_step, "adiis": adiis_step,
+                      "c2diis": c2diis_step}[dv]
+                step, diis_new = fn(diis, x_flat, state.energy, g_flat, step)
             else:
                 step, diis_new = gdiis_step(diis, x_flat, step, step)
             qn_fo = qn_fo + (diis_new,)

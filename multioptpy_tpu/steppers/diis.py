@@ -287,13 +287,15 @@ def ediis_coefficients(energies, x_hist, g_hist, valid_mask):
     return _simplex_qp(b, lin)
 
 
-def adiis_coefficients(energies, x_hist, g_hist, valid_mask):
+def adiis_coefficients(energies, x_hist, g_hist, valid_mask, x_n=None,
+                       g_n=None):
     """ADIIS (Hu & Yang, JCP 132 (2010) 054109): linear term uses
-    gradient-displacement overlaps against the LATEST point
+    gradient-displacement overlaps against the LATEST point — pass it
+    explicitly (x_n, g_n) when the histories are ring buffers
     (ref: Optimizer/adiis.py)."""
     dtype = x_hist.dtype
-    x_n = x_hist[-1]
-    g_n = g_hist[-1]
+    x_n = x_hist[-1] if x_n is None else x_n
+    g_n = g_hist[-1] if g_n is None else g_n
     lin = 2.0 * jnp.einsum("id,d->i", x_hist - x_n[None, :], g_n)
     b = 2.0 * jnp.einsum("id,jd->ij", x_hist - x_n[None, :],
                          g_hist - g_n[None, :])
@@ -324,3 +326,61 @@ def c2diis_coefficients(e_hist, valid_mask):
     res = jnp.where(jnp.abs(sums) > 1e-8, res, jnp.inf)
     best = jnp.argmin(res)
     return cands[:, best]
+
+
+def _push_gediis_history(state, x, grad, energy, plain_step):
+    """Ring-buffer insert shared by the EDIIS/ADIIS/C2DIIS engines."""
+    m = state.x_hist.shape[0]
+    slot = state.count % m
+    return state._replace(
+        x_hist=state.x_hist.at[slot].set(x),
+        e_hist=state.e_hist.at[slot].set(plain_step),
+        g_hist=state.g_hist.at[slot].set(grad),
+        energy_hist=state.energy_hist.at[slot].set(energy),
+        count=state.count + 1)
+
+
+def ediis_step(state, x, energy, grad, plain_step, max_step_ratio=3.0):
+    """EDIIS as a DRIVEABLE step engine (ref: Optimizer/ediis.py): simplex-
+    constrained energy interpolation over the history, stepped from the
+    interpolated point along the interpolated quasi-Newton step. State is
+    a GediisState (from `gediis_init`)."""
+    state = _push_gediis_history(state, x, grad, energy, plain_step)
+    m = state.x_hist.shape[0]
+    n_avail = jnp.minimum(state.count, m)
+    vbool = jnp.arange(m) < n_avail
+    c = ediis_coefficients(state.energy_hist, state.x_hist, state.g_hist,
+                           vbool)
+    move = (c @ state.x_hist + c @ state.e_hist) - x
+    descent = jnp.dot(move, grad) < 0.0
+    move = jnp.where(descent, move, plain_step)
+    return _safeguard(move, plain_step, n_avail, max_step_ratio), state
+
+
+def adiis_step(state, x, energy, grad, plain_step, max_step_ratio=3.0):
+    """ADIIS as a driveable step engine (ref: Optimizer/adiis.py): the
+    augmented-Roothaan-Hall simplex interpolation anchored at the CURRENT
+    point, stepped along the interpolated quasi-Newton step."""
+    state = _push_gediis_history(state, x, grad, energy, plain_step)
+    m = state.x_hist.shape[0]
+    n_avail = jnp.minimum(state.count, m)
+    vbool = jnp.arange(m) < n_avail
+    c = adiis_coefficients(state.energy_hist, state.x_hist, state.g_hist,
+                           vbool, x_n=x, g_n=grad)
+    move = (c @ state.x_hist + c @ state.e_hist) - x
+    descent = jnp.dot(move, grad) < 0.0
+    move = jnp.where(descent, move, plain_step)
+    return _safeguard(move, plain_step, n_avail, max_step_ratio), state
+
+
+def c2diis_step(state, x, energy, grad, plain_step, max_step_ratio=3.0):
+    """C2-DIIS as a driveable step engine (ref: Optimizer/c2diis.py):
+    eigenvector-based coefficients over the error overlap (numerically
+    safer than the bordered solve), extrapolated like GDIIS."""
+    state = _push_gediis_history(state, x, grad, energy, plain_step)
+    m = state.x_hist.shape[0]
+    n_avail = jnp.minimum(state.count, m)
+    vbool = jnp.arange(m) < n_avail
+    c = c2diis_coefficients(state.e_hist, vbool.astype(x.dtype))
+    move = (c @ state.x_hist + c @ state.e_hist) - x
+    return _safeguard(move, plain_step, n_avail, max_step_ratio), state

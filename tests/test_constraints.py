@@ -134,3 +134,25 @@ def test_projection_vector_blocks_motion(rng):
     # other components untouched (no other constraints)
     np.testing.assert_allclose(np.asarray(g_proj[1:]), np.asarray(g[1:]),
                                atol=1e-12)
+
+
+def test_atoms_pair_projection():
+    """'atoms_pair' constraint kind (ref: constraint_condition.py:425):
+    the pair's mutual approach direction is projected out of the
+    gradient."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.constraints.project import Constraints
+
+    coords = jnp.asarray(np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0],
+                                   [0.0, 3.0, 0.0]]))
+    c = Constraints(atoms_pairs=[(1, 2)], n_atoms=3)
+    assert c.has_any()
+    # gradient pulling the pair together along x
+    g = jnp.zeros((3, 3)).at[0, 0].set(1.0).at[1, 0].set(-1.0)
+    pg = np.asarray(c.project_gradient(g, coords))
+    # the anti-symmetric pair component along the bond is gone
+    assert abs(pg[0, 0] - pg[1, 0]) < 1e-12
+    # an unrelated gradient is untouched
+    g2 = jnp.zeros((3, 3)).at[2, 1].set(1.0)
+    pg2 = np.asarray(c.project_gradient(g2, coords))
+    np.testing.assert_allclose(pg2, np.asarray(g2), atol=1e-14)

@@ -379,3 +379,23 @@ def test_mass_weighted_rfo_and_switching():
         method="rfo_bfgs", switch_method="fire", nsteps=120))
     assert bool(res_sw.converged)
     assert float(res_sw.energy) == pytest.approx(float(ref.energy), abs=1e-7)
+
+
+@pytest.mark.parametrize("variant", ["ediis", "adiis", "c2diis"])
+def test_new_diis_engines_drive_optimization(variant):
+    """EDIIS/ADIIS/C2DIIS as driveable step engines
+    (ref: Optimizer/{ediis,adiis,c2diis}.py — round-1 had only the
+    coefficient functions)."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.standard_normal((4, 3)) * 4.0 + 7.0)
+    z = jnp.array([18, 18, 18, 18])
+    res = optimize(LennardJones(), coords, z,
+                   config=OptimizeConfig(method="rfo_fsb", nsteps=60,
+                                         diis_variant=variant))
+    e = res.energy_history
+    assert np.all(np.isfinite(np.asarray(res.coords)))
+    assert float(e[-1]) <= float(e[0])

@@ -204,3 +204,69 @@ def test_neb_scan_matches_host_loop():
     np.testing.assert_allclose(np.asarray(r_scan.energies),
                                np.asarray(r_host.energies), atol=1e-12)
     assert r_scan.energy_history.shape[0] == 80
+
+
+def test_afire_per_image_clocks_relax_band():
+    """AFIRE_NEB equivalent: independent per-image FIRE clocks
+    (ref: Optimizer/afire_neb.py)."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.neb import (
+        NEBConfig, interpolate_linear, neb)
+
+    a = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 6.8]]))
+    b = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 9.2]]))
+    path0 = interpolate_linear(a, b, 8)
+    z = jnp.array([18, 18])
+    res = neb(LennardJones(), path0, z,
+              NEBConfig(variant="cineb", optimizer="afire", n_steps=40))
+    assert np.allclose(np.asarray(res.path[0]), np.asarray(path0[0]))
+    assert np.allclose(np.asarray(res.path[-1]), np.asarray(path0[-1]))
+    # band relaxed: interior max force dropped
+    e0 = res.energy_history[0]
+    e1 = res.energy_history[-1]
+    assert e1.max() <= e0.max() + 1e-12
+
+
+def test_per_image_trust_clamp_rules():
+    """TR_NEB semantics (ref: Optimizer/trust_radius_neb.py:4): moves
+    opposing the force are zeroed; moves toward a neighbor are clamped to
+    half the neighbor distance."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.drivers.neb import per_image_trust_clamp
+
+    # 4 images on a line, spacing 2.0 => interior trust radius 1.0
+    path = jnp.asarray(np.array(
+        [[[0.0, 0.0, 0.0]], [[2.0, 0.0, 0.0]],
+         [[4.0, 0.0, 0.0]], [[6.0, 0.0, 0.0]]]))
+    # image 1 wants to move +x by 5 (toward image 2), force along move
+    mv = jnp.zeros_like(path).at[1, 0, 0].set(5.0)
+    forces = jnp.zeros_like(path).at[1, 0, 0].set(1.0)
+    out = np.asarray(per_image_trust_clamp(path, forces, mv))
+    assert out[1, 0, 0] == pytest.approx(1.0)   # clamped to half-spacing
+
+    # move opposing the force is zeroed (projected velocity-Verlet)
+    forces_neg = jnp.zeros_like(path).at[1, 0, 0].set(-1.0)
+    out2 = np.asarray(per_image_trust_clamp(path, forces_neg, mv))
+    assert out2[1, 0, 0] == pytest.approx(0.0)
+
+    # small move within the trust region is untouched
+    mv_small = jnp.zeros_like(path).at[1, 0, 0].set(0.5)
+    out3 = np.asarray(per_image_trust_clamp(path, forces, mv_small))
+    assert out3[1, 0, 0] == pytest.approx(0.5)
+
+
+def test_neb_with_per_image_trust_runs():
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.neb import (
+        NEBConfig, interpolate_linear, neb)
+
+    a = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 6.8]]))
+    b = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 9.2]]))
+    path0 = interpolate_linear(a, b, 8)
+    res = neb(LennardJones(), path0, jnp.array([18, 18]),
+              NEBConfig(variant="cineb", optimizer="fire", n_steps=30,
+                        per_image_trust=True))
+    assert np.all(np.isfinite(np.asarray(res.path)))
+    assert np.allclose(np.asarray(res.path[0]), np.asarray(path0[0]))
