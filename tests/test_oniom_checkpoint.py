@@ -119,3 +119,29 @@ class TestFailureDetection:
             method="rfo_fsb", nsteps=500, max_force=1e-9, rms_force=1e-9,
             max_displacement=1e-9, rms_displacement=1e-9))
         assert res.n_iterations == 1  # stopped immediately by end.txt
+
+
+def test_o1numhess_full_reproduces_lj_hessian():
+    """The published O1NumHess pipeline (directions + ODLR + LR loop,
+    ref: ModelHessian/o1numhess.py:125) must reproduce the exact Hessian
+    of a small LJ cluster within finite-difference accuracy."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.hessian.o1numhess import o1numhess_full
+
+    rng_l = np.random.default_rng(5)
+    r = 7.2
+    coords = jnp.asarray(np.array([[0.0, 0.0, 0.0], [r, 0.0, 0.0],
+                                   [r / 2, r * 0.85, 0.0],
+                                   [r / 2, r * 0.3, r * 0.8]])
+                         + 0.1 * rng_l.standard_normal((4, 3)))
+    z = jnp.array([18, 18, 18, 18])
+    calc = LennardJones()
+
+    h_o1 = np.asarray(o1numhess_full(calc, coords, z, delta=1e-3))
+    h_exact = np.asarray(calc.hessian(coords, z))
+    # all atoms are within each other's cutoff here, so the reconstruction
+    # is complete: agreement at the FD-truncation level
+    scale = np.abs(h_exact).max()
+    np.testing.assert_allclose(h_o1, h_exact, atol=3e-5 * max(scale, 1.0),
+                               rtol=2e-3)
