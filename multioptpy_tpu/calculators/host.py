@@ -187,16 +187,27 @@ class Psi4(HostCalculator):
 class ASEBridge(HostCalculator):
     """Bridge to any ASE calculator (orca/gaussian/MACE/fairchem...)
     (ref: Calculator/ase_calculation_tools.py:67,354). Pass a constructed
-    ase calculator as `ase_calc=`."""
+    ase calculator as `ase_calc=`, OR a `software_type=` name which is
+    resolved through `setup_ase_calculator` + software_path.conf (the
+    reference's full factory path)."""
 
-    def __init__(self, ase_calc=None, charge=0, multiplicity=1, **kw):
+    def __init__(self, ase_calc=None, software_type=None, charge=0,
+                 multiplicity=1, **kw):
+        factory_kw = {k: kw.pop(k) for k in
+                      ("software_path_dict", "functional", "basis_set",
+                       "memory", "conf_path") if k in kw}
         super().__init__(charge=charge, multiplicity=multiplicity, **kw)
         try:
             import ase  # noqa: F401
         except ImportError as e:
             raise ImportError("ase is not installed") from e
+        if ase_calc is None and software_type is not None:
+            ase_calc = setup_ase_calculator(
+                software_type, charge=charge, multiplicity=multiplicity,
+                **factory_kw)
         if ase_calc is None:
-            raise ValueError("pass ase_calc=<constructed ASE calculator>")
+            raise ValueError("pass ase_calc=<constructed ASE calculator> "
+                             "or software_type=<orca|gaussian|...>")
         self.ase_calc = ase_calc
 
     def _host_energy_gradient(self, coords, z):
@@ -214,7 +225,8 @@ class ASEBridge(HostCalculator):
 
 def read_software_path(path="./software_path.conf"):
     """External QM binary paths for the ASE bridge (ref: fileio.py:32
-    read_software_path; same `name = /path` format)."""
+    read_software_path). Accepts the reference's `name::path` lines plus
+    `name = path` for convenience."""
     import os
 
     paths = {}
@@ -223,11 +235,79 @@ def read_software_path(path="./software_path.conf"):
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("#") or "=" not in line:
+            if not line or line.startswith("#"):
                 continue
-            key, val = line.split("=", 1)
+            if "::" in line:
+                key, val = line.split("::", 1)
+            elif "=" in line:
+                key, val = line.split("=", 1)
+            else:
+                continue
             paths[key.strip().lower()] = val.strip()
     return paths
+
+
+def setup_ase_calculator(software_type, charge=0, multiplicity=1,
+                         software_path_dict=None, functional="b3lyp",
+                         basis_set="def2-SVP", memory=None, conf_path=None,
+                         **kw):
+    """Factory resolving a named external code to a constructed ASE
+    calculator (ref: Calculator/ase_calculation_tools.py:354
+    setup_calculator): orca / gaussian / nwchem / gamessus / mopac /
+    mace_mp / mace_off / uma-* (fairchem). Binary paths come from
+    `software_path_dict` or `software_path.conf` (ref: fileio.py:32).
+
+    Returns the ASE calculator object — pass it (or just the
+    `software_type` string) to `ASEBridge`.
+    """
+    if software_path_dict is None:
+        software_path_dict = read_software_path(conf_path
+                                                or "./software_path.conf")
+    st = software_type.lower()
+    spin = multiplicity
+
+    if st == "orca":
+        from ase.calculators.orca import ORCA, OrcaProfile
+        path = software_path_dict.get("orca")
+        profile = OrcaProfile(command=path) if path else None
+        return ORCA(profile=profile, charge=charge, mult=spin,
+                    orcasimpleinput=f"{functional} {basis_set} EnGrad",
+                    **kw)
+    if st == "gaussian":
+        from ase.calculators.gaussian import Gaussian
+        path = software_path_dict.get("gaussian")
+        extra = {"command": f"{path} < PREFIX.com > PREFIX.log"} if path else {}
+        if memory:
+            extra["mem"] = memory
+        return Gaussian(method=functional, basis=basis_set, charge=charge,
+                        mult=spin, **extra, **kw)
+    if st == "nwchem":
+        from ase.calculators.nwchem import NWChem
+        return NWChem(xc=functional, basis=basis_set, charge=charge, **kw)
+    if st == "gamessus":
+        from ase.calculators.gamess_us import GAMESSUS
+        path = software_path_dict.get("gamessus")
+        extra = {"command": path} if path else {}
+        return GAMESSUS(xc=functional, basis=basis_set, charge=charge,
+                        mult=spin, **extra, **kw)
+    if st == "mopac":
+        from ase.calculators.mopac import MOPAC
+        return MOPAC(charge=charge, **kw)
+    if st in ("mace_mp", "mace_off"):
+        # foundation ML potentials (ref: ase_calculation_tools.py ASE_MACE)
+        if st == "mace_mp":
+            from mace.calculators import mace_mp as _mk
+        else:
+            from mace.calculators import mace_off as _mk
+        model = software_path_dict.get(st) or kw.pop("model", "medium")
+        return _mk(model=model, **kw)
+    if st.startswith("uma"):
+        # fairchem UMA checkpoints (ref: ase_calculation_tools.py
+        # ASE_FAIRCHEM; device left to the library default)
+        from fairchem.core import FAIRChemCalculator
+        path = software_path_dict.get(st)
+        return FAIRChemCalculator(checkpoint_path=path, **kw)
+    raise ValueError(f"unsupported software type: {software_type}")
 
 
 @register_calculator("dxtb")

@@ -66,15 +66,97 @@ def _base_parser(description):
     p.add_argument("-srb", "--srb", action="store_true",
                    help="enable the GFN0 short-range bond correction in "
                         "the sqm backend")
-    # bias potentials (subset of ref: interface.py:205 parser_for_biasforce)
+    # bias potentials (full ref: interface.py:205-240 parser_for_biasforce
+    # surface, identical flag names and argument orders)
     p.add_argument("-ma", "--manual_AFIR", nargs="*", default=[],
                    help="gamma(kJ/mol) fragm1 fragm2 (repeatable triplets)")
+    p.add_argument("-rp", "--repulsive_potential", nargs="*", default=[],
+                   help="well_scale dist_scale fragm1 fragm2 scale|value "
+                        "(repeatable quintets; UFF LJ)")
+    p.add_argument("-rpv2", "--repulsive_potential_v2", nargs="*",
+                   default=[],
+                   help="well dist length(ang) const_rep const_attr "
+                        "order_rep order_attr center(1,2) target(3-5) "
+                        "scale|value (repeatable 10-lets; probe-point LJ)")
+    p.add_argument("-rpg", "--repulsive_potential_gaussian", nargs="*",
+                   default=[],
+                   help="LJ_well(kJ/mol) LJ_dist(ang) gau_well(kJ/mol) "
+                        "gau_dist(ang) gau_range(ang) fragm1 fragm2 "
+                        "(repeatable 7-lets)")
+    p.add_argument("-cp", "--cone_potential", nargs="*", default=[],
+                   help="well(kJ/mol) dist(ang) cone_angle(deg) center "
+                        "three_atoms(2,3,4) target(5-9) (repeatable 6-lets)")
+    p.add_argument("-fp", "--flux_potential", nargs="*", default=[],
+                   help="kx,ky,kz px,py,pz x,y,z(ang) fragm "
+                        "(repeatable quadruplets)")
     p.add_argument("-kp", "--keep_pot", nargs="*", default=[],
                    help="k r0(ang) atom1,atom2 (repeatable triplets)")
+    p.add_argument("-kpv2", "--keep_pot_v2", nargs="*", default=[],
+                   help="k r0(ang) fragm1 fragm2 (repeatable quadruplets)")
+    p.add_argument("-akp", "--anharmonic_keep_pot", nargs="*", default=[],
+                   help="De(a.u.) k(a.u.) r0(ang) atom1,atom2 "
+                        "(repeatable quadruplets; Morse)")
     p.add_argument("-ka", "--keep_angle", nargs="*", default=[],
                    help="k angle(deg) a1,a2,a3")
+    p.add_argument("-kav2", "--keep_angle_v2", nargs="*", default=[],
+                   help="k angle(deg) fragm1 fragm2 fragm3 "
+                        "(repeatable quintets)")
+    p.add_argument("-up", "--universal_potential", nargs="*", default=[],
+                   help="potential(kJ/mol) target_atoms (repeatable pairs)")
     p.add_argument("-kda", "--keep_dihedral_angle", nargs="*", default=[],
                    help="k angle(deg) a1,a2,a3,a4")
+    p.add_argument("-kdav2", "--keep_dihedral_angle_v2", nargs="*",
+                   default=[],
+                   help="k angle(deg) f1 f2 f3 f4 (repeatable 6-lets)")
+    p.add_argument("-kdac", "--keep_dihedral_angle_cos", nargs="*",
+                   default=[],
+                   help="k n angle(deg) f1 f2 f3 f4 (repeatable 7-lets)")
+    p.add_argument("-kopa", "--keep_out_of_plain_angle", nargs="*",
+                   default=[],
+                   help="k angle(deg) a1,a2,a3,a4 (repeatable triplets)")
+    p.add_argument("-kopav2", "--keep_out_of_plain_angle_v2", nargs="*",
+                   default=[],
+                   help="k angle(deg) f1 f2 f3 f4 (repeatable 6-lets)")
+    p.add_argument("-vpp", "--void_point_pot", nargs="*", default=[],
+                   help="k r0(ang) x,y,z(ang) atoms order "
+                        "(repeatable quintets)")
+    p.add_argument("-brp", "--bond_range_potential", nargs="*", default=[],
+                   help="k_upper k_lower upper(ang) lower(ang) fragm1 "
+                        "fragm2 (repeatable 6-lets)")
+    p.add_argument("-wp", "--well_pot", nargs="*", default=[],
+                   help="wall(kJ/mol) fragm1 fragm2 a,b,c,d(ang) "
+                        "(repeatable quadruplets)")
+    p.add_argument("-wwp", "--wall_well_pot", nargs="*", default=[],
+                   help="wall(kJ/mol) x|y|z a,b,c,d(ang) atoms "
+                        "(repeatable quadruplets)")
+    p.add_argument("-vpwp", "--void_point_well_pot", nargs="*", default=[],
+                   help="wall(kJ/mol) x,y,z(ang) a,b,c,d(ang) atoms "
+                        "(repeatable quadruplets)")
+    p.add_argument("-awp", "--around_well_pot", nargs="*", default=[],
+                   help="wall(kJ/mol) center_fragm a,b,c,d(ang) atoms "
+                        "(repeatable quadruplets)")
+    p.add_argument("-metad", "--metadynamics", nargs="*", default=[],
+                   help="bond height(kJ/mol) width(ang) a1,a2 "
+                        "(repeatable quadruplets; gaussian hills)")
+    p.add_argument("-lmefp", "--linear_mechano_force_pot", nargs="*",
+                   default=[],
+                   help="force(pN) atoms1 atoms2 (repeatable triplets)")
+    p.add_argument("-lmefpv2", "--linear_mechano_force_pot_v2", nargs="*",
+                   default=[],
+                   help="force(pN) atom_pair (repeatable pairs)")
+    p.add_argument("-aerpv2", "--asym_ellipsoid_v2", nargs="*", default=[],
+                   help="same syntax as -aerp (free-parameter variant)")
+    p.add_argument("-nrp", "--nano_reactor_potential", nargs="*",
+                   default=[],
+                   help="inner(ang) outer(ang) t_contract(ps) t_expand(ps) "
+                        "k_contract(kcal/mol/A^2) k_expand (one 6-let)")
+    p.add_argument("-esp", "--electrostatic_potential", nargs="*",
+                   default=[],
+                   help="charge_scale fragm1 fragm2 (repeatable triplets; "
+                        "UFF effective charges)")
+    p.add_argument("-espap", "--electrostatic_potential_atom_pair",
+                   nargs="*", default=[],
+                   help="charge_scale atoms (repeatable pairs)")
     p.add_argument("-aerp", "--asym_ellipsoid", nargs="*", default=[],
                    help="eps(kJ/mol) sig_xp,xm,yp,ym,zp,zm(ang) dist(ang) "
                         "root,lj offtgt|none (repeatable quintets; GNB "
@@ -158,6 +240,150 @@ def _make_bias(args, z):
         pots.append(get_potential(
             "keep_dihedral", spring_const=float(kda[i]),
             angle=float(kda[i + 1]), atoms=num_parse(kda[i + 2])))
+
+    def chunks(flag, n, vals=None):
+        vals = vals if vals is not None else getattr(args, flag, []) or []
+        if len(vals) % n:
+            raise SystemExit(f"error: -{flag} takes groups of {n} arguments")
+        for i in range(0, len(vals), n):
+            yield vals[i:i + n]
+
+    zz = np.asarray(z)
+    for ws, ds, f1, f2, mode in chunks("repulsive_potential", 5):
+        # ref: interface.py:206 -rp ... scale|value
+        name = ("lj_repulsive_scale" if mode == "scale"
+                else "lj_repulsive_value")
+        kwargs = (dict(well_scale=float(ws), dist_scale=float(ds))
+                  if mode == "scale"
+                  else dict(well_value_kjmol=float(ws),
+                            dist_value_ang=float(ds)))
+        pots.append(get_potential(name, fragm_1=num_parse(f1),
+                                  fragm_2=num_parse(f2), element_z=zz,
+                                  **kwargs))
+    for (w, d, ln, cr, ca, orp, oat, ctr, tgt,
+         mode) in chunks("repulsive_potential_v2", 10):
+        pots.append(get_potential(
+            "lj_repulsive_v2_probe", well=float(w), dist=float(d),
+            length_ang=float(ln), const_rep=float(cr), const_attr=float(ca),
+            order_rep=float(orp), order_attr=float(oat),
+            center=num_parse(ctr), target=num_parse(tgt), element_z=zz,
+            mode=mode))
+    for (lw, ld, gw, gd, gr, f1,
+         f2) in chunks("repulsive_potential_gaussian", 7):
+        pots.append(get_potential(
+            "lj_repulsive_gaussian", well_depth=float(lw), dist=float(ld),
+            gau_well_depth=float(gw), gau_dist=float(gd),
+            gau_range=float(gr), fragm_1=num_parse(f1),
+            fragm_2=num_parse(f2), element_z=zz))
+    for w, d, ang, ctr, three, tgt in chunks("cone_potential", 6):
+        pots.append(get_potential(
+            "cone", well_value=float(w), dist_value=float(d),
+            cone_angle=float(ang), center=num_parse(ctr)[0],
+            three_atoms=num_parse(three), target=num_parse(tgt),
+            element_z=zz))
+    for ks, ps, xyz, frag in chunks("flux_potential", 4):
+        pots.append(get_potential(
+            "flux", const=[float(v) for v in ks.split(",")],
+            order=[float(v) for v in ps.split(",")],
+            direction=[float(v) for v in xyz.split(",")],
+            atoms=num_parse(frag)))
+    for k, r0, f1, f2 in chunks("keep_pot_v2", 4):
+        pots.append(get_potential(
+            "keep_v2", spring_const=float(k), distance=float(r0),
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2)))
+    for de, k, r0, pair in chunks("anharmonic_keep_pot", 4):
+        pots.append(get_potential(
+            "keep_anharmonic", well_depth=float(de), spring_const=float(k),
+            distance=float(r0), atom_pair=num_parse(pair)))
+    for k, ang, f1, f2, f3 in chunks("keep_angle_v2", 5):
+        pots.append(get_potential(
+            "keep_angle_v2", spring_const=float(k), angle=float(ang),
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2),
+            fragm_3=num_parse(f3)))
+    for const, atoms in chunks("universal_potential", 2):
+        pots.append(get_potential("universal", const=float(const),
+                                  atoms=num_parse(atoms)))
+    for k, ang, f1, f2, f3, f4 in chunks("keep_dihedral_angle_v2", 6):
+        pots.append(get_potential(
+            "keep_dihedral_v2", spring_const=float(k), angle=float(ang),
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2),
+            fragm_3=num_parse(f3), fragm_4=num_parse(f4)))
+    for k, n, ang, f1, f2, f3, f4 in chunks("keep_dihedral_angle_cos", 7):
+        pots.append(get_potential(
+            "keep_dihedral_cos", potential_const=float(k),
+            multiplicity=float(n), angle=float(ang), fragm_1=num_parse(f1),
+            fragm_2=num_parse(f2), fragm_3=num_parse(f3),
+            fragm_4=num_parse(f4)))
+    for k, ang, atoms in chunks("keep_out_of_plain_angle", 3):
+        pots.append(get_potential(
+            "keep_out_of_plane", spring_const=float(k), angle=float(ang),
+            atoms=num_parse(atoms)))
+    for k, ang, f1, f2, f3, f4 in chunks("keep_out_of_plain_angle_v2", 6):
+        pots.append(get_potential(
+            "keep_out_of_plane_v2", spring_const=float(k), angle=float(ang),
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2),
+            fragm_3=num_parse(f3), fragm_4=num_parse(f4)))
+    for k, r0, xyz, atoms, order in chunks("void_point_pot", 5):
+        pots.append(get_potential(
+            "void_point", spring_const=float(k), distance=float(r0),
+            order=float(order), point=[float(v) for v in xyz.split(",")],
+            atom=num_parse(atoms)))
+    for ku, kl, up, lo, f1, f2 in chunks("bond_range_potential", 6):
+        pots.append(get_potential(
+            "value_range", upper_const=float(ku), lower_const=float(kl),
+            upper_distance=float(up), lower_distance=float(lo),
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2)))
+    for w, f1, f2, lims in chunks("well_pot", 4):
+        pots.append(get_potential(
+            "well", wall_energy=float(w),
+            limits=[float(v) for v in lims.split(",")],
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2)))
+    for w, axis, lims, atoms in chunks("wall_well_pot", 4):
+        pots.append(get_potential(
+            "well_wall", wall_energy=float(w),
+            limits=[float(v) for v in lims.split(",")], axis=axis,
+            atoms=num_parse(atoms)))
+    for w, xyz, lims, atoms in chunks("void_point_well_pot", 4):
+        pots.append(get_potential(
+            "well_vp", wall_energy=float(w),
+            limits=[float(v) for v in lims.split(",")],
+            point=[float(v) for v in xyz.split(",")],
+            atoms=num_parse(atoms)))
+    for w, ctr, lims, atoms in chunks("around_well_pot", 4):
+        pots.append(get_potential(
+            "well_around", wall_energy=float(w),
+            limits=[float(v) for v in lims.split(",")],
+            center_fragm=num_parse(ctr), atoms=num_parse(atoms)))
+    for kind, h, wd, atoms in chunks("metadynamics", 4):
+        if kind != "bond":
+            raise SystemExit("error: -metad supports the 'bond' collective "
+                             "variable (gaussian hills on a pair distance)")
+        pots.append(get_potential(
+            "gaussian_metadyn", height_kjmol=float(h), width_ang=float(wd),
+            atom_pair=num_parse(atoms)))
+    for f, a1, a2 in chunks("linear_mechano_force_pot", 3):
+        pots.append(get_potential(
+            "mechano_force", force_pn=float(f), atoms_1=num_parse(a1),
+            atoms_2=num_parse(a2)))
+    for f, pair in chunks("linear_mechano_force_pot_v2", 2):
+        pots.append(get_potential(
+            "mechano_force_v2", force_pn=float(f), atom_pair=num_parse(pair)))
+    for s, f1, f2 in chunks("electrostatic_potential", 3):
+        pots.append(get_potential(
+            "electrostatic_fragment", charge_scale=float(s),
+            fragm_1=num_parse(f1), fragm_2=num_parse(f2), element_z=zz))
+    for s, atoms in chunks("electrostatic_potential_atom_pair", 2):
+        pots.append(get_potential(
+            "electrostatic_atom_pair", charge_scale=float(s),
+            atoms=num_parse(atoms), element_z=zz))
+    nrp = getattr(args, "nano_reactor_potential", []) or []
+    for inner, outer, tc, te, kc, ke in chunks("nano_reactor_potential", 6,
+                                               nrp):
+        pots.append(get_potential(
+            "nanoreactor", inner_wall_ang=float(inner),
+            outer_wall_ang=float(outer), contraction_time=float(tc),
+            expansion_time=float(te), contraction_k=float(kc),
+            expansion_k=float(ke), element_z=zz))
     # asymmetric ellipsoidal LJ probes (ref: interface.py:238 -aerp):
     # eps(kJ/mol) sig_xp,xm,yp,ym,zp,zm(ang) dist(ang) root,lj offtgt
     aerp = getattr(args, "asym_ellipsoid", []) or []
@@ -177,6 +403,21 @@ def _make_bias(args, z):
             pair = num_parse(aerp[i + 3])
             atoms.append((pair[0], pair[1]))
             off = aerp[i + 4]
+            offtgt.append(num_parse(off) if off not in ("0", "none") else [])
+        pots.append(get_potential(
+            "asym_ellipsoid", atoms=atoms, offtgt=offtgt, eps=eps_l,
+            sig=sig_l, dist=dist_l, element_z=np.asarray(z)))
+    aerp2 = getattr(args, "asym_ellipsoid_v2", []) or []
+    if aerp2:
+        # free-parameter variant, same syntax (ref: interface.py:239 -aerpv2)
+        atoms, offtgt, eps_l, sig_l, dist_l = [], [], [], [], []
+        for i in range(0, len(aerp2), 5):
+            eps_l.append(float(aerp2[i]))
+            sig_l.append([float(s) for s in aerp2[i + 1].split(",")])
+            dist_l.append(float(aerp2[i + 2]))
+            pair = num_parse(aerp2[i + 3])
+            atoms.append((pair[0], pair[1]))
+            off = aerp2[i + 4]
             offtgt.append(num_parse(off) if off not in ("0", "none") else [])
         pots.append(get_potential(
             "asym_ellipsoid", atoms=atoms, offtgt=offtgt, eps=eps_l,

@@ -42,26 +42,30 @@ class UniversalPotential(BiasPotential):
 
 @register_potential
 class FluxPotential(BiasPotential):
-    """Polynomial drift toward a target point: E = c sum_i sum_k
-    (x_ik - d_k)^order (ref: flux_potential.py). Direction in Angstrom;
-    params = [const]."""
+    """Polynomial drift toward a target point: E = sum_i sum_k (c_k/p_k)
+    (x_ik - d_k)^p_k with PER-AXIS constants/orders (ref:
+    flux_potential.py; the -fp flag passes x,y,z triples for both).
+    Scalars broadcast. Direction in Angstrom; params = [cx, cy, cz]."""
 
     name = "flux"
 
     def __init__(self, const, order, direction, atoms, **kw):
         super().__init__(**kw)
-        self.const = float(const)
-        self.order = float(order)
+        self.const = np.broadcast_to(np.asarray(const, np.float64),
+                                     (3,)).copy()
+        self.order = np.broadcast_to(np.asarray(order, np.float64),
+                                     (3,)).copy()
         self.direction = np.asarray(direction, np.float64) * ANGSTROM2BOHR
         self.idx = idx0(atoms)
 
     def init_params(self):
-        return np.array([self.const], dtype=np.float64)
+        return np.asarray(self.const, dtype=np.float64)
 
     def energy(self, coords, params):
         d = jnp.asarray(self.direction, coords.dtype)
+        p = jnp.asarray(self.order, coords.dtype)
         diff = coords[self.idx] - d[None, :]
-        return params[0] * jnp.sum(diff ** self.order)
+        return jnp.sum((params[None, :] / p[None, :]) * diff ** p[None, :])
 
 
 @register_potential

@@ -205,3 +205,64 @@ class ConePotential(BiasPotential):
         r0 = jnp.sqrt(dist * jnp.asarray(self.t_rv, coords.dtype))
         s = r0 / (length + self.a_value * r0)
         return jnp.sum(4.0 * eps * (s ** 12 - s ** 6))
+
+
+@register_potential
+class LJRepulsiveV2Probe(BiasPotential):
+    """The reference's -rpv2 model (ref: LJ_repulsive_potential.py:117
+    v2Scale, :180 v2Value): a PROBE POINT extended `length` Angstrom beyond
+    atom center[1] along the center[0]->center[1] axis feels a generalized
+    LJ against each target atom,
+
+        E = sum_t eps_t ( |A| (r0_t/r_t)^n_rep - |B| (r0_t/r_t)^n_attr )
+
+    mode "scale": eps_t = sqrt(well * eps_c1 * eps_t),
+                  r0_t = sqrt(dist * rv_c1 * rv_t)   (UFF center params)
+    mode "value": eps_t = sqrt((well kJ/mol) * eps_t),
+                  r0_t = sqrt((dist ang -> Bohr) * rv_t)
+    params = [well, dist].
+    """
+
+    name = "lj_repulsive_v2_probe"
+
+    def __init__(self, well, dist, length_ang, const_rep, const_attr,
+                 order_rep, order_attr, center, target, element_z,
+                 mode="scale", **kw):
+        super().__init__(**kw)
+        self.well = float(well)
+        self.dist = float(dist)
+        self.length = float(length_ang) * ANGSTROM2BOHR
+        self.a_const = abs(float(const_rep))
+        self.b_const = abs(float(const_attr))
+        self.n_rep = float(order_rep)
+        self.n_attr = float(order_attr)
+        self.c0, self.c1 = idx0(center)[:2]
+        self.target = idx0(target)
+        self.mode = mode
+        z = np.asarray(element_z)
+        self.eps_t = np.asarray(UFF_VDW_EPS)[z[self.target]]
+        self.rv_t = np.asarray(UFF_VDW_R)[z[self.target]]
+        self.eps_c = float(np.asarray(UFF_VDW_EPS)[z[self.c1]])
+        self.rv_c = float(np.asarray(UFF_VDW_R)[z[self.c1]])
+
+    def init_params(self):
+        return np.array([self.well, self.dist], dtype=np.float64)
+
+    def energy(self, coords, params):
+        well, dist = params[0], params[1]
+        axis = coords[self.c1] - coords[self.c0]
+        axis = axis / (jnp.sqrt(jnp.sum(axis ** 2)) + 1e-15)
+        probe = coords[self.c1] + self.length * axis
+        vec = coords[self.target] - probe[None, :]
+        r = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-12)
+        eps_t = jnp.asarray(self.eps_t, coords.dtype)
+        rv_t = jnp.asarray(self.rv_t, coords.dtype)
+        if self.mode == "scale":
+            eps = jnp.sqrt(well * self.eps_c * eps_t)
+            r0 = jnp.sqrt(dist * self.rv_c * rv_t)
+        else:   # value: kJ/mol + Angstrom against target UFF params
+            eps = jnp.sqrt(well / HARTREE2KJMOL * eps_t)
+            r0 = jnp.sqrt(dist * ANGSTROM2BOHR * rv_t)
+        x = r0 / r
+        return jnp.sum(eps * (self.a_const * x ** self.n_rep
+                              - self.b_const * x ** self.n_attr))

@@ -160,7 +160,10 @@ class VoidPointPotential(BiasPotential):
         self.r0_ang = float(distance)
         self.n = float(order)
         self.point = np.asarray(point, dtype=np.float64) * ANGSTROM2BOHR
-        self.atom = int(atom) - 1
+        # single 1-based atom or a list of them (the -vpp flag passes a
+        # range, ref: interface.py:226)
+        atoms = [atom] if np.isscalar(atom) else list(atom)
+        self.atoms = np.asarray([int(a) - 1 for a in atoms], np.int32)
 
     def init_params(self):
         return np.array([self.k, self.r0_ang], dtype=np.float64)
@@ -168,5 +171,6 @@ class VoidPointPotential(BiasPotential):
     def energy(self, coords, params):
         k, r0 = params[0], params[1] * ANGSTROM2BOHR
         p = jnp.asarray(self.point, dtype=coords.dtype)
-        r = jnp.sqrt(jnp.sum((coords[self.atom] - p) ** 2) + 1e-12)
-        return (k / self.n) * (r - r0) ** self.n
+        d = coords[self.atoms] - p[None, :]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        return jnp.sum((k / self.n) * (r - r0) ** self.n)

@@ -79,3 +79,57 @@ class TestJobs:
                     temperature=30.0, thermostat="langevin")
         res = job.run()
         assert res.trajectory.shape[0] == 50
+
+
+def test_cli_full_bias_flag_surface(tmp_path):
+    """Every reference bias flag is accepted with the reference's syntax
+    (ref: interface.py:205-240 parser_for_biasforce) and produces a
+    working BiasEngine."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.cli import _base_parser, _make_bias
+
+    p = _base_parser("test")
+    argv = [
+        "dummy.xyz",
+        "-ma", "100", "1", "2",
+        "-rp", "1.0", "1.0", "1", "2", "scale",
+        "-rp", "5.0", "2.5", "1", "2", "value",
+        "-rpv2", "1.0", "1.0", "1.5", "1.0", "1.0", "12", "6",
+        "1,2", "3-4", "scale",
+        "-rpg", "4.0", "2.0", "2.0", "3.0", "1.0", "1", "2",
+        "-cp", "4.0", "2.5", "90", "1", "2,3,4", "4",
+        "-fp", "0.01,0.01,0.02", "2,2,2", "0,0,0", "1-2",
+        "-kp", "0.5", "1.5", "1,2",
+        "-kpv2", "0.5", "2.0", "1,2", "3,4",
+        "-akp", "0.2", "0.5", "1.2", "1,2",
+        "-ka", "0.4", "104.5", "1,2,3",
+        "-kav2", "0.4", "100", "1", "2", "3,4",
+        "-up", "50", "1-3",
+        "-kda", "0.2", "60", "1,2,3,4",
+        "-kdav2", "0.2", "60", "1", "2", "3", "4",
+        "-kdac", "0.2", "3", "60", "1", "2", "3", "4",
+        "-kopa", "0.2", "10", "1,2,3,4",
+        "-kopav2", "0.2", "10", "1", "2", "3", "4",
+        "-vpp", "0.5", "1.0", "0,0,0", "1,2", "2",
+        "-brp", "0.5", "0.5", "3.0", "1.0", "1", "2",
+        "-wp", "50", "1", "2", "1.0,1.8,4.0,5.0",
+        "-wwp", "50", "x", "1.0,1.8,4.0,5.0", "1-3",
+        "-vpwp", "50", "0,0,0", "1.0,1.8,4.0,5.0", "1-3",
+        "-awp", "50", "1", "1.0,1.8,4.0,5.0", "2-4",
+        "-metad", "bond", "5.0", "0.2", "1,2",
+        "-lmefp", "500", "1,2", "3,4",
+        "-lmefpv2", "500", "1,2",
+        "-esp", "0.5", "1", "2",
+        "-espap", "0.5", "1,2",
+        "-nrp", "8.0", "14.0", "1.5", "0.5", "1.0", "0.5",
+    ]
+    args = p.parse_args(argv)
+    z = np.array([6, 6, 8, 1])
+    engine = _make_bias(args, z)
+    assert engine is not None and len(engine) >= 28
+    coords = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [2.4, 0.1, 0.0], [4.4, 2.0, 0.5],
+         [5.8, 3.4, -0.7]]))
+    e, g = engine.energy_and_gradient(coords)
+    assert np.isfinite(float(e))
+    assert np.all(np.isfinite(np.asarray(g)))
