@@ -99,10 +99,17 @@ _D2 = {
     17: (5.07, 1.639), 18: (4.61, 1.595),
 }
 
-_K_WH = 1.75         # Wolfsberg-Helmholz constant (ss and pp pairs)
+_K_WH = 1.75         # Wolfsberg-Helmholz constant (ss pairs)
 _K_SP = 2.2          # s-p pairs: controls hybridized/directional bonding —
                      # 1.75 leaves water nearly linear, 2.2 bends it to 110
                      # degrees (exp 104.5)
+_K_PP = 2.2          # p-p pairs (heavy-heavy only — H has no p): round-2
+                     # recalibration. At the old 1.75 the pi system was too
+                     # weak to resist bending: CO2 minimized at ~140 deg
+                     # (the round-1 documented defect). 2.2 makes CO2
+                     # linear AND shortens r_CO (1.35 -> 1.25 ang) while
+                     # leaving every X-H fixture (H2O/NH3/CH4 angles and
+                     # bonds, ethane staggered preference) unchanged.
 # repulsion constants calibrated against experimental r_e of H2 (1.40),
 # H2O (1.81), CH4 (2.06), NH3 (1.91 Bohr): minima land within ~0.1 Bohr
 _REP_K = 0.4         # global repulsion prefactor
@@ -460,7 +467,20 @@ class SQM(Calculator):
         self.srb = bool(srb)
         self.k_ss = float(kw.pop("k_ss", _K_WH))
         self.k_sp = float(kw.pop("k_sp", _K_SP))
-        self.k_pp = float(kw.pop("k_pp", _K_WH))
+        self.k_pp = float(kw.pop("k_pp", _K_PP))
+        # GFN0-style environment-dependent level shifts (ref:
+        # SQM/sqm2/sqm2_qm.py:275 _get_self_energy: h -= kCN cn + kQ q
+        # + kq2 q^2): the EHT diagonal responds to the coordination number
+        # and the EEQ charge, giving the charge self-consistency the
+        # round-1 model lacked. OFF by default (0.0) — the base
+        # calibration predates them; enable/calibrate via constructor.
+        self.k_cn_s = float(kw.pop("k_cn_s", 0.0))
+        self.k_cn_p = float(kw.pop("k_cn_p", 0.0))
+        self.k_q = float(kw.pop("k_q", 0.0))
+        self.k_q2 = float(kw.pop("k_q2", 0.0))
+        # s-p Wolfsberg constant for heavy-heavy pairs (defaults to k_sp;
+        # see the k_pair construction in energy_terms)
+        self.k_sp_heavy = float(kw.pop("k_sp_heavy", self.k_sp))
 
     def energy(self, coords, z):
         t = self.energy_terms(coords, z)
@@ -487,12 +507,55 @@ class SQM(Calculator):
         cs = jnp.asarray(cs, dtype)
         cp = jnp.asarray(cp, dtype)
 
+        # ---- EEQ electrostatics (computed FIRST: the charges also shift
+        # the EHT levels below, ref: sqm2_qm.py:275) ---------------------
+        rij_v = coords[:, None, :] - coords[None, :, :]
+        r = jnp.sqrt(jnp.sum(rij_v * rij_v, axis=-1)
+                     + jnp.eye(n, dtype=dtype))
+        chi = jnp.asarray(_T["chi"][z_np], dtype)
+        eta = jnp.asarray(_T["eta"][z_np], dtype)
+        r_q = jnp.asarray(_T["r_q"][z_np], dtype)
+        gamma2 = r_q[:, None] ** 2 + r_q[None, :] ** 2
+        j_off = 1.0 / jnp.sqrt(r * r + gamma2)   # Ohno-Klopman
+        # diagonal carries the hardness PLUS the self-Coulomb of the charge
+        # distribution, sqrt(2/pi)/r_i (D4-EEQ form) — without it the matrix
+        # loses diagonal dominance for clustered atoms and the charge solve
+        # diverges to +/-1e5 charges
+        diag = eta + jnp.sqrt(2.0 / jnp.pi) / r_q
+        a_mat = jnp.where(jnp.eye(n, dtype=bool),
+                          diag[None, :] * jnp.ones((n, n), dtype=dtype),
+                          j_off)
+        # constrained linear solve: [A 1; 1 0][q; lam] = [-chi; Q]
+        big = jnp.zeros((n + 1, n + 1), dtype=dtype)
+        big = big.at[:n, :n].set(a_mat)
+        big = big.at[:n, n].set(1.0)
+        big = big.at[n, :n].set(1.0)
+        rhs = jnp.concatenate([-chi, jnp.asarray([float(self.charge)], dtype)])
+        sol = _sym_solve(big, rhs)
+        q = sol[:n]
+        e_eeq = jnp.dot(chi, q) + 0.5 * jnp.dot(q, a_mat @ q)
+
         # ---- overlap & Hamiltonian -----------------------------------
         s_blocks = _overlap_blocks(coords, alpha, cs, cp)  # (N,N,4,4)
         h_diag_atom = np.stack([
             _T["h_s"][z_np], _T["h_p"][z_np], _T["h_p"][z_np],
             _T["h_p"][z_np]], axis=1) / HARTREE2EV          # (N,4)
         h_diag = jnp.asarray(h_diag_atom, dtype).reshape(-1)  # (4N,)
+        if self.k_cn_s or self.k_cn_p or self.k_q or self.k_q2:
+            # GFN0 environment shifts (ref: sqm2_qm.py:283-293): CN from a
+            # logistic counting function, q from the EEQ solve above
+            from multioptpy_tpu.periodic import COVALENT_RADII_1 as _RC
+            rcov_a = jnp.asarray(np.asarray(_RC)[z_np], dtype)
+            rc_ij = rcov_a[:, None] + rcov_a[None, :]
+            cn = jnp.sum(jnp.where(~jnp.eye(n, dtype=bool),
+                                   1.0 / (1.0 + jnp.exp(
+                                       -16.0 * (rc_ij / r - 1.0))), 0.0),
+                         axis=1)
+            shift_s = -self.k_cn_s * cn - self.k_q * q - self.k_q2 * q * q
+            shift_p = -self.k_cn_p * cn - self.k_q * q - self.k_q2 * q * q
+            shifts = jnp.stack([shift_s, shift_p, shift_p, shift_p],
+                               axis=1).reshape(-1)
+            h_diag = h_diag + shifts
 
         s_mat = jnp.transpose(s_blocks, (0, 2, 1, 3)).reshape(4 * n, 4 * n)
         # same-atom blocks: exact orthonormality of the minimal basis
@@ -514,11 +577,21 @@ class SQM(Calculator):
             + jnp.diag(1.0 - valid)
 
         # per-orbital-pair Wolfsberg-Helmholz constants: the s-p constant
-        # controls directional (hybridized) bonding and thereby bond angles
+        # controls directional (hybridized) bonding and thereby bond angles.
+        # k_sp is resolved by the PAIR of elements: X-H s-p blocks (which
+        # set H2O/NH3 angles) keep k_sp; heavy-heavy s-p blocks get their
+        # own k_sp_heavy — the second-order Jahn-Teller sigma*/pi mixing
+        # that over-stabilizes bent CO2 lives exclusively there (the GFN
+        # family's shell-pair-resolved K has the same resolution,
+        # ref: sqm2_qm.py:190 _get_eht_k_factor).
         is_p_orb = jnp.asarray(np.tile([0.0, 1.0, 1.0, 1.0], n), dtype)
         pp = is_p_orb[:, None] + is_p_orb[None, :]  # 0 ss / 1 sp / 2 pp
+        heavy = jnp.asarray(np.repeat((z_np > 2).astype(np.float64), 4),
+                            dtype)
+        both_heavy = heavy[:, None] * heavy[None, :]
+        k_sp_pair = jnp.where(both_heavy > 0, self.k_sp_heavy, self.k_sp)
         k_pair = jnp.where(pp == 0, self.k_ss,
-                           jnp.where(pp == 1, self.k_sp, self.k_pp))
+                           jnp.where(pp == 1, k_sp_pair, self.k_pp))
         h_mat = 0.5 * k_pair * (h_diag[:, None] + h_diag[None, :]) * s_mat
         h_mat = jnp.where(jnp.eye(4 * n, dtype=bool), h_diag, h_mat * vv)
 
@@ -549,33 +622,6 @@ class SQM(Calculator):
             ns = min(nv, 2.0)
             e_ref += ns * es + max(nv - 2.0, 0.0) * ep
         e_eht = e_bs - jnp.asarray(e_ref, dtype)
-
-        # ---- EEQ electrostatics --------------------------------------
-        rij = coords[:, None, :] - coords[None, :, :]
-        r = jnp.sqrt(jnp.sum(rij * rij, axis=-1)
-                     + jnp.eye(n, dtype=dtype))
-        chi = jnp.asarray(_T["chi"][z_np], dtype)
-        eta = jnp.asarray(_T["eta"][z_np], dtype)
-        r_q = jnp.asarray(_T["r_q"][z_np], dtype)
-        gamma2 = r_q[:, None] ** 2 + r_q[None, :] ** 2
-        j_off = 1.0 / jnp.sqrt(r * r + gamma2)   # Ohno-Klopman
-        # diagonal carries the hardness PLUS the self-Coulomb of the charge
-        # distribution, sqrt(2/pi)/r_i (D4-EEQ form) — without it the matrix
-        # loses diagonal dominance for clustered atoms and the charge solve
-        # diverges to +/-1e5 charges
-        diag = eta + jnp.sqrt(2.0 / jnp.pi) / r_q
-        a_mat = jnp.where(jnp.eye(n, dtype=bool),
-                          diag[None, :] * jnp.ones((n, n), dtype=dtype),
-                          j_off)
-        # constrained linear solve: [A 1; 1 0][q; lam] = [-chi; Q]
-        big = jnp.zeros((n + 1, n + 1), dtype=dtype)
-        big = big.at[:n, :n].set(a_mat)
-        big = big.at[:n, n].set(1.0)
-        big = big.at[n, :n].set(1.0)
-        rhs = jnp.concatenate([-chi, jnp.asarray([float(self.charge)], dtype)])
-        sol = _sym_solve(big, rhs)
-        q = sol[:n]
-        e_eeq = jnp.dot(chi, q) + 0.5 * jnp.dot(q, a_mat @ q)
 
         # ---- repulsion (GFN0-style form; covalent-radius length scale) --
         from multioptpy_tpu.periodic import COVALENT_RADII_1

@@ -247,3 +247,66 @@ def auto_internals(coords_np, z, **kw):
     bonds, angles, torsions = detect_primitives(coords_np, z, **kw)
     return InternalCoordinates(bonds, angles, torsions,
                                n_atoms=len(coords_np))
+
+
+def cartesian_to_z_matrix(coords):
+    """Chain Z-matrix values [r_12, r_23, th_123, (r_i, th, phi)...] —
+    distances Bohr, angles DEGREES, matching the reference's layout
+    (ref: Coordinate/redundant_coordinate.py:503 cartesian_to_z_matrix).
+    Vectorized over the chain instead of the reference's per-atom loop."""
+    c = jnp.asarray(coords)
+    n = c.shape[0]
+    if n < 2:
+        return jnp.zeros((0,), c.dtype)
+    out = [jnp.linalg.norm(c[1] - c[0]) + 1e-15]
+    if n >= 3:
+        r13 = jnp.linalg.norm(c[2] - c[0]) + 1e-15
+        cosv = jnp.dot(c[1] - c[0], c[2] - c[0]) / (out[0] * r13)
+        out.append(jnp.linalg.norm(c[2] - c[1]) + 1e-15)
+        out.append(jnp.degrees(jnp.arccos(jnp.clip(cosv, -1.0, 1.0))))
+    if n >= 4:
+        a = c[:-3]         # i-3
+        b = c[1:-2]        # i-2
+        d = c[2:-1]        # i-1
+        e = c[3:]          # i
+        r = jnp.linalg.norm(e - d, axis=1) + 1e-15
+        r_bd = jnp.linalg.norm(d - b, axis=1) + 1e-15
+        cos_th = jnp.sum((d - b) * (e - d), axis=1) / (r_bd * r)
+        th = jnp.degrees(jnp.arccos(jnp.clip(cos_th, -1.0, 1.0)))
+        n1 = jnp.cross(b - a, d - b)
+        n2 = jnp.cross(d - b, e - d)
+        n1 = n1 / (jnp.linalg.norm(n1, axis=1, keepdims=True) + 1e-15)
+        n2 = n2 / (jnp.linalg.norm(n2, axis=1, keepdims=True) + 1e-15)
+        cos_p = jnp.clip(jnp.sum(n1 * n2, axis=1), -1.0, 1.0)
+        sign = jnp.sign(jnp.sum(jnp.cross(n1, n2) * (d - b), axis=1))
+        phi = jnp.degrees(jnp.arccos(cos_p)) * jnp.where(sign < 0, -1.0, 1.0)
+        out.append(jnp.stack([r, th, phi], axis=1).reshape(-1))
+    return jnp.concatenate([jnp.atleast_1d(jnp.asarray(v, c.dtype))
+                            for v in out])
+
+
+def local_force_constants(cart_hess, b_matrix, method="compliance"):
+    """Per-primitive local force constants from a Cartesian Hessian.
+
+    method "compliance": k_q = 1 / (B H^+ B^T)_qq — the compliance-matrix
+      route (Brandhorst & Grunenberg, Chem. Soc. Rev. 37 (2008) 1558; the
+      reference's calc_local_fc_from_pBmat, redundant_coordinate.py:480,
+      with the pseudo-inverse instead of its ill-conditioned plain
+      inverse + TR/rot-projected input requirement). Valid anywhere.
+    method "projection": k = B^+T H B^+ via the G-inverse (reference's
+      calc_local_fc_from_pBmat_2/3, :491-501; stationary points only).
+
+    Returns the (Q,) diagonal (compliance) or the full (Q, Q) matrix
+    (projection)."""
+    h = jnp.asarray(cart_hess)
+    b = jnp.asarray(b_matrix)
+    if method == "compliance":
+        h_pinv = jnp.linalg.pinv(0.5 * (h + h.T), rcond=1e-8)
+        compliance = b @ h_pinv @ b.T
+        return 1.0 / jnp.diagonal(compliance)
+    if method == "projection":
+        g = b @ b.T
+        g_inv = jnp.linalg.pinv(g, rcond=1e-10)
+        b_plus = g_inv @ b           # (Q, 3N)
+        return b_plus @ h @ b_plus.T
+    raise ValueError("method must be 'compliance' or 'projection'")

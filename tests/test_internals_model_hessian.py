@@ -173,3 +173,59 @@ class TestDispersionCorrection:
         assert np.all(np.isfinite(h_disp))
         w = np.linalg.eigvalsh(h_disp)
         assert np.sum(np.abs(w) < 1e-8) >= 6
+
+
+def test_z_matrix_roundtrip_values():
+    """cartesian_to_z_matrix (ref: redundant_coordinate.py:503) on a known
+    butane-like chain."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.coords.internals import cartesian_to_z_matrix
+
+    coords = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [2.9, 0.0, 0.0], [3.9, 2.7, 0.0],
+         [6.8, 3.0, 1.5]]))
+    zm = np.asarray(cartesian_to_z_matrix(coords))
+    # r12, r23, th123, then (r34, th234, phi1234)
+    assert zm.shape == (6,)
+    np.testing.assert_allclose(zm[0], 2.9, rtol=1e-12)
+    np.testing.assert_allclose(zm[1], np.linalg.norm([1.0, 2.7, 0.0]),
+                               rtol=1e-12)
+    v1 = np.array([2.9, 0, 0])
+    v2 = np.array([3.9, 2.7, 0.0])
+    th = np.degrees(np.arccos(v1 @ v2 / (np.linalg.norm(v1)
+                                         * np.linalg.norm(v2))))
+    np.testing.assert_allclose(zm[2], th, rtol=1e-10)
+    np.testing.assert_allclose(zm[3], np.linalg.norm([2.9, 0.3, 1.5]),
+                               rtol=1e-10)
+    assert 0 < zm[4] < 180
+    assert -180 <= zm[5] <= 180
+
+
+def test_local_force_constants_diatomic():
+    """For a diatomic harmonic bond, the local stretch constant must equal
+    the spring constant (both compliance and projection routes;
+    ref: redundant_coordinate.py:480-501)."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.coords.internals import (
+        InternalCoordinates, local_force_constants)
+
+    k_true = 0.37
+    r = 2.0
+    coords = jnp.asarray(np.array([[0.0, 0.0, 0.0], [r, 0.0, 0.0]]))
+    # analytic Hessian of E = 0.5 k (|x1-x0| - r0)^2 at r = r0:
+    u = np.array([1.0, 0.0, 0.0])
+    blk = k_true * np.outer(u, u)
+    h = np.zeros((6, 6))
+    h[:3, :3] = blk
+    h[3:, 3:] = blk
+    h[:3, 3:] = -blk
+    h[3:, :3] = -blk
+    ic = InternalCoordinates(np.array([[0, 1]]), np.zeros((0, 3), int),
+                             np.zeros((0, 4), int), n_atoms=2)
+    b = ic.b_matrix(coords)
+    k_comp = np.asarray(local_force_constants(jnp.asarray(h), b,
+                                              method="compliance"))
+    np.testing.assert_allclose(k_comp[0], k_true, rtol=1e-8)
+    k_proj = np.asarray(local_force_constants(jnp.asarray(h), b,
+                                              method="projection"))
+    np.testing.assert_allclose(k_proj[0, 0], k_true, rtol=1e-8)

@@ -125,9 +125,9 @@ def test_ethane_torsion_physics(calc):
 
 def test_shape_preferences(calc):
     """CH4 tetrahedral >> square planar; NH3 pyramidal > planar (the
-    inversion barrier comes out ~5 kcal/mol vs exp ~6). Known limitation:
-    CO2 bending is slightly over-stabilized (minimal-basis EHT lacks the
-    pi-bond resistance); tracked in NOTES.md round-2 items."""
+    inversion barrier comes out ~5 kcal/mol vs exp ~6). The round-1 CO2
+    bending defect is fixed by the k_pp = 2.2 recalibration
+    (test_co2_linear below)."""
     A = ANGSTROM2BOHR
     d = 1.09 / np.sqrt(3)
     td = jnp.asarray(np.array([[0, 0, 0], [d, d, d], [d, -d, -d],
@@ -190,3 +190,38 @@ def test_srb_term_opt_in_and_tightens_bonds():
     res_on = optimize(withs, coords, zh, config=cfg)
     r_on = float(jnp.linalg.norm(res_on.coords[1] - res_on.coords[0]))
     assert r_on < r_off
+
+
+def test_co2_linear(calc):
+    """CO2 must be LINEAR (round-1 defect, fixed by the k_pp = 2.2
+    heavy-heavy pi recalibration; VERDICT round-2 item 9)."""
+    A = ANGSTROM2BOHR
+    z = jnp.array([8, 6, 8])
+
+    def co2(theta_deg, r=1.16):
+        th = np.radians(theta_deg / 2)
+        return jnp.asarray(np.array(
+            [[r * np.sin(th), r * np.cos(th), 0.0], [0.0, 0.0, 0.0],
+             [-r * np.sin(th), r * np.cos(th), 0.0]]) * A)
+
+    e_lin = float(calc.energy(co2(180.0), z))
+    for t in (170.0, 160.0, 150.0, 140.0, 130.0):
+        assert e_lin < float(calc.energy(co2(t), z)), f"bent at {t} deg"
+
+
+def test_eht_level_shifts_opt_in(calc):
+    """GFN0-style CN/EEQ level shifts (ref: sqm2_qm.py:275) change the
+    energy when enabled and default to off."""
+    from multioptpy_tpu.calculators.sqm import SQM
+    A = ANGSTROM2BOHR
+    water = jnp.asarray(np.array([[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+                                  [0.0, -0.7572, -0.4692]]) * A)
+    z = jnp.array([8, 1, 1])
+    e0 = float(calc.energy(water, z))
+    e0_again = float(SQM().energy(water, z))
+    np.testing.assert_allclose(e0, e0_again, rtol=1e-12)
+    shifted = SQM(k_cn_s=0.01, k_cn_p=0.005, k_q=0.05)
+    e1 = float(shifted.energy(water, z))
+    assert abs(e1 - e0) > 1e-5
+    g = np.asarray(shifted.energy_and_gradient(water, z)[1])
+    assert np.all(np.isfinite(g))
