@@ -166,6 +166,12 @@ def _parse_method(method):
         # (ref: Optimizer/crsirfo.py:5); the crs flag is read off
         # config.method by make_step_fn
         m = "rfo" + m[len("crsirfo"):]
+    if m.startswith("smf_rsirfo"):
+        # STATIC mode-following (ref: optimizer.py:68 's'-prefixed keys,
+        # Optimizer/mf_rsirfo.py static variant): same engine as mf; the
+        # followed mode starts from config.follow_mode_index either way and
+        # max-overlap tracking keeps a static mode static on smooth paths
+        m = "prfo" + m[len("smf_rsirfo"):]
     if m.startswith("mf_rsirfo"):
         # mode-following RS-I-RFO (ref: Optimizer/mf_rsirfo.py:6): a
         # P-RFO that maximizes along the max-overlap mode

@@ -161,6 +161,23 @@ def auto_scale(h, s, y, is_identity):
     return h * scale
 
 
+def pcfd_bofill_delta(h, s, y):
+    """Perturbed CFD-Bofill (ref: hessian_update.py:309
+    pCFD_Bofill_hessian_update): the CFD-Bofill delta plus the
+    orthogonal-complement perturbation. The reference's O(N^2) double loop
+    over an explicit null-space basis of s collapses to the closed form
+
+        sum_ij (v_j^T D v_i)(v_i v_j^T + v_j v_i^T) = 2 P D P
+
+    with P = I - s s^T / |s|^2 (D symmetric)."""
+    d = bofill_delta(h, s, y, cfd=True)
+    s2 = jnp.dot(s, s)
+    ok = s2 > 1e-300
+    p = jnp.eye(s.shape[0], dtype=s.dtype) - jnp.outer(s, s) / jnp.where(
+        ok, s2, 1.0)
+    return jnp.where(ok, d + 2.0 * (p @ d @ p), d)
+
+
 UPDATE_RULES = {
     "bfgs": bfgs_delta,
     "bfgs_dd": lambda h, s, y: bfgs_delta(h, s, double_damping(s, y)),
@@ -172,6 +189,7 @@ UPDATE_RULES = {
     "cfd_fsb_dd": lambda h, s, y: fsb_delta(h, s, double_damping(s, y), cfd=True),
     "bofill": bofill_delta,
     "cfd_bofill": lambda h, s, y: bofill_delta(h, s, y, cfd=True),
+    "pcfd_bofill": pcfd_bofill_delta,
     "msp": msp_delta,
     "flowchart": flowchart_delta,
     "auto": flowchart_delta,
