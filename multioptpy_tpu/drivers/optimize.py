@@ -194,7 +194,7 @@ def _parse_method(method):
         # with ratio-adaptive trust clamping
         return ("lbfgs", "tr")
     if m in ("fire", "fire2", "abc_fire", "lbfgs", "sd", "eve", "gan", "rl",
-             "mwsd"):
+             "mwsd", "gpmin"):
         return (m, None)
     if m.startswith("mw"):
         # mass-weighted quasi-Newton variants (ref: optimizer.py:68-255
@@ -267,6 +267,12 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
     elif kind == "rl":
         from multioptpy_tpu.steppers.learned import rl_init
         fo = (rl_init(3 * n, dtype=dtype),)
+    elif kind == "gpmin":
+        # GP surrogate minimizer in inverse-distance descriptor space
+        # (ref: Optimizer/gpmin.py:7; descriptors gpmin.py:223)
+        from multioptpy_tpu.steppers.gp import gp_init, inv_dist_descriptor
+        _, n_feat = inv_dist_descriptor(n)
+        fo = (gp_init(n_feat, dtype=dtype),)
     elif kind == "optax":
         from multioptpy_tpu.steppers.ml import optax_init
         fo = (optax_init(sub, 3 * n, dtype=dtype),)
@@ -564,6 +570,13 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
                 from multioptpy_tpu.steppers.ml import optax_step
                 mv, fo_new = optax_step(sub, fo, g_flat,
                                         lr=0.05 * config.delta)
+            elif kind == "gpmin":
+                from multioptpy_tpu.steppers.gp import (gp_step,
+                                                        inv_dist_descriptor)
+                phi_fn, _ = inv_dist_descriptor(state.coords.shape[0])
+                mv, fo_new = gp_step(fo, state.coords.reshape(-1),
+                                     state.energy, g_flat, phi_fn=phi_fn,
+                                     max_step=0.5 * config.delta)
             else:  # cg
                 mv, fo_new = cg_step(fo, g_flat, variant=sub, delta=config.delta)
         # clamp to trust radius (ref: optimizer.py:792)

@@ -84,21 +84,57 @@ def gp_posterior_energy(x_query, state, lengthscale=1.0, noise=1e-8):
     return e_mean + jnp.dot(k_q, alpha)
 
 
+def inv_dist_descriptor(n_atoms, dist_scale=1.0, min_dist=0.5):
+    """Inverse-distance descriptor phi(x) = 1/(max(r_ij, min_dist) scale)
+    over the upper-triangle pairs — the reference GPmin's
+    rotation/translation-invariant feature space
+    (ref: gpmin.py:223 _cart_to_inverse_dist). Returns (phi_fn, P)."""
+    import numpy as np
+
+    iu, ju = np.triu_indices(n_atoms, k=1)
+
+    def phi(x_flat):
+        c = x_flat.reshape(n_atoms, 3)
+        d = jnp.linalg.norm(c[iu] - c[ju], axis=1)
+        return 1.0 / (jnp.maximum(d, min_dist) * dist_scale)
+
+    return phi, len(iu)
+
+
 def gp_step(state, x, energy, gradient, lengthscale=1.0, n_descent=30,
-            rate=0.2, max_step=0.5):
+            rate=0.2, max_step=0.5, phi_fn=None):
     """Push the observation, then descend the SURROGATE from x and return
-    the move to its (local) minimum (ref: gpmin.py main loop)."""
+    the move to its (local) minimum (ref: gpmin.py main loop).
+
+    phi_fn: optional descriptor map (e.g. `inv_dist_descriptor`) — the GP
+    is then fit in descriptor space like the reference GPmin (gpmin.py:223
+    inverse distances with the Jacobian chain rule :240; here the chain
+    rule is jax autodiff through phi_fn, and observed gradients transform
+    by the Jacobian least squares g_phi = (J J^T)^-1 J g_x)."""
+    if phi_fn is None:
+        obs_x, obs_g = x, gradient
+    else:
+        obs_x = phi_fn(x)
+        jac = jax.jacfwd(phi_fn)(x)                  # (P, D)
+        jjt = jac @ jac.T
+        obs_g = jnp.linalg.solve(
+            jjt + 1e-10 * jnp.eye(jjt.shape[0], dtype=x.dtype),
+            jac @ gradient)
     m = state.x_hist.shape[0]
     slot = state.count % m
     state = GpState(
-        x_hist=state.x_hist.at[slot].set(x),
+        x_hist=state.x_hist.at[slot].set(obs_x),
         e_hist=state.e_hist.at[slot].set(energy),
-        g_hist=state.g_hist.at[slot].set(gradient),
+        g_hist=state.g_hist.at[slot].set(obs_g),
         count=state.count + 1,
     )
 
-    surrogate_grad = jax.grad(
-        lambda q: gp_posterior_energy(q, state, lengthscale))
+    if phi_fn is None:
+        surrogate = lambda q: gp_posterior_energy(q, state, lengthscale)
+    else:
+        surrogate = lambda q: gp_posterior_energy(phi_fn(q), state,
+                                                  lengthscale)
+    surrogate_grad = jax.grad(surrogate)
 
     def body(_, q):
         return q - rate * surrogate_grad(q)

@@ -60,3 +60,41 @@ def test_reference_fixtures_parse_and_evaluate(path):
         jnp.asarray(coords_ang * ANGSTROM2BOHR), jnp.asarray(z))
     assert np.isfinite(float(e))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_inv_dist_descriptor_rotation_invariant(rng):
+    """The reference GPmin fits in inverse-distance space (gpmin.py:223) —
+    the surrogate must be invariant under rigid rotation."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.steppers.gp import inv_dist_descriptor
+
+    phi, p = inv_dist_descriptor(4)
+    x = jnp.asarray(rng.standard_normal(12) * 3.0)
+    th = 0.7
+    c, s = np.cos(th), np.sin(th)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    x_rot = jnp.asarray((np.asarray(x).reshape(4, 3) @ rot.T).reshape(-1))
+    assert p == 6
+    np.testing.assert_allclose(np.asarray(phi(x)), np.asarray(phi(x_rot)),
+                               rtol=1e-12)
+
+
+def test_gpmin_drives_optimization():
+    """'gpmin' as a driveable method (ref: optimizer.py:53 optimizer_mapping
+    'gpmin'): LJ trimer energy decreases under the descriptor-space GP
+    surrogate minimizer."""
+    import jax
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+
+    r = 7.6
+    coords = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [r, 0.0, 0.0], [r / 2, r, 0.0]]))
+    z = jnp.array([18, 18, 18])
+    res = optimize(LennardJones(), coords, z,
+                   config=OptimizeConfig(method="gpmin", nsteps=25,
+                                         delta=0.6))
+    e = res.energy_history
+    assert np.all(np.isfinite(np.asarray(res.coords)))
+    assert float(e[-1]) < float(e[0])
