@@ -723,14 +723,18 @@ def dissociation_detected(coords, limit=10.0):
 def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
              hessian0=None, record_trajectory=False, callback=None,
              constraints=None, stop_file="end.txt", dissociation_limit=None,
-             checkpoint_path=None, checkpoint_every=0, resume_from=None):
+             checkpoint_path=None, checkpoint_every=0, resume_from=None,
+             timer=None):
     """Host-driven optimization loop with early exit (3.1-equivalent stack).
 
     Failure/stop handling mirrors the reference: a `stop_file` in the cwd
     breaks the loop gracefully (ref: optimization.py:1864 end.txt), and
     `dissociation_limit` (Bohr) aborts runs whose molecule broke apart
     (ref: optimization.py:2219). `checkpoint_path` + `checkpoint_every`
-    write resumable snapshots; `resume_from` restarts from one.
+    write resumable snapshots; `resume_from` restarts from one. `timer`
+    (a logging_utils.StageTimer) records per-stage wall clock: "setup"
+    (trace+compile+first state), "step" (device step incl. blocking),
+    "host" (logging/checkpoint/guards) — SURVEY §5.1.
     """
     z = jnp.asarray(z)
     coords = jnp.asarray(coords)
@@ -768,21 +772,29 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
                                 constraints, constraint_targets,
                                 internals=internals))
 
+    from contextlib import nullcontext
+    stage = timer.stage if timer is not None else (
+        lambda name, block=None: nullcontext())
+
     energies = [float(state.energy)]
     traj = [np.asarray(state.coords)] if record_trajectory else None
     it = 0
     import os
     for it in range(1, config.nsteps + 1):
-        state = step(state)
-        energies.append(float(state.energy))
-        if record_trajectory:
-            traj.append(np.asarray(state.coords))
-        if callback is not None:
-            callback(it, state)
-        if checkpoint_path and checkpoint_every and it % checkpoint_every == 0:
-            from multioptpy_tpu.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_path, state,
-                            meta={"iteration": it, "method": config.method})
+        with stage("step"):
+            state = step(state)
+            energies.append(float(state.energy))  # blocks on the result
+        with stage("host"):
+            if record_trajectory:
+                traj.append(np.asarray(state.coords))
+            if callback is not None:
+                callback(it, state)
+            if (checkpoint_path and checkpoint_every
+                    and it % checkpoint_every == 0):
+                from multioptpy_tpu.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state,
+                                meta={"iteration": it,
+                                      "method": config.method})
         if bool(state.converged):
             break
         if stop_file and os.path.exists(stop_file):

@@ -10,6 +10,7 @@ tracked geometry parameters (bond/angle/dihedral values along the run), and
 `snapshot_config` writes the reproducibility record.
 """
 
+from contextlib import contextmanager as _contextmanager
 import dataclasses
 import json
 import os
@@ -100,3 +101,63 @@ def snapshot_config(out_dir, config, extra=None):
     with open(path, "w") as f:
         json.dump(data, f, indent=1, default=str)
     return path
+
+
+class StageTimer:
+    """Per-stage wall-clock timers for driver loops (SURVEY §5.1: the
+    reference has no tracing at all; this is the new-capability side).
+
+    Usage:
+        timer = StageTimer()
+        with timer.stage("qm"):
+            ...
+        with timer.stage("step"):
+            ...
+        timer.report()   # -> {"qm": {"total_s": ..., "count": ..,
+                         #            "mean_ms": ..}, ...}
+
+    Works around async dispatch: `stage(..., block=x)` calls
+    jax.block_until_ready(x) before closing the timer so device work is
+    attributed to the stage that launched it.
+    """
+
+    def __init__(self):
+        import collections
+        self.totals = collections.defaultdict(float)
+        self.counts = collections.defaultdict(int)
+
+    @_contextmanager
+    def stage(self, name, block=None):
+        import time as _time
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            if block is not None:
+                import jax as _jax
+                _jax.block_until_ready(block)
+            dt = _time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def report(self):
+        return {name: {"total_s": self.totals[name],
+                       "count": self.counts[name],
+                       "mean_ms": 1e3 * self.totals[name]
+                       / max(self.counts[name], 1)}
+                for name in self.totals}
+
+    def write_csv(self, path):
+        with open(path, "w") as f:
+            f.write("stage,total_s,count,mean_ms\n")
+            for name, row in self.report().items():
+                f.write(f"{name},{row['total_s']:.6f},{row['count']},"
+                        f"{row['mean_ms']:.4f}\n")
+
+
+def profile_trace(out_dir):
+    """Context manager wrapping `jax.profiler.trace`: XLA device traces
+    viewable in TensorBoard/Perfetto. Driver-level hook for SURVEY §5.1."""
+    import jax
+
+    return jax.profiler.trace(out_dir)

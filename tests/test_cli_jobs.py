@@ -133,3 +133,24 @@ def test_cli_full_bias_flag_surface(tmp_path):
     e, g = engine.energy_and_gradient(coords)
     assert np.isfinite(float(e))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_stage_timer_and_profiler_hook(tmp_path):
+    """SURVEY §5.1: driver-level per-stage timers + profiler hook."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators.lj import LennardJones
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+    from multioptpy_tpu.logging_utils import StageTimer
+
+    t = StageTimer()
+    coords = jnp.asarray(np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 7.6]]))
+    optimize(LennardJones(), coords, jnp.array([18, 18]),
+             config=OptimizeConfig(nsteps=5), timer=t)
+    rep = t.report()
+    assert rep["step"]["count"] >= 1
+    assert rep["step"]["total_s"] > 0
+    csv = os.path.join(tmp_path, "stages.csv")
+    t.write_csv(csv)
+    lines = open(csv).read().splitlines()
+    assert lines[0] == "stage,total_s,count,mean_ms"
+    assert any(l.startswith("step,") for l in lines)
