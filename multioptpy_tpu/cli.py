@@ -41,8 +41,8 @@ def _base_parser(description):
                    help="use tblite backend with this method (GFN2-xTB)")
     p.add_argument("-pyscf", "--usepyscf", action="store_true")
     p.add_argument("-calc", "--calculator", default=None,
-                   help="explicit backend: lj | emt | tersoff | tblite | "
-                        "pyscf | psi4 | muller_brown")
+                   help="explicit backend: lj | emt | tersoff | sqm | sqm2 "
+                        "| tblite | pyscf | psi4 | muller_brown")
     p.add_argument("-ns", "--NSTEP", type=int, default=1000)
     p.add_argument("-o", "--opt_method", nargs="*", default=["rfo_fsb"])
     p.add_argument("-fc", "--fc_count", type=int, default=-1)

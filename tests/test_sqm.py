@@ -225,3 +225,46 @@ def test_eht_level_shifts_opt_in(calc):
     assert abs(e1 - e0) > 1e-5
     g = np.asarray(shifted.energy_and_gradient(water, z)[1])
     assert np.all(np.isfinite(g))
+
+
+def test_sqm2_improves_on_sqm1():
+    """SQM2 (the second, higher-quality method; ref: SQM/sqm2/) must beat
+    SQM1 on the water angle and CH bond and keep CO2 linear."""
+    from multioptpy_tpu.calculators import get_calculator
+    A = ANGSTROM2BOHR
+    calc2 = get_calculator("sqm2")
+
+    def h2o(ang, r=0.9575):
+        th = np.radians(ang / 2)
+        return jnp.asarray(np.array(
+            [[0, 0, 0], [r * np.sin(th), r * np.cos(th), 0],
+             [-r * np.sin(th), r * np.cos(th), 0]]) * A)
+
+    zw = jnp.array([8, 1, 1])
+    angles = np.linspace(85, 125, 17)
+    e2 = np.array([float(calc2.energy(h2o(a), zw)) for a in angles])
+    ang2 = angles[e2.argmin()]
+    assert abs(ang2 - 104.5) <= 2.6   # SQM1 sits at 110
+
+    def co2(t, r=1.16):
+        th = np.radians(t / 2)
+        return jnp.asarray(np.array(
+            [[r * np.sin(th), r * np.cos(th), 0], [0, 0, 0],
+             [-r * np.sin(th), r * np.cos(th), 0]]) * A)
+
+    zo = jnp.array([8, 6, 8])
+    e_lin = float(calc2.energy(co2(180.0), zo))
+    for t in (160.0, 140.0):
+        assert e_lin < float(calc2.energy(co2(t), zo))
+
+    def h2(r):
+        return jnp.asarray(np.array([[0, 0, 0], [0, 0, r]]) * A)
+
+    rs = np.linspace(0.6, 1.0, 17)
+    zh = jnp.array([1, 1])
+    eh = np.array([float(calc2.energy(h2(r), zh)) for r in rs])
+    assert abs(rs[eh.argmin()] - 0.741) < 0.02
+
+    # gradients finite (full autodiff through SRB + D4 + EEQ)
+    g = np.asarray(calc2.energy_and_gradient(h2o(104.5), zw)[1])
+    assert np.all(np.isfinite(g))
