@@ -436,7 +436,7 @@ _SRB_R0[1:87] = [
 
 
 def srb_energy(coords, z, k=_SRB_K, eta=_SRB_ETA, g_scal=_SRB_GSCAL,
-               c1=_SRB_C1, c2=_SRB_C2):
+               c1=_SRB_C1, c2=_SRB_C2, k_heavy=None):
     """GFN0 short-range bond correction (ref: sqm2_srb.py:21 calculation):
     E = k sum_{i<j} exp(-eta (1 + g dEN^2) (r - r_cov)^2),
     r_cov = (r0_i + r0_j)(1 - c1 dEN - c2 dEN^2). Attractive gaussians at
@@ -452,7 +452,15 @@ def srb_energy(coords, z, k=_SRB_K, eta=_SRB_ETA, g_scal=_SRB_GSCAL,
     r_cov = (r0[:, None] + r0[None, :]) * (1.0 - c1 * den - c2 * den ** 2)
     expo = -eta * (1.0 + g_scal * den ** 2) * (r - r_cov) ** 2
     mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
-    return jnp.sum(jnp.where(mask, k * jnp.exp(expo), 0.0))
+    if k_heavy is None:
+        k_pair = k
+    else:
+        # pair-resolved strength: heavy-heavy bonds get their own k —
+        # the published global -0.013 under-binds X-X bonds in this
+        # minimal basis (r_CC/r_CO come out 0.1-0.3 ang long)
+        hv = jnp.asarray((z_np > 2).astype(np.float64), coords.dtype)
+        k_pair = jnp.where(hv[:, None] * hv[None, :] > 0, k_heavy, k)
+    return jnp.sum(jnp.where(mask, k_pair * jnp.exp(expo), 0.0))
 
 
 @register_calculator("sqm")
@@ -494,6 +502,8 @@ class SQM(Calculator):
         self.k_sp_heavy = float(kw.pop("k_sp_heavy", self.k_sp))
         # EN-difference K enhancement (ref: sqm2_qm.py:190); 0 = off
         self.k_en = float(kw.pop("k_en", 0.0))
+        # pair-resolved SRB strength for heavy-heavy bonds (None = global k)
+        self.srb_k_heavy = kw.pop("srb_k_heavy", None)
         # dispersion model: "d2" (default) or "d4" (charge-scaled C6/C8)
         self.dispersion = str(kw.pop("dispersion", "d2"))
 
@@ -678,8 +688,8 @@ class SQM(Calculator):
             e_disp_pair = -_D2_S6 * c6_ij / r ** 6 * f_damp
             e_disp = 0.5 * jnp.sum(jnp.where(off, e_disp_pair, 0.0))
 
-        e_srb = (srb_energy(coords, z_np) if self.srb
-                 else jnp.asarray(0.0, dtype))
+        e_srb = (srb_energy(coords, z_np, k_heavy=self.srb_k_heavy)
+                 if self.srb else jnp.asarray(0.0, dtype))
         return {"eht": e_eht, "eeq": e_eeq, "rep": e_rep, "disp": e_disp,
                 "srb": e_srb, "charges": q}
 

@@ -304,3 +304,83 @@ def test_pyscf_bridge_contract(cleanup_modules):
     np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-10)
     assert record["basis"] == "6-31G*"
     assert record.get("grad_called", False)
+
+
+# --------------------------------------------------------------------------
+# dxtb (torch autograd on the host; torch IS in the image, dxtb is mocked)
+# --------------------------------------------------------------------------
+
+def test_dxtb_bridge_contract(cleanup_modules):
+    import torch
+
+    class FakeDxtbCalc:
+        def __init__(self, numbers, par, opts=None):
+            self.numbers = numbers
+
+        def get_energy(self, positions, chrg=0):
+            return 0.5 * (positions ** 2).sum()
+
+    mod = types.ModuleType("dxtb")
+    mod.Calculator = FakeDxtbCalc
+    mod.GFN1_XTB = object()
+    _install(cleanup_modules, "dxtb", mod)
+
+    from multioptpy_tpu.calculators.host import DXTB
+
+    calc = DXTB()
+    e, g = calc.energy_and_gradient(jnp.asarray(WATER), jnp.asarray(Z))
+    e_ref, g_ref = _harmonic(WATER)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-10)
+
+
+# --------------------------------------------------------------------------
+# gpaw (ASE-style interface; eV/Angstrom conversion + vacuum centering)
+# --------------------------------------------------------------------------
+
+def test_gpaw_bridge_contract(cleanup_modules):
+    HARTREE_EV = 27.211386245988
+
+    class FakeAtoms:
+        def __init__(self, numbers=None, positions=None):
+            self.numbers = np.asarray(numbers)
+            self.positions = np.asarray(positions)
+            self.calc = None
+            self._offset = 0.0
+
+        def center(self, vacuum=None):
+            self._offset = 7.5   # shifts positions; forces are invariant
+
+        def get_potential_energy(self):
+            e_ha, _ = _harmonic(self.positions * ANGSTROM2BOHR)
+            return e_ha * HARTREE_EV
+
+        def get_forces(self):
+            _, g_bohr = _harmonic(self.positions * ANGSTROM2BOHR)
+            return -g_bohr * HARTREE_EV / BOHR2ANGSTROM
+
+    ase_mod = types.ModuleType("ase")
+    ase_mod.Atoms = FakeAtoms
+    units = types.ModuleType("ase.units")
+    units.Hartree = HARTREE_EV
+    ase_mod.units = units
+    gpaw_mod = types.ModuleType("gpaw")
+    created = {}
+
+    class FakeGPAW:
+        def __init__(self, mode=None, xc=None, txt=None, **kw):
+            created.update(mode=mode, xc=xc)
+
+    gpaw_mod.GPAW = FakeGPAW
+    _install(cleanup_modules, "ase", ase_mod)
+    _install(cleanup_modules, "ase.units", units)
+    _install(cleanup_modules, "gpaw", gpaw_mod)
+
+    from multioptpy_tpu.calculators.host import GPAW
+
+    calc = GPAW(mode="pw", xc="PBE")
+    e, g = calc.energy_and_gradient(jnp.asarray(WATER), jnp.asarray(Z))
+    e_ref, g_ref = _harmonic(WATER)
+    np.testing.assert_allclose(float(e), e_ref, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-10)
+    assert created == {"mode": "pw", "xc": "PBE"}
