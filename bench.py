@@ -125,7 +125,11 @@ def bench_sqm_f64_tight():
 
     jax.config.update("jax_enable_x64", True)
     try:
-        BATCH, N_STEPS = 64, 40
+        # batch 64: the fixed per-step cost (f64-emulated eigh) amortizes
+        # over the batch (16x water measured 3.5x WORSE per structure);
+        # steps trimmed 40 -> 25 — the ~5 min f64 XLA compile dominates the
+        # sub-bench wall clock either way
+        BATCH, N_STEPS = 64, 25
         water = np.array([[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
                           [0.0, -0.7572, -0.4692]]) * ANGSTROM2BOHR
         rng = np.random.default_rng(0)
