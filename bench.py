@@ -42,11 +42,13 @@ def bench_rfo_lj():
     z = jnp.array([18] * N_ATOMS)
 
     calc = LennardJones()
-    # jacobi eigensolver: 1.55x end-to-end over the EighTpu custom call for
-    # these (256,24,24) Hessians (NOTES.md perf deep-dive); step agreement
-    # with xla verified to 1e-8 (tests/test_steppers.py)
+    # pallas eigensolver (ops/jacobi_pallas.py): the whole Jacobi iteration
+    # in ONE TPU kernel, batch on lanes, VPU rotations in VMEM — 0.78 ms
+    # per (256,24,24) eigh vs 5.6 ms XLA-Jacobi vs 11.1 ms EighTpu; whole
+    # production step 5.5 -> 0.93 ms/iter (round-2 bisection). Single-step
+    # agreement with "xla" at the f32 floor (tests/test_jacobi_pallas.py).
     config = OptimizeConfig(method="rfo_fsb", init_hessian="exact",
-                            eigh_impl="jacobi")
+                            eigh_impl="pallas")
     step = make_step_fn(calc, z, None, config)
     state = jax.vmap(lambda c: init_state(c, z, calc, None, config))(
         jnp.asarray(coords))

@@ -121,19 +121,33 @@ def _rfo_step_grid(d_im, g_im, valid, trust_radius, alpha0=1.0,
 
 
 def _eigh(h, impl):
-    """Symmetric eigendecomposition dispatch: "xla" (EighTpu custom call) or
-    "jacobi" (ops/jacobi.py batched round-robin Jacobi, full-precision
-    sweeps — measured 1.67x faster than EighTpu for (256,24,24) f32 on v5e
-    at the same f32 accuracy floor, NOTES.md perf deep-dive). The sweep
-    count grows logarithmically with dimension (cyclic Jacobi needs
-    ~log(D) extra sweeps past the small-D floor of 5; D=24 -> 6,
-    D=128 -> 8)."""
-    if impl == "jacobi":
-        import numpy as _np
+    """Symmetric eigendecomposition dispatch:
 
+    "xla"    — the EighTpu custom call (11.1 ms per batched (256,24,24)
+               f32 eigh on v5e).
+    "jacobi" — ops/jacobi.py batched round-robin Jacobi as XLA matmuls
+               (5.6 ms: 2x over EighTpu, still dispatch-bound across the
+               138-round chain).
+    "pallas" — ops/jacobi_pallas.py: the ENTIRE Jacobi iteration inside one
+               TPU kernel, batch on the lane dimension, rotations as VPU
+               row/column FMAs in VMEM (0.78 ms — 7x over the XLA Jacobi,
+               14x over EighTpu, same f32 accuracy floor). Falls back to
+               "jacobi" off-TPU or in f64 (the kernel is f32 VPU math).
+
+    The sweep count grows logarithmically with dimension (cyclic Jacobi
+    needs ~log(D) extra sweeps past the small-D floor; D=24 -> 6-7)."""
+    import numpy as _np
+
+    d = h.shape[-1]
+    sweeps = 5 + max(0, int(_np.ceil(_np.log2(max(d, 16) / 16.0))))
+    if impl == "pallas":
+        if h.dtype == jnp.float32 and jax.default_backend() == "tpu":
+            from multioptpy_tpu.ops.jacobi_pallas import (
+                jacobi_eigh_pallas_auto)
+            return jacobi_eigh_pallas_auto(h, sweeps=sweeps + 1)
+        impl = "jacobi"
+    if impl == "jacobi":
         from multioptpy_tpu.ops.jacobi import jacobi_eigh
-        d = h.shape[-1]
-        sweeps = 5 + max(0, int(_np.ceil(_np.log2(max(d, 16) / 16.0))))
         return jacobi_eigh(h, sweeps=sweeps)
     return jnp.linalg.eigh(h)
 
