@@ -34,7 +34,7 @@ def bench_rfo_lj():
         OptimizeConfig, init_state, make_step_fn)
     from multioptpy_tpu.periodic import UFF_VDW_R
 
-    BATCH, N_ATOMS, N_STEPS = 256, 8, 20
+    BATCH, N_ATOMS, N_STEPS = 256, 8, 100
     rmin = float(UFF_VDW_R[18])
     rng = np.random.default_rng(7)
     coords = (rng.standard_normal((BATCH, N_ATOMS, 3)) * rmin * 0.8
@@ -77,7 +77,7 @@ def bench_sqm_neb32():
     from multioptpy_tpu.drivers.neb import NEBConfig, interpolate_linear
     from multioptpy_tpu.units import ANGSTROM2BOHR
 
-    N_IMAGES, N_STEPS = 32, 20
+    N_IMAGES, N_STEPS = 32, 60
     water = np.array([[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
                       [0.0, -0.7572, -0.4692]]) * ANGSTROM2BOHR
     stretched = water.copy()
@@ -85,7 +85,7 @@ def bench_sqm_neb32():
     z = jnp.array([8, 1, 1])
     path0 = interpolate_linear(jnp.asarray(np.float32(water)),
                                jnp.asarray(np.float32(stretched)), N_IMAGES)
-    calc = SQM()
+    calc = SQM(eigh_impl="pallas")   # lane-parallel Jacobi for the band
     config = NEBConfig(variant="cineb", optimizer="fire", n_steps=N_STEPS)
 
     # build the jitted band program ONCE (calling neb_scan repeatedly would

@@ -245,8 +245,18 @@ def _overlap_blocks(coords, alpha, cs, cp):
 from functools import partial
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
-def _band_free_energy(a, n_elec, kt):
+def _sqm_eigh(a, impl):
+    """Band-structure eigensolver dispatch: "xla" | "pallas" (the batched
+    lane-parallel Jacobi kernel — f32-on-TPU only, falls back to the XLA
+    Jacobi elsewhere; see steppers.rfo._eigh for the measured numbers)."""
+    if impl == "pallas":
+        from multioptpy_tpu.steppers.rfo import _eigh
+        return _eigh(a, "pallas")
+    return jnp.linalg.eigh(a)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+def _band_free_energy(a, n_elec, kt, eigh_impl="xla"):
     """Mermin band free energy F = sum occ_i eps_i - T S_el of a symmetric
     matrix `a`, with Fermi occupations at fixed electron count.
 
@@ -256,7 +266,7 @@ def _band_free_energy(a, n_elec, kt):
     dF = tr(rho dA), which the custom JVP implements directly.
     """
     from jax.scipy.special import xlogy
-    eps = jnp.linalg.eigvalsh(a)
+    eps = _sqm_eigh(a, eigh_impl)[0]
     occ, _ = _fermi_occupations(eps, n_elec, kt)
     f_half = jnp.clip(occ / 2.0, 0.0, 1.0)
     # xlogy defines 0 log 0 = 0, avoiding the 1 - 1e-30 == 1.0 rounding trap
@@ -266,11 +276,11 @@ def _band_free_energy(a, n_elec, kt):
 
 
 @_band_free_energy.defjvp
-def _band_free_energy_jvp(n_elec, kt, primals, tangents):
+def _band_free_energy_jvp(n_elec, kt, eigh_impl, primals, tangents):
     (a,), (da,) = primals, tangents
-    w, v = jnp.linalg.eigh(a)
+    w, v = _sqm_eigh(a, eigh_impl)
     occ, _ = _fermi_occupations(w, n_elec, kt)
-    f = _band_free_energy(a, n_elec, kt)
+    f = _band_free_energy(a, n_elec, kt, eigh_impl)
     rho = (v * occ[None, :]) @ v.T
     return f, jnp.sum(rho * da)
 
@@ -504,6 +514,8 @@ class SQM(Calculator):
         self.k_en = float(kw.pop("k_en", 0.0))
         # pair-resolved SRB strength for heavy-heavy bonds (None = global k)
         self.srb_k_heavy = kw.pop("srb_k_heavy", None)
+        # band eigensolver: "xla" | "pallas" (f32 throughput runs)
+        self.eigh_impl = str(kw.pop("eigh_impl", "xla"))
         # dispersion model: "d2" (default) or "d4" (charge-scaled C6/C8)
         self.dispersion = str(kw.pop("dispersion", "d2"))
 
@@ -644,7 +656,7 @@ class SQM(Calculator):
         h_prime = 0.5 * (h_prime + h_prime.T)
 
         n_elec = float(np.sum(_T["n_val"][z_np]) - self.charge)
-        e_bs = _band_free_energy(h_prime, n_elec, self.kt)
+        e_bs = _band_free_energy(h_prime, n_elec, self.kt, self.eigh_impl)
 
         # atomic reference: fill isolated-atom s then p levels
         e_ref = 0.0

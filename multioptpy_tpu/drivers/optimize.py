@@ -490,11 +490,13 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             mode_idx = 1 if sub.startswith("block") else 0
             mode = state.fo_state[mode_idx]
             step, aux = rs_prfo_step(g_flat, h_eff, trust_new,
-                                     follow_vector=mode)
+                                     follow_vector=mode,
+                                     eigh_impl=config.eigh_impl)
             qn_fo = qn_fo + (aux["followed_mode"],)
         elif kind == "prfo":
             step, aux = rs_prfo_step(g_flat, h_eff, trust_new,
-                                     saddle_order=max(saddle_order, 1))
+                                     saddle_order=max(saddle_order, 1),
+                                     eigh_impl=config.eigh_impl)
         elif is_crs and constraints is not None and constraints.n_constraints:
             # CRS-I-RFO (ref: Optimizer/crsirfo.py:5): exact null-space
             # reduction of the constraint Jacobian via SVD (static shapes:

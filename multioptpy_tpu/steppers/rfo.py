@@ -249,10 +249,11 @@ def _prfo_step_components(eigvals, g_t, max_mask, valid, alpha):
     return step_t, lam_min, lam_max
 
 
-@partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter"))
+@partial(jax.jit, static_argnames=("saddle_order", "n_alpha_iter",
+                                   "eigh_impl"))
 def rs_prfo_step(gradient, hessian, trust_radius, saddle_order=1,
                  alpha0=1.0, alpha_max=1000.0, n_alpha_iter=40,
-                 follow_vector=None):
+                 follow_vector=None, eigh_impl="xla"):
     """Restricted-step partitioned RFO for transition states: maximize along
     the `saddle_order` lowest modes, minimize along the rest (Banerjee 1985;
     ref: Optimizer/rsprfo.py EnhancedRSPRFO). Same trust-radius alpha
@@ -263,7 +264,7 @@ def rs_prfo_step(gradient, hessian, trust_radius, saddle_order=1,
     lowest one (ref: Optimizer/mf_rsirfo.py:6 mode following). The chosen
     eigenvector (sign-aligned) is returned in aux["followed_mode"] for the
     caller to carry to the next step."""
-    d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
+    d, v = _eigh(0.5 * (hessian + hessian.T), eigh_impl)
     bad = ~jnp.all(jnp.isfinite(d)) | ~jnp.all(jnp.isfinite(v))
     d = jnp.where(bad, jnp.ones_like(d), d)
     v = jnp.where(bad, jnp.eye(d.shape[0], dtype=v.dtype), v)
