@@ -48,14 +48,14 @@ def main():
 
     t0 = time.perf_counter()
     res = optimize_batch(calc, batch, z, config=OptimizeConfig(
-        method="rfo_fsb", init_hessian="exact",
+        method="rfo_fsb", init_hessian="exact", eigh_impl="pallas",
         max_force=3e-3, rms_force=2e-3, max_displacement=1e-2,
         rms_displacement=7e-3), n_steps=N_STEPS)
     jax.block_until_ready(res.coords)
     dt = time.perf_counter() - t0   # includes compile
     t0 = time.perf_counter()
     res = optimize_batch(calc, batch, z, config=OptimizeConfig(
-        method="rfo_fsb", init_hessian="exact",
+        method="rfo_fsb", init_hessian="exact", eigh_impl="pallas",
         max_force=3e-3, rms_force=2e-3, max_displacement=1e-2,
         rms_displacement=7e-3), n_steps=N_STEPS)
     jax.block_until_ready(res.coords)
