@@ -587,7 +587,35 @@ def run_nebmain(argv=None):
     p.add_argument("-i2", "--end_input", default=None,
                    help="product xyz (else `input` must be a trajectory)")
     p.add_argument("-nimg", "--n_images", type=int, default=12)
-    p.add_argument("-nebv", "--neb_variant", default="cineb")
+    p.add_argument("-nebv", "--neb_variant", default=None,
+                   help="variant by name: neb cineb dneb lup om qsm qsm2 "
+                        "string bneb bneb2 bneb3 nesb dmf ewbneb")
+    # reference-syntax variant switches (ref: interface.py:243
+    # call_nebparser -om/-lup/-bneb/...; each maps onto neb_variant)
+    for flag, variant in (("-om", "om"), ("-lup", "lup"), ("-bneb", "bneb"),
+                          ("-bneb2", "bneb2"), ("-bneb3", "bneb3"),
+                          ("-dneb", "dneb"), ("-nesb", "nesb"),
+                          ("-dmf", "dmf"), ("-ewbneb", "ewbneb"),
+                          ("-qsm", "qsm"), ("-qsmv2", "qsm2"),
+                          ("-cineb", "cineb")):
+        p.add_argument(flag, dest="variant_flags", action="append_const",
+                       const=variant, default=None,
+                       help=f"use the {variant} force law")
+    # reference-syntax band-optimizer switches (ref: -sd/-cg/-lbfgs)
+    p.add_argument("-sdneb", "-sd2", dest="opt_flags", action="append_const",
+                   const="sd", default=None)
+    p.add_argument("-cgneb", dest="opt_flags", action="append_const",
+                   const="cg_pr")
+    p.add_argument("-lbfgsneb", dest="opt_flags", action="append_const",
+                   const="lbfgs")
+    p.add_argument("-afneb", dest="opt_flags", action="append_const",
+                   const="afire", help="per-image adaptive FIRE clocks")
+    p.add_argument("-aneb", "--adaptive_neb", action="store_true",
+                   help="adaptive repartitioning rounds (ref: -aneb)")
+    p.add_argument("-pitr", "--per_image_trust", action="store_true",
+                   help="per-image trust radii (ref: trust_radius_neb.py)")
+    p.add_argument("-spng", "--spring_const_alias", type=float, default=None,
+                   help="spring constant (reference -spng alias of -k)")
     p.add_argument("-k", "--spring_const", type=float, default=0.01)
     p.add_argument("-cist", "--ci_start", type=int, default=20)
     p.add_argument("-idpp", "--use_idpp", action="store_true")
@@ -620,16 +648,26 @@ def run_nebmain(argv=None):
     z = jnp.asarray(symbols_to_z(symbols))
     calc = _make_calculator(args)
     bias = _make_bias(args, z)
-    cfg = NEBConfig(variant=args.neb_variant, n_steps=args.NSTEP,
-                    k_spring=args.spring_const, climbing_start=args.ci_start,
-                    optimizer=args.neb_optimizer,
+    variant = (args.neb_variant or (args.variant_flags or ["cineb"])[-1])
+    optimizer = ((args.opt_flags or [args.neb_optimizer])[-1]
+                 if args.neb_optimizer == "fire" else args.neb_optimizer)
+    k_spring = (args.spring_const_alias if args.spring_const_alias
+                is not None else args.spring_const)
+    cfg = NEBConfig(variant=variant, n_steps=args.NSTEP,
+                    k_spring=k_spring, climbing_start=args.ci_start,
+                    optimizer=optimizer,
+                    per_image_trust=args.per_image_trust,
                     dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs)
 
     def cb(it, path, energies, fmax):
         print(f"# neb iter {it:4d}  max|F| = {float(fmax):.3e}  "
               f"E_max = {float(energies.max()):+.8f}")
 
-    res = neb(calc, path0, z, cfg, bias_engine=bias, callback=cb)
+    if args.adaptive_neb:
+        from multioptpy_tpu.drivers.neb import adaptive_neb
+        res = adaptive_neb(calc, path0, z, cfg, bias_engine=bias)
+    else:
+        res = neb(calc, path0, z, cfg, bias_engine=bias, callback=cb)
     out = _outdir(args, "_neb")
     write_trajectory(os.path.join(out, "neb_path.xyz"), symbols,
                      np.asarray(res.path) * BOHR2ANGSTROM,
