@@ -136,9 +136,15 @@ class ElectrostaticAtomPair(_Electrostatic):
 
 @register_potential
 class ValueRangePotential(BiasPotential):
-    """One-sided harmonic walls keeping a fragment distance inside
-    [lower, upper] (bond range potential, JCP 10.1063/5.0197592;
-    ref: value_range_potential.py). params = [k_upper, k_lower]."""
+    """Softplus walls keeping a fragment distance inside [lower, upper]
+    (bond range potential, JCP 10.1063/5.0197592):
+
+        E = log[(1 + e^{ku (r - upper)}) (1 + e^{kl (lower - r)})]
+
+    exactly the reference's form (ref: value_range_potential.py:35),
+    evaluated as two numerically-stable softplus terms — the round-1
+    version used one-sided harmonics, which have the same walls but the
+    wrong profile/tails. params = [k_upper, k_lower]."""
 
     name = "value_range"
 
@@ -156,13 +162,14 @@ class ValueRangePotential(BiasPotential):
         return np.array([self.ku, self.kl], dtype=np.float64)
 
     def energy(self, coords, params):
+        import jax
+
         ku, kl = params[0], params[1]
         c1 = _fragment_center(coords, self.f1)
         c2 = _fragment_center(coords, self.f2)
         r = jnp.sqrt(jnp.sum((c1 - c2) ** 2) + 1e-12)
-        over = jnp.maximum(r - self.upper, 0.0)
-        under = jnp.maximum(self.lower - r, 0.0)
-        return 0.5 * ku * over ** 2 + 0.5 * kl * under ** 2
+        return (jax.nn.softplus(ku * (r - self.upper))
+                + jax.nn.softplus(kl * (self.lower - r)))
 
 
 @register_potential

@@ -703,3 +703,89 @@ def test_lindh2007_d4_model_hessian_smoke():
     np.testing.assert_allclose(h, h.T, atol=1e-12)
     w = np.linalg.eigvalsh(h)
     assert w.max() > 0.1   # bonded stretches present
+
+
+# ==========================================================================
+# second oracle batch: universal / value-range / void-point / mechano /
+# electrostatic potentials
+# ==========================================================================
+
+def test_universal_potential():
+    """E = (c/kJmol/nPairs) sum_i |x_i - centroid|
+    (ref: universal_potential.py:18-34)."""
+    from multioptpy_tpu.potentials.extra import UniversalPotential
+    pot = UniversalPotential(const=50.0, atoms=[1, 2, 3])
+    e = float(pot.energy(jnp.asarray(GEOM4), jnp.asarray(pot.init_params())))
+    pts = GEOM4[:3]
+    centroid = pts.mean(axis=0)
+    n_pairs = 3
+    e_ref = sum(50.0 / H2KJ / n_pairs * np.linalg.norm(p - centroid)
+                for p in pts)
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9)
+
+
+def test_value_range_softplus_form():
+    """E = log[(1+e^{ku(r-up)})(1+e^{kl(lo-r)})]
+    (ref: value_range_potential.py:35)."""
+    from multioptpy_tpu.potentials.misc import ValueRangePotential
+    ku, kl, up, lo = 2.0, 3.0, 2.2, 1.0   # Angstrom walls
+    pot = ValueRangePotential(upper_const=ku, lower_const=kl,
+                              upper_distance=up, lower_distance=lo,
+                              fragm_1=[1], fragm_2=[2])
+    for r_set in (1.5, 2.0, 4.2, 5.0):
+        geom = np.zeros((2, 3))
+        geom[1, 0] = r_set
+        e = float(pot.energy(jnp.asarray(geom),
+                             jnp.asarray(pot.init_params())))
+        r = r_set
+        e_ref = np.log((1 + np.exp(ku * (r - up / BOHR2ANG)))
+                       * (1 + np.exp(kl * (lo / BOHR2ANG - r))))
+        np.testing.assert_allclose(e, e_ref, rtol=1e-9)
+
+
+def test_void_point_potential():
+    """(k/n)(r - r0)^n per target atom to a fixed point
+    (ref: void_point_potential.py)."""
+    from multioptpy_tpu.potentials.well import VoidPointPotential
+    k, r0, n = 0.5, 1.2, 3.0
+    point = [0.4, -0.2, 0.7]   # Angstrom
+    pot = VoidPointPotential(spring_const=k, distance=r0, order=n,
+                             point=point, atom=[1, 2])
+    e = float(pot.energy(jnp.asarray(GEOM4), jnp.asarray(pot.init_params())))
+    p = np.asarray(point) / BOHR2ANG
+    e_ref = 0.0
+    for i in (0, 1):
+        r = np.linalg.norm(GEOM4[i] - p)
+        e_ref += (k / n) * (r - r0 / BOHR2ANG) ** n
+    np.testing.assert_allclose(e, e_ref, rtol=1e-9)
+
+
+def test_mechano_force_v2():
+    """E = -f r_ij with f in pN converted to a.u.
+    (ref: mechano_force_potential.py v2)."""
+    from multioptpy_tpu.potentials.misc import LinearMechanoForceV2
+    f_pn = 500.0
+    pot = LinearMechanoForceV2(force_pn=f_pn, atom_pair=[1, 3])
+    e = float(pot.energy(jnp.asarray(GEOM4), jnp.asarray(pot.init_params())))
+    # 1 a.u. force = 8.2387234983e-8 N -> pN conversion
+    f_au = f_pn * 1e-12 / 8.2387234983e-8
+    r = np.linalg.norm(GEOM4[0] - GEOM4[2])
+    np.testing.assert_allclose(e, -f_au * r, rtol=1e-6)
+
+
+def test_electrostatic_fragment_uff_charges():
+    """E = scale sum q_i q_j / r with UFF effective charges
+    (ref: electrostatic_potential.py)."""
+    from multioptpy_tpu.periodic import UFF_EFFECTIVE_CHARGE
+    from multioptpy_tpu.potentials.misc import ElectrostaticFragment
+    pot = ElectrostaticFragment(charge_scale=0.7, fragm_1=[1, 2],
+                                fragm_2=[3, 4], element_z=Z4)
+    e = float(pot.energy(jnp.asarray(GEOM4), jnp.asarray(pot.init_params())))
+    q = np.asarray(UFF_EFFECTIVE_CHARGE)[Z4]
+    e_ref = 0.0
+    for i in (0, 1):
+        for j in (2, 3):
+            r = np.linalg.norm(GEOM4[i] - GEOM4[j])
+            e_ref += 0.7 * q[i] * q[j] / r
+    # the implementation regularizes r with a tiny epsilon -> ~1e-6 rel
+    np.testing.assert_allclose(e, e_ref, rtol=1e-5)
