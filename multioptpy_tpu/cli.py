@@ -315,13 +315,18 @@ def _make_bias(args, z):
             fragm_2=num_parse(f2), fragm_3=num_parse(f3),
             fragm_4=num_parse(f4)))
     for k, ang, atoms in chunks("keep_out_of_plain_angle", 3):
+        # reference order: CENTER first (ref: keep_outofplain_angle_
+        # potential.py:42 "Center atom: i (index 0)"); the class convention
+        # here is center-second, so reorder (c, n1, n2, n3) -> (n1, c, n2, n3)
+        a = num_parse(atoms)
         pots.append(get_potential(
             "keep_out_of_plane", spring_const=float(k), angle=float(ang),
-            atoms=num_parse(atoms)))
+            atoms=[a[1], a[0], a[2], a[3]]))
     for k, ang, f1, f2, f3, f4 in chunks("keep_out_of_plain_angle_v2", 6):
+        # same center-first -> center-second reordering as -kopa
         pots.append(get_potential(
             "keep_out_of_plane_v2", spring_const=float(k), angle=float(ang),
-            fragm_1=num_parse(f1), fragm_2=num_parse(f2),
+            fragm_1=num_parse(f2), fragm_2=num_parse(f1),
             fragm_3=num_parse(f3), fragm_4=num_parse(f4)))
     for k, r0, xyz, atoms, order in chunks("void_point_pot", 5):
         pots.append(get_potential(
