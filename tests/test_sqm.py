@@ -268,3 +268,99 @@ def test_sqm2_improves_on_sqm1():
     # gradients finite (full autodiff through SRB + D4 + EEQ)
     g = np.asarray(calc2.energy_and_gradient(h2o(104.5), zw)[1])
     assert np.all(np.isfinite(g))
+
+
+class TestRound3Basis:
+    """Round-3 basis generalization: per-shell zetas, spherical d shells,
+    row-pair repulsion walls (ref counterpart: SQM/sqm2/sqm2_basis.py +
+    sqm2_overlapint.py per-orbital STO machinery)."""
+
+    def test_general_engine_matches_sp_fast_path(self):
+        from multioptpy_tpu.calculators.sqm import (
+            _overlap_blocks, _primitive_params, _basis_params, _overlap_full)
+        z = np.array([8, 6, 1, 1])
+        rng = np.random.default_rng(0)
+        coords = jnp.asarray(rng.normal(size=(4, 3)) * 2.0
+                             + np.arange(4)[:, None])
+        alpha, cs, cp = _primitive_params(z)
+        old = _overlap_blocks(coords, jnp.asarray(alpha), jnp.asarray(cs),
+                              jnp.asarray(cp))
+        new = _overlap_full(coords, _basis_params(z), 4)
+        assert float(jnp.max(jnp.abs(old - new))) < 1e-12
+
+    def test_same_center_d_orthonormal(self):
+        from multioptpy_tpu.calculators.sqm import _basis_params, _overlap_full
+        blk = _overlap_full(jnp.zeros((1, 3)), _basis_params(np.array([16])), 9)
+        dd = np.asarray(blk[0, 0, 4:, 4:])
+        assert np.abs(dd - np.eye(5)).max() < 1e-6
+        assert np.abs(np.asarray(blk[0, 0, 0, 4:])).max() < 1e-12  # <s|d>=0
+
+    def test_d_gradient_matches_fd(self):
+        from multioptpy_tpu.calculators.sqm import SQM2
+        calc = SQM2()
+        coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.4, 1.6],
+                              [0.2, -1.5, 1.5]])
+        z = jnp.array([16, 8, 8])
+        _, g = calc.energy_and_gradient(coords, z)
+        eps = 1e-5
+        for (i, k) in [(0, 2), (1, 1)]:
+            cp = coords.at[i, k].add(eps)
+            cm = coords.at[i, k].add(-eps)
+            fd = (float(calc.energy(cp, z)) - float(calc.energy(cm, z))) / (2 * eps)
+            assert float(g[i, k]) == pytest.approx(fd, rel=2e-5, abs=1e-9)
+
+    def test_co2_bond_length_fixed(self):
+        """Round-2 defect r(CO)=1.25; round-3 target <= 1.20 (exp 1.160)."""
+        from multioptpy_tpu.calculators.sqm import SQM2
+        co2 = jnp.asarray(np.array([[0, 0, 0], [0, 0.15, 1.25],
+                                    [0, -0.15, -1.25]]) * ANGSTROM2BOHR)
+        res = optimize(SQM2(), co2, jnp.array([6, 8, 8]),
+                       config=OptimizeConfig(method="rfo_fsb", nsteps=150,
+                                             fc_count=10, **TIGHT))
+        assert bool(res.converged)
+        c = np.asarray(res.coords)
+        r = np.linalg.norm(c[0] - c[1]) / ANGSTROM2BOHR
+        assert 1.10 <= r <= 1.20
+
+    def test_so2_with_d_shells(self):
+        """Hypervalent S needs d: without d r(SO)=1.62/angle 99; exp
+        1.432/119.5."""
+        from multioptpy_tpu.calculators.sqm import SQM2
+        so2 = jnp.asarray(np.array([[0, 0, 0], [0, 1.3, 0.8],
+                                    [0, -1.3, 0.8]]) * ANGSTROM2BOHR)
+        res = optimize(SQM2(), so2, jnp.array([16, 8, 8]),
+                       config=OptimizeConfig(method="rfo_fsb", nsteps=150,
+                                             fc_count=10, **TIGHT))
+        assert bool(res.converged)
+        c = np.asarray(res.coords)
+        r = np.linalg.norm(c[0] - c[1]) / ANGSTROM2BOHR
+        from multioptpy_tpu.potentials.base import _angle
+        ang = np.degrees(float(_angle(jnp.asarray(c[1]), jnp.asarray(c[0]),
+                                      jnp.asarray(c[2]))))
+        assert 1.38 <= r <= 1.52
+        assert 108.0 <= ang <= 125.0
+
+    def test_s8_ring_stable_no_collapse(self):
+        """S8 crown must stay a bonded puckered ring (the naive d coupling
+        collapsed it to 0.6-ang bonds / flattened it to the planar 135-deg
+        octagon); also the compression wall must be repulsive."""
+        from multioptpy_tpu.calculators.sqm import SQM2
+        R, h = 2.34, 0.49
+        crown = np.array([[R * np.cos(k * np.pi / 4), R * np.sin(k * np.pi / 4),
+                           h * (-1) ** k] for k in range(8)])
+        z8 = jnp.array([16] * 8)
+        calc = SQM2()
+        e1 = float(calc.energy(jnp.asarray(crown * ANGSTROM2BOHR), z8))
+        e_half = float(calc.energy(jnp.asarray(crown * 0.5 * ANGSTROM2BOHR), z8))
+        assert np.isfinite(e1) and np.isfinite(e_half)
+        assert e_half > e1 + 1.0          # wall, no compressed false minimum
+        res = optimize(calc, jnp.asarray(crown * ANGSTROM2BOHR), z8,
+                       config=OptimizeConfig(method="rfo_fsb", nsteps=120,
+                                             fc_count=10, **TIGHT))
+        c = np.asarray(res.coords)
+        rs = [np.linalg.norm(c[i] - c[(i + 1) % 8]) / ANGSTROM2BOHR
+              for i in range(8)]
+        assert min(rs) > 1.8 and max(rs) < 2.2      # bonded ring, exp 2.05
+        v = c - c.mean(0)
+        _, sing, _ = np.linalg.svd(v)
+        assert sing[2] / sing[0] > 0.05             # puckered, not planar
