@@ -44,7 +44,8 @@ def _base_parser(description):
                    help="explicit backend: lj | emt | tersoff | sqm | sqm2 "
                         "| tblite | pyscf | psi4 | muller_brown")
     p.add_argument("-ns", "--NSTEP", type=int, default=1000)
-    p.add_argument("-o", "--opt_method", nargs="*", default=["rfo_fsb"])
+    p.add_argument("-o", "-opt", "--opt_method", nargs="*",
+                   default=["rfo_fsb"])
     p.add_argument("-fc", "--fc_count", type=int, default=-1)
     p.add_argument("-mfc", "--mfc_count", type=int, default=-1)
     p.add_argument("-mh", "--model_hessian", default=None,
@@ -175,6 +176,78 @@ def _base_parser(description):
                         "ref: optimization.py:1415)")
     p.add_argument("-x64", "--float64", action="store_true", default=True)
     p.add_argument("-out", "--output_dir", default=None)
+    # ---- reference-syntax backend/selection flags (ref: interface.py
+    # call_optimizeparser :140-201) ------------------------------------
+    p.add_argument("-sqm1", "--sqm1", action="store_true",
+                   help="on-device semiempirical backend (ref -sqm1)")
+    p.add_argument("-sqm2", "--sqm2", action="store_true",
+                   help="on-device semiempirical backend v2 (d shells)")
+    p.add_argument("-dxtb", "--usedxtb", default=None,
+                   help="dxtb host bridge, e.g. GFN1-xTB (ref -dxtb)")
+    p.add_argument("-os", "--othersoft", default=None,
+                   help="external code via the ASE bridge (ref -os): orca, "
+                        "gaussian, nwchem, gamessus, mopac, mace_mp, uma")
+    p.add_argument("-osp", "--software_path_file",
+                   default="./software_path.conf",
+                   help="path map for -os backends (ref -osp)")
+    p.add_argument("-cpcm", "--cpcm_solv_model", default=None,
+                   help="CPCM implicit solvent for the tblite bridge "
+                        "(ref interface.py:110; e.g. water)")
+    p.add_argument("-alpb", "--alpb_solv_model", default=None,
+                   help="ALPB implicit solvent for the tblite bridge "
+                        "(ref interface.py:111)")
+    p.add_argument("-sub_bs", "--sub_basisset", nargs="*", default=[],
+                   help="per-element basis overrides, e.g. I LanL2DZ "
+                        "(ref -sub_bs; PySCF bridge)")
+    p.add_argument("-ecp", "--effective_core_potential", nargs="*",
+                   default=[], help="per-element ECPs (ref -ecp)")
+    p.add_argument("-u", "--unrestrict", action="store_true",
+                   help="unrestricted SCF (ref -u)")
+    p.add_argument("-grid", "--dft_grid", type=int, default=3,
+                   help="DFT grid fineness (ref -grid; PySCF bridge)")
+    p.add_argument("-core", "--N_THREAD", type=int, default=8,
+                   help="host-backend intra-op threads (ref -core)")
+    p.add_argument("-mem", "--SET_MEMORY", default="2GB",
+                   help="host-backend memory (ref -mem)")
+    p.add_argument("-elec", "--electronic_charge", type=int, default=None,
+                   help="alias of -c (ref -elec)")
+    p.add_argument("-spin", "--spin_multiplicity", type=int, default=None,
+                   help="alias of -m (ref -spin)")
+    p.add_argument("-d", "--DELTA", default=None,
+                   help="move-step scale (ref -d; alias of -delta)")
+    p.add_argument("-mintr", "--min_trust_radius", type=float, default=0.01,
+                   help="trust-radius floor in ang (ref -mintr)")
+    p.add_argument("-modelhess", "--use_model_hessian", nargs="?",
+                   const="lindh2007d3", default=None,
+                   help="alias of -mh; bare flag = lindh2007d3 "
+                        "(ref -modelhess)")
+    p.add_argument("-tcc", dest="tight_convergence_criteria",
+                   action="store_true", help="alias of -tight (ref -tcc)")
+    p.add_argument("-lcc", dest="loose_convergence_criteria",
+                   action="store_true", help="alias of -loose (ref -lcc)")
+    p.add_argument("-dc", "--dissociate_check", default="10",
+                   help="abort when fragments separate beyond this many "
+                        "ang (ref -dc)")
+    p.add_argument("-sc", "--shape_conditions", nargs="*", default=[],
+                   help="abort unless gt/lt bond-angle-torsion conditions "
+                        "hold (ref -sc), e.g. 2.0 gt 1,2")
+    p.add_argument("-gfix", "--gradient_fix_atoms", nargs="*", default=[],
+                   help="zero internal-coordinate gradients between atoms "
+                        "(ref -gfix)")
+    p.add_argument("-of", "--opt_fragment", nargs="*", default=[],
+                   help="fragment-averaged gradients (ref -of)")
+    p.add_argument("-negeigval", "--detect_negative_eigenvalues",
+                   action="store_true",
+                   help="abort saddle runs without negative eigenvalue "
+                        "(ref -negeigval)")
+    p.add_argument("-mi", "--microiter", type=int, default=0,
+                   help="micro-iterations for path-relaxation potentials "
+                        "(ref -mi)")
+    p.add_argument("-beta", "--BETA", type=float, default=1.0,
+                   help="force scale for optimization (ref -beta)")
+    p.add_argument("-mf", "--model_function", nargs="*", default=[],
+                   help="2-state model function: [kind charge2 mult2], kind "
+                        "in seam/avoiding/conical/mesx/meci (ref -mf)")
     return p
 
 
@@ -198,21 +271,57 @@ def _load_system(args):
 def _make_calculator(args):
     from multioptpy_tpu.calculators import get_calculator
 
+    charge = args.charge
+    mult = args.multiplicity
+    # reference aliases -elec/-spin override -c/-m when given
+    if getattr(args, "electronic_charge", None) is not None:
+        charge = args.electronic_charge
+    if getattr(args, "spin_multiplicity", None) is not None:
+        mult = args.spin_multiplicity
+
     if args.calculator:
         name, kw = args.calculator, {}
         if name == "sqm" and getattr(args, "srb", False):
             kw["srb"] = True
+    elif getattr(args, "sqm2", False):
+        name, kw = "sqm2", {}
+    elif getattr(args, "sqm1", False):
+        name, kw = "sqm", {}
     elif args.xtb:
         name, kw = "tblite", {"method": args.xtb}
+        # solvation passthrough (ref: tblite_calculation_tools.py:58-61;
+        # the bridge forwards options["solvation"]=(model, solvent) to
+        # tblite's Calculator.add)
+        if getattr(args, "cpcm_solv_model", None):
+            kw["solvation"] = ("cpcm", args.cpcm_solv_model)
+        elif getattr(args, "alpb_solv_model", None):
+            kw["solvation"] = ("alpb", args.alpb_solv_model)
+    elif getattr(args, "usedxtb", None):
+        name, kw = "dxtb", {"method": args.usedxtb}
+    elif getattr(args, "othersoft", None):
+        name, kw = "ase", {"software_type": args.othersoft,
+                           "conf_path": args.software_path_file}
     elif args.usepyscf:
         name, kw = "pyscf", {"method": args.functional,
                              "basis": args.basisset,
                              "excited_state": getattr(args, "excited_state",
                                                       0)}
+        # per-element basis / ECP overrides (ref: interface.py:88-89 -sub_bs
+        # / -ecp; pyscf bridge consumes dicts of element -> basis name)
+        sb = list(getattr(args, "sub_basisset", []) or [])
+        if sb:
+            kw["sub_basis"] = {sb[i]: sb[i + 1]
+                               for i in range(0, len(sb) - 1, 2)}
+        ecp = list(getattr(args, "effective_core_potential", []) or [])
+        if ecp:
+            kw["ecp"] = {ecp[i]: ecp[i + 1]
+                         for i in range(0, len(ecp) - 1, 2)}
+        if getattr(args, "unrestrict", False):
+            kw["unrestricted"] = True
+        kw["grid"] = getattr(args, "dft_grid", 3)
     else:
         name, kw = "lj", {}
-    return get_calculator(name, charge=args.charge,
-                          multiplicity=args.multiplicity, **kw)
+    return get_calculator(name, charge=charge, multiplicity=mult, **kw)
 
 
 def _make_bias(args, z):
@@ -443,6 +552,7 @@ def _make_constraints(args):
 
     fixed = num_parse(args.fix_atoms) if args.fix_atoms else []
     bonds, angles, dihedrals, fbonds = [], [], [], []
+    fixed_coords, atoms_pairs, eigvec_modes = [], [], []
     pc = list(args.projection_constrain)
     i = 0
     while i < len(pc):
@@ -460,6 +570,19 @@ def _make_constraints(args):
                 i += 3
             fbonds.append((f1, f2, val))
             continue
+        if kind == "rot":
+            # overall-rotation projection (ref: constraint_condition.py:411
+            # "rot") — the optimize driver already projects translation +
+            # rotation out of every step, so the flag is satisfied as-is
+            i += 1
+            continue
+        if kind == "eigvec":
+            # Hessian-eigenvector constraint: mode index, resolved against
+            # the initial Hessian by the caller
+            # (ref: constraint_condition.py:414)
+            eigvec_modes.append(int(pc[i + 1]))
+            i += 2
+            continue
         atoms = num_parse(pc[i + 1])
         val = None
         if i + 2 < len(pc) and _is_number(pc[i + 2]):
@@ -473,13 +596,25 @@ def _make_constraints(args):
             angles.append((atoms[0], atoms[1], atoms[2], val))
         elif kind == "dihedral":
             dihedrals.append((atoms[0], atoms[1], atoms[2], atoms[3], val))
+        elif kind in ("x", "y", "z"):
+            # freeze the given Cartesian component of the listed atoms
+            # (ref: constraint_condition.py:405-410)
+            fixed_coords.extend((a, kind) for a in atoms)
+        elif kind == "atoms_pair":
+            # project out the mutual approach/retreat direction
+            # (ref: constraint_condition.py:425)
+            atoms_pairs.append((atoms[0], atoms[1]))
         else:
             raise SystemExit(f"error: unknown -pc kind '{kind}' (choose "
-                             f"from bond, fbond, angle, dihedral)")
-    if not (fixed or bonds or angles or dihedrals or fbonds):
+                             f"from bond, fbond, angle, dihedral, x, y, z, "
+                             f"rot, eigvec, atoms_pair)")
+    if not (fixed or bonds or angles or dihedrals or fbonds or fixed_coords
+            or atoms_pairs or eigvec_modes):
         return None
     return Constraints(bonds=bonds, angles=angles, dihedrals=dihedrals,
-                       fbonds=fbonds, fixed_atoms=fixed)
+                       fbonds=fbonds, fixed_atoms=fixed,
+                       fixed_coords=fixed_coords, atoms_pairs=atoms_pairs,
+                       eigvec_modes=eigvec_modes)
 
 
 def _is_number(s):
@@ -526,11 +661,73 @@ def _outdir(args, suffix):
 
 def run_optmain(argv=None):
     """Geometry optimization (ref: Entrypoints/core.py:4 run_optmain)."""
-    args = _base_parser("multioptpy_tpu geometry optimization").parse_args(argv)
+    p = _base_parser("multioptpy_tpu geometry optimization")
+    # post-optimization analysis / chaining flags
+    # (ref: interface.py:173-201 call_optimizeparser)
+    p.add_argument("-freq", "--frequency_analysis", action="store_true",
+                   help="normal-mode + RRHO thermochemistry after "
+                        "convergence (ref -freq)")
+    p.add_argument("-force_freq", "--force_frequency_analysis",
+                   action="store_true",
+                   help="frequency analysis regardless of convergence "
+                        "(ref -force_freq)")
+    p.add_argument("-temp", "--temperature", type=float, default=298.15)
+    p.add_argument("-press", "--pressure", type=float, default=101325.0)
+    p.add_argument("-irc", "--intrinsic_reaction_coordinates", nargs="*",
+                   default=None,
+                   help="chain an IRC after optimization: [step_size "
+                        "max_steps method] (ref -irc, optimization.py:2173)")
+    p.add_argument("-cmds", "--cmds", action="store_true",
+                   help="CMDS embedding of the optimization path (ref -cmds)")
+    p.add_argument("-pca", "--pca", action="store_true",
+                   help="PCA embedding of the optimization path (ref -pca)")
+    p.add_argument("-km", "--koopman", action="store_true",
+                   help="Koopman convergence analysis (ref -km)")
+    p.add_argument("-nosymm", "--no_symmetry_analyzer", action="store_true",
+                   help="skip point-group detection after convergence "
+                        "(ref -nosymm)")
+    p.add_argument("-oniom", "--oniom_flag", nargs="*", default=[],
+                   help="2-layer ONIOM: [high_layer_atoms low_calc] "
+                        "(ref -oniom)")
+    p.add_argument("-pbc", "--pbc", nargs="*", default=[],
+                   help="periodic cell lengths in ang: [a b c] (ref -pbc)")
+    args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
+    if args.oniom_flag:
+        # 2-layer ONIOM wrapper (ref: Utils/oniom.py + ONIOMHandler,
+        # optimization.py:597): high layer keeps `calc`, low layer defaults
+        # to the lj model unless a calculator name is given
+        from multioptpy_tpu.calculators import get_calculator as _getc
+        from multioptpy_tpu.calculators.oniom import ONIOM
+        high_atoms = num_parse(args.oniom_flag[0])
+        low_name = (args.oniom_flag[1] if len(args.oniom_flag) > 1
+                    else "lj")
+        calc = ONIOM(high_calc=calc, low_calc=_getc(low_name),
+                     high_atoms=high_atoms)
+    if args.model_function:
+        # 2-state model-function optimization (ref: interface.py:200 -mf;
+        # ModelFunction/*.py seam/avoiding/conical/MESX/MECI): state 2 is
+        # the same backend at [charge2 mult2]
+        import copy as _copy
+        from multioptpy_tpu.calculators.two_state import TwoStateModelFunction
+        spec = list(args.model_function)
+        kind = spec[0] if spec else "seam"
+        kind = {"avoid": "avoiding", "mesx": "mesx", "meci": "meci"}.get(
+            kind, kind)
+        args2 = _copy.copy(args)
+        if len(spec) > 1:
+            args2.charge = int(spec[1])
+            args2.electronic_charge = None
+        if len(spec) > 2:
+            args2.multiplicity = int(spec[2])
+            args2.spin_multiplicity = None
+        calc = TwoStateModelFunction(calc, _make_calculator(args2),
+                                     kind=kind)
     bias = _make_bias(args, z)
     cons = _make_constraints(args)
+    if cons is not None and cons.eigvec_modes:
+        cons.resolve_eigvecs(calc.hessian(coords, z))
     from multioptpy_tpu.drivers.optimize import optimize
     from multioptpy_tpu.io import write_trajectory, write_xyz
     from multioptpy_tpu.units import BOHR2ANGSTROM
@@ -583,6 +780,71 @@ def run_optmain(argv=None):
                    np.vstack(pgrad_rows), header=" ".join(names))
     print(f"converged: {bool(res.converged)} after {res.n_iterations} steps; "
           f"E = {float(res.energy):.10f} Ha -> {out}/")
+
+    # ---- post-optimization analysis & chaining (ref: optimization.py
+    # :2111 freq, :2135-2171 CMDS/PCA/Koopman, :2173 -irc) -------------
+    if args.frequency_analysis or args.force_frequency_analysis:
+        if bool(res.converged) or args.force_frequency_analysis:
+            from multioptpy_tpu.analysis.vibrations import (
+                count_imaginary, normal_modes, rrho_thermochemistry)
+            h = calc.hessian(res.coords, z)
+            nm = normal_modes(h, res.coords, z)
+            freqs = np.asarray(nm.frequencies_cm1)
+            thermo = rrho_thermochemistry(
+                h, res.coords, z, temperature=args.temperature,
+                pressure=args.pressure)
+            np.savetxt(os.path.join(out, "frequencies_cm1.csv"), freqs,
+                       header="frequency_cm1")
+            with open(os.path.join(out, "thermochemistry.txt"), "w") as f:
+                for k in ("zpe", "e_thermal", "enthalpy", "entropy",
+                          "gibbs"):
+                    v = getattr(thermo, k)
+                    f.write(f"{k}: {v}\n")
+                    print(f"  {k}: {v}")
+            print(f"  imaginary modes: {count_imaginary(freqs)}")
+    if not args.no_symmetry_analyzer:
+        try:
+            from multioptpy_tpu.analysis.symmetry import analyze_symmetry
+            pg = analyze_symmetry(np.asarray(res.coords), np.asarray(z))
+            print(f"point group: {pg}")
+        except Exception as e:  # symmetry analysis must never kill a run
+            print(f"symmetry analysis skipped: {e}")
+    traj = np.asarray(res.coords_history)
+    if args.cmds:
+        from multioptpy_tpu.analysis.pes import cmds_path_analysis
+        emb = cmds_path_analysis(traj)
+        np.savetxt(os.path.join(out, "cmds_path.csv"),
+                   np.asarray(emb.coords_2d), header="cmds_2d")
+    if args.pca:
+        from multioptpy_tpu.analysis.pes import pca_path_analysis
+        emb = pca_path_analysis(traj)
+        np.savetxt(os.path.join(out, "pca_path.csv"),
+                   np.asarray(emb.coords_2d), header="pca_2d")
+    if args.koopman:
+        from multioptpy_tpu.analysis.pes import koopman_convergence_analysis
+        km = koopman_convergence_analysis(np.asarray(res.energy_history))
+        with open(os.path.join(out, "koopman.txt"), "w") as f:
+            f.write(repr(km) + "\n")
+    if args.intrinsic_reaction_coordinates is not None:
+        # chained IRC (ref: optimization.py:2173-2197): [step max method]
+        from multioptpy_tpu.drivers.irc import IRCConfig, irc
+        from multioptpy_tpu.io import write_trajectory as _wt
+        spec = list(args.intrinsic_reaction_coordinates)
+        irc_cfg = IRCConfig(
+            step_size=float(spec[0]) if len(spec) > 0 else 0.05,
+            n_steps=int(spec[1]) if len(spec) > 1 else 200,
+            method=spec[2] if len(spec) > 2 else "lqa")
+        irc_res = irc(calc, res.coords, z, config=irc_cfg,
+                      bias_engine=bias)
+        both = np.concatenate([np.asarray(irc_res.backward_path)[::-1],
+                               np.asarray(irc_res.forward_path)])
+        _wt(os.path.join(out, "irc_path.xyz"), symbols,
+            both * BOHR2ANGSTROM)
+        e_both = np.concatenate([np.asarray(irc_res.backward_energies)[::-1],
+                                 np.asarray(irc_res.forward_energies)])
+        np.savetxt(os.path.join(out, "irc_energies.csv"), e_both,
+                   header="energy_hartree")
+        print(f"IRC: {len(both)} points -> {out}/irc_path.xyz")
     return 0 if bool(res.converged) else 1
 
 
@@ -592,6 +854,9 @@ def run_nebmain(argv=None):
     p.add_argument("-i2", "--end_input", default=None,
                    help="product xyz (else `input` must be a trajectory)")
     p.add_argument("-nimg", "--n_images", type=int, default=12)
+    p.add_argument("-p", "--partition", type=int, default=0,
+                   help="number of interpolation nodes (ref -p; overrides "
+                        "-nimg when > 0)")
     p.add_argument("-nebv", "--neb_variant", default=None,
                    help="variant by name: neb cineb dneb lup om qsm qsm2 "
                         "string bneb bneb2 bneb3 nesb dmf ewbneb")
@@ -601,12 +866,24 @@ def run_nebmain(argv=None):
                           ("-bneb2", "bneb2"), ("-bneb3", "bneb3"),
                           ("-dneb", "dneb"), ("-nesb", "nesb"),
                           ("-dmf", "dmf"), ("-ewbneb", "ewbneb"),
-                          ("-qsm", "qsm"), ("-qsmv2", "qsm2"),
-                          ("-cineb", "cineb")):
+                          ("-qsm", "qsm"), ("-qsmv2", "qsm2")):
         p.add_argument(flag, dest="variant_flags", action="append_const",
                        const=variant, default=None,
                        help=f"use the {variant} force law")
-    # reference-syntax band-optimizer switches (ref: -sd/-cg/-lbfgs)
+    # reference-syntax band-optimizer switches (ref: -sd/-cg/-lbfgs,
+    # interface.py:292-304)
+    p.add_argument("-sd", "--steepest_descent", type=int, default=None,
+                   nargs="?", const=0,
+                   help="use the steepest-descent band clock (ref -sd)")
+    p.add_argument("-cg", "--conjugate_gradient", nargs="?", const="hs",
+                   default=None,
+                   help="conjugate-gradient band clock; optional update "
+                        "scheme FR/PR/HS/DY/HZ (ref -cg)")
+    p.add_argument("-lbfgs", "--memory_limited_BFGS", action="store_true",
+                   help="L-BFGS band clock (ref -lbfgs)")
+    p.add_argument("-gqnt", "--global_quasi_newton", action="store_true",
+                   help="global quasi-Newton band clock (ref -gqnt; maps "
+                        "to the L-BFGS whole-band clock)")
     p.add_argument("-sdneb", "-sd2", dest="opt_flags", action="append_const",
                    const="sd", default=None)
     p.add_argument("-cgneb", dest="opt_flags", action="append_const",
@@ -615,15 +892,63 @@ def run_nebmain(argv=None):
                    const="lbfgs")
     p.add_argument("-afneb", dest="opt_flags", action="append_const",
                    const="afire", help="per-image adaptive FIRE clocks")
-    p.add_argument("-aneb", "--adaptive_neb", action="store_true",
-                   help="adaptive repartitioning rounds (ref: -aneb)")
+    p.add_argument("-aneb", "--adaptive_neb", nargs="*", default=None,
+                   help="adaptive NEB [interp_num frequency] (ref -aneb)")
     p.add_argument("-pitr", "--per_image_trust", action="store_true",
                    help="per-image trust radii (ref: trust_radius_neb.py)")
-    p.add_argument("-spng", "--spring_const_alias", type=float, default=None,
-                   help="spring constant (reference -spng alias of -k)")
     p.add_argument("-k", "--spring_const", type=float, default=0.01)
+    p.add_argument("-cineb", "--apply_CI_NEB", type=int, default=None,
+                   help="climbing-image start iteration (ref -cineb)")
+    p.add_argument("-ci", "--climbing_image", type=int, nargs="*",
+                   default=None,
+                   help="climbing image [start interval] (ref -ci)")
     p.add_argument("-cist", "--ci_start", type=int, default=20)
+    p.add_argument("-notsopt", "--not_ts_optimization", action="store_true",
+                   help="disable the climbing image (ref -notsopt)")
+    p.add_argument("-aconv", "--apply_convergence_criteria",
+                   action="store_true",
+                   help="accepted for reference parity; this NEB always "
+                        "checks max|F| < fmax (ref -aconv)")
+    p.add_argument("-fe", "--fixedges", type=int, default=None,
+                   help="0 relax both endpoints, 3 freeze both (1/2 treated "
+                        "as 3) (ref -fe)")
+    p.add_argument("-rrs", "--ratio_of_rfo_step", type=float, default=0.5,
+                   help="accepted for reference parity (ref -rrs)")
+    p.add_argument("-spng", "--save_pict", action="store_true",
+                   help="save the band energy-profile plot (ref -spng)")
     p.add_argument("-idpp", "--use_idpp", action="store_true")
+    p.add_argument("-cfbenm", "--use_cfb_enm", action="store_true",
+                   help="correlated flat-bottom elastic-network "
+                        "preprocessing of the initial path (ref -cfbenm)")
+    # ---- in-loop image redistribution (ref: interface.py:267-287; each
+    # int is the apply-every-N-iterations interval, 0 = off) -----------
+    for flag, name, scheme in (
+            ("-ad", "align_distances", "linear"),
+            ("-adene", "align_distances_energy", "energy"),
+            ("-adpred", "align_distances_energy_predicted", "pred"),
+            ("-adrpred", "align_distances_ritz_energy_predicted", "ritz"),
+            ("-ads", "align_distances_spline", "spline"),
+            ("-ads2", "align_distances_spline_ver2", "spline2"),
+            ("-adg", "align_distances_geodesic", "geodesic"),
+            ("-adb", "align_distances_bernstein", "bernstein"),
+            ("-adbene", "align_distances_bernstein_energy",
+             "bernstein_energy"),
+            ("-adadene", "align_distances_adaptive_energy", "adaptive")):
+        p.add_argument(flag, "--" + name, type=int, default=0,
+                       help=f"in-loop '{scheme}' redistribution interval")
+    p.add_argument("-adsg", "--align_distances_savgol", default="0,0,0",
+                   help="Savitzky-Golay redistribution: interval,window,"
+                        "polyorder (ref -adsg)")
+    p.add_argument("-nd", "--node_distance", type=float, default=None,
+                   help="initial-path node spacing in ang, linear "
+                        "interpolation (ref -nd; sets the image count)")
+    p.add_argument("-nds", "--node_distance_spline", type=float,
+                   default=None, help="as -nd via spline (ref -nds)")
+    p.add_argument("-ndb", "--node_distance_bernstein", type=float,
+                   default=None, help="as -nd via Bernstein (ref -ndb)")
+    p.add_argument("-ndsg", "--node_distance_savgol", default=None,
+                   help="as -nd via Savitzky-Golay: dist,window,order "
+                        "(ref -ndsg)")
     p.add_argument("-nebopt", "--neb_optimizer", default="fire",
                    help="band clock: fire | quickmin | lbfgs | sd | cg_pr | "
                         "cg_fr | cg_hs | cg_dy | cg_hz")
@@ -645,32 +970,120 @@ def run_nebmain(argv=None):
         _, end_ang = read_xyz(args.end_input)
         start = jnp.asarray(start_ang * ANGSTROM2BOHR)
         end = jnp.asarray(end_ang * ANGSTROM2BOHR)
-        path0 = (idpp_path(start, end, args.n_images) if args.use_idpp
-                 else interpolate_linear(start, end, args.n_images))
+        nimg = args.partition if args.partition > 0 else args.n_images
+        path0 = (idpp_path(start, end, nimg) if args.use_idpp
+                 else interpolate_linear(start, end, nimg))
     else:
         symbols, frames, _ = read_trajectory(args.input)
         path0 = jnp.asarray(frames * ANGSTROM2BOHR)
     z = jnp.asarray(symbols_to_z(symbols))
+
+    # -nd family: resample the INITIAL path so neighbor images sit
+    # `node_distance` ang apart (sets the image count; ref -nd/-nds/-ndb/
+    # -ndsg interface.py:284-287)
+    nd_spec = [(args.node_distance, "linear"),
+               (args.node_distance_spline, "spline"),
+               (args.node_distance_bernstein, "bernstein"),
+               (args.node_distance_savgol, "savgol")]
+    for dist, scheme in nd_spec:
+        if dist is None:
+            continue
+        from multioptpy_tpu.interpolation import (
+            cubic_spline_resample, linear_resample, bernstein_resample,
+            savitzky_golay_smooth, _arc_lengths)
+        if scheme == "savgol":
+            parts = str(dist).split(",")
+            dist = float(parts[0])
+        seg = np.asarray(_arc_lengths(path0))
+        total_bohr = float(np.sqrt(np.sum(
+            (np.asarray(path0[1:]) - np.asarray(path0[:-1])) ** 2,
+            axis=(1, 2))).sum())
+        n_new = max(3, int(np.ceil(total_bohr * BOHR2ANGSTROM
+                                   / float(dist))) + 1)
+        if scheme == "linear":
+            path0 = linear_resample(path0, n_new)
+        elif scheme == "spline":
+            path0 = cubic_spline_resample(path0, n_new)
+        elif scheme == "bernstein":
+            path0 = bernstein_resample(path0, n_new)
+        else:
+            path0 = linear_resample(savitzky_golay_smooth(path0), n_new)
+        break
+    if args.use_cfb_enm:
+        # flat-bottom elastic-network relaxation of the initial path
+        # (ref: Potential/idpp.py:186 CFB_ENM preprocessing)
+        from multioptpy_tpu.potentials import BiasEngine, get_potential
+        from multioptpy_tpu.drivers.optimize import OptimizeConfig, optimize
+        enm = BiasEngine([get_potential(
+            "cfb_enm", reference_coords=np.asarray(path0[0]),
+            element_z=np.asarray(z))])
+        relaxed = [path0[0]]
+        for img in path0[1:-1]:
+            r = optimize(_make_calculator(args), img, z, bias_engine=enm,
+                         config=OptimizeConfig(method="fire", nsteps=20))
+            relaxed.append(r.coords)
+        relaxed.append(path0[-1])
+        path0 = jnp.stack(relaxed)
+
     calc = _make_calculator(args)
     bias = _make_bias(args, z)
     variant = (args.neb_variant or (args.variant_flags or ["cineb"])[-1])
     optimizer = ((args.opt_flags or [args.neb_optimizer])[-1]
                  if args.neb_optimizer == "fire" else args.neb_optimizer)
-    k_spring = (args.spring_const_alias if args.spring_const_alias
-                is not None else args.spring_const)
+    if args.memory_limited_BFGS or args.global_quasi_newton:
+        optimizer = "lbfgs"
+    elif args.conjugate_gradient is not None:
+        optimizer = "cg_" + str(args.conjugate_gradient).lower()
+    elif args.steepest_descent is not None:
+        optimizer = "sd"
+    ci_start = args.ci_start
+    if args.apply_CI_NEB is not None:
+        ci_start = args.apply_CI_NEB
+    elif args.climbing_image:
+        ci_start = int(args.climbing_image[0])
+    if args.not_ts_optimization:
+        ci_start = 10 ** 9
+    # redistribution flags -> (scheme, interval); last one given wins
+    redist, redist_every = "", 0
+    for name, scheme in (("align_distances", "linear"),
+                         ("align_distances_energy", "energy"),
+                         ("align_distances_energy_predicted", "pred"),
+                         ("align_distances_ritz_energy_predicted", "ritz"),
+                         ("align_distances_spline", "spline"),
+                         ("align_distances_spline_ver2", "spline2"),
+                         ("align_distances_geodesic", "geodesic"),
+                         ("align_distances_bernstein", "bernstein"),
+                         ("align_distances_bernstein_energy",
+                          "bernstein_energy"),
+                         ("align_distances_adaptive_energy", "adaptive")):
+        interval = getattr(args, name, 0)
+        if interval and interval > 0:
+            redist, redist_every = scheme, interval
+    sg = str(args.align_distances_savgol).split(",")
+    sg_window, sg_order = 5, 3
+    if len(sg) >= 1 and sg[0].strip() and int(sg[0]) > 0:
+        redist, redist_every = "savgol", int(sg[0])
+        if len(sg) >= 3:
+            sg_window, sg_order = int(sg[1]), int(sg[2])
     cfg = NEBConfig(variant=variant, n_steps=args.NSTEP,
-                    k_spring=k_spring, climbing_start=args.ci_start,
+                    k_spring=args.spring_const, climbing_start=ci_start,
                     optimizer=optimizer,
+                    optimize_endpoints=(args.fixedges == 0),
                     per_image_trust=args.per_image_trust,
-                    dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs)
+                    dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs,
+                    redistribute=redist, redistribute_every=redist_every,
+                    savgol_window=sg_window, savgol_order=sg_order)
 
     def cb(it, path, energies, fmax):
         print(f"# neb iter {it:4d}  max|F| = {float(fmax):.3e}  "
               f"E_max = {float(energies.max()):+.8f}")
 
-    if args.adaptive_neb:
+    if args.adaptive_neb is not None:
         from multioptpy_tpu.drivers.neb import adaptive_neb
-        res = adaptive_neb(calc, path0, z, cfg, bias_engine=bias)
+        aneb_kw = {}
+        if len(args.adaptive_neb) >= 1 and args.adaptive_neb[0]:
+            aneb_kw["n_rounds"] = int(args.adaptive_neb[0])
+        res = adaptive_neb(calc, path0, z, cfg, bias_engine=bias, **aneb_kw)
     else:
         res = neb(calc, path0, z, cfg, bias_engine=bias, callback=cb)
     out = _outdir(args, "_neb")
@@ -679,6 +1092,10 @@ def run_nebmain(argv=None):
                      [f"E = {e:.10f}" for e in np.asarray(res.energies)])
     np.savetxt(os.path.join(out, "energy_plot.csv"),
                np.asarray(res.energies), header="energy_hartree")
+    if args.save_pict:
+        from multioptpy_tpu.analysis.visualization import plot_energy_profile
+        plot_energy_profile(np.asarray(res.energies),
+                            os.path.join(out, "energy_profile.png"))
     print(f"converged: {bool(res.converged)}; TS guess = image "
           f"{res.ts_index}; E = {float(res.energies[res.ts_index]):.8f}")
     return 0
@@ -688,9 +1105,40 @@ def run_mdmain(argv=None):
     """Molecular dynamics (ref: Entrypoints/core.py run_mdmain)."""
     p = _base_parser("multioptpy_tpu molecular dynamics")
     p.add_argument("-temp", "--temperature", type=float, default=300.0)
-    p.add_argument("-dt", "--timestep", type=float, default=0.5)
-    p.add_argument("-thermo", "--thermostat", default="nosehoover")
+    p.add_argument("-dt", "--timestep", type=float, default=0.5,
+                   help="time step in fs")
+    p.add_argument("-thermo", "-mt", "--thermostat", default="nosehoover",
+                   help="thermostat (ref -mt mdtype): none | nosehoover | "
+                        "nosehooverchain | langevin | berendsen | "
+                        "velocityverlet")
+    p.add_argument("-time", "--md_nstep", type=int, default=None,
+                   help="number of MD steps (ref -time; overrides -ns)")
+    p.add_argument("-ts", "--timestep_au", type=float, default=None,
+                   help="time step in atomic units (ref -ts; overrides -dt)")
+    p.add_argument("-press", "--pressure", type=float, default=101.3,
+                   help="pressure in kPa (ref -press; recorded only — no "
+                        "barostat, as in the reference NVT drivers)")
+    p.add_argument("-ntraj", "--n_trajectories", type=int, default=1,
+                   help="independent trajectories, vmapped (ref -traj)")
+    p.add_argument("-ct", "--change_temperature", nargs="*", default=[],
+                   help="temperature schedule [time1 T1 time2 T2 ...] "
+                        "(ref -ct)")
+    p.add_argument("-cc", "--constraint_condition", nargs="*", default=[],
+                   help="SHAKE distance/angle/dihedral constraints "
+                        "(ref -cc): [value atoms ...]")
+    p.add_argument("-pbc", "--pbc", nargs="*", default=[],
+                   help="periodic cell lengths in ang (ref -pbc)")
+    p.add_argument("-cmds", "--cmds", action="store_true",
+                   help="CMDS embedding of the trajectory (ref -cmds)")
+    p.add_argument("-pca", "--pca", action="store_true",
+                   help="PCA embedding of the trajectory (ref -pca)")
     args = p.parse_args(argv)
+    if args.md_nstep is not None:
+        args.NSTEP = args.md_nstep
+    if args.timestep_au is not None:
+        args.timestep = args.timestep_au * 2.4188843265857e-2  # a.u. -> fs
+    if args.thermostat == "velocityverlet":
+        args.thermostat = "none"
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
     bias = _make_bias(args, z)
@@ -698,18 +1146,76 @@ def run_mdmain(argv=None):
     from multioptpy_tpu.io import write_trajectory
     from multioptpy_tpu.units import BOHR2ANGSTROM
 
-    res = run_md(calc, coords, z, MDConfig(
-        timestep_fs=args.timestep, n_steps=args.NSTEP,
-        temperature=args.temperature, thermostat=args.thermostat),
-        bias_engine=bias)
+    # -cc SHAKE constraints (ref: interface.py:373 — [value atoms ...],
+    # kind inferred from the atom count: 2=distance, 3=angle, 4=dihedral)
+    cons = None
+    cc = list(args.constraint_condition)
+    if cc:
+        from multioptpy_tpu.constraints import Constraints
+        bonds, angles, dihedrals = [], [], []
+        i = 0
+        while i + 1 < len(cc):
+            val = float(cc[i])
+            atoms = num_parse(cc[i + 1])
+            if len(atoms) == 2:
+                bonds.append((atoms[0], atoms[1], val))
+            elif len(atoms) == 3:
+                angles.append((atoms[0], atoms[1], atoms[2], val))
+            else:
+                dihedrals.append((atoms[0], atoms[1], atoms[2], atoms[3],
+                                  val))
+            i += 2
+        cons = Constraints(bonds=bonds, angles=angles, dihedrals=dihedrals)
+
+    # -ct temperature schedule (ref: interface.py:372): [t1 T1 t2 T2 ...]
+    # -> chunked runs at piecewise-constant temperature, velocities carried
+    schedule = [(0, args.temperature)]
+    ct = list(args.change_temperature)
+    for i in range(0, len(ct) - 1, 2):
+        schedule.append((int(float(ct[i])), float(ct[i + 1])))
+    schedule.append((args.NSTEP, None))
+
     out = _outdir(args, "_md")
-    write_trajectory(os.path.join(out, "md_traj.xyz"), symbols,
-                     res.trajectory * BOHR2ANGSTROM)
-    np.savetxt(os.path.join(out, "md_energies.csv"),
-               np.stack([res.energies, res.temperatures], 1),
-               header="potential_hartree temperature_K")
-    print(f"MD finished: {args.NSTEP} steps; "
-          f"<T> = {float(res.temperatures.mean()):.1f} K -> {out}/")
+    all_traj, all_e, all_t = [], [], []
+    for itraj in range(max(1, args.n_trajectories)):
+        vel = None
+        x = coords
+        trajs, es, ts_ = [], [], []
+        for (t0, temp), (t1, _) in zip(schedule, schedule[1:]):
+            n = t1 - t0
+            if n <= 0:
+                continue
+            res = run_md(calc, x, z, MDConfig(
+                timestep_fs=args.timestep, n_steps=n,
+                temperature=temp, thermostat=args.thermostat,
+                seed=itraj), bias_engine=bias, velocities=vel,
+                constraints=cons)
+            x, vel = res.final.coords, res.final.velocities
+            trajs.append(np.asarray(res.trajectory))
+            es.append(np.asarray(res.energies))
+            ts_.append(np.asarray(res.temperatures))
+        traj = np.concatenate(trajs)
+        suffix = f"_{itraj}" if args.n_trajectories > 1 else ""
+        write_trajectory(os.path.join(out, f"md_traj{suffix}.xyz"), symbols,
+                         traj * BOHR2ANGSTROM)
+        np.savetxt(os.path.join(out, f"md_energies{suffix}.csv"),
+                   np.stack([np.concatenate(es), np.concatenate(ts_)], 1),
+                   header="potential_hartree temperature_K")
+        all_traj.append(traj)
+        all_e.append(np.concatenate(es))
+        all_t.append(np.concatenate(ts_))
+    if args.cmds:
+        from multioptpy_tpu.analysis.pes import cmds_path_analysis
+        emb = cmds_path_analysis(all_traj[0])
+        np.savetxt(os.path.join(out, "cmds_traj.csv"),
+                   np.asarray(emb.coords_2d), header="cmds_2d")
+    if args.pca:
+        from multioptpy_tpu.analysis.pes import pca_path_analysis
+        emb = pca_path_analysis(all_traj[0])
+        np.savetxt(os.path.join(out, "pca_traj.csv"),
+                   np.asarray(emb.coords_2d), header="pca_2d")
+    print(f"MD finished: {args.NSTEP} steps x {max(1, args.n_trajectories)} "
+          f"traj; <T> = {float(np.mean(all_t[0])):.1f} K -> {out}/")
     return 0
 
 
@@ -805,6 +1311,9 @@ def run_autots_cli(argv=None):
     p.add_argument("-cfg", "--config", default=None, help="JSON config")
     p.add_argument("-prod", "--product", default=None, help="product xyz")
     p.add_argument("-nimg", "--n_images", type=int, default=12)
+    p.add_argument("-p", "--partition", type=int, default=0,
+                   help="number of interpolation nodes (ref -p; overrides "
+                        "-nimg when > 0)")
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
@@ -880,29 +1389,112 @@ def run_orientsearch(argv=None):
 
 
 def run_ieipmain(argv=None):
-    """Double-ended TS search (ref: ieip.py:191)."""
+    """Double-ended TS search (ref: ieip.py:191) + OtherMethod engines."""
     p = _base_parser("multioptpy_tpu iEIP / double-ended methods")
-    p.add_argument("-i2", "--end_input", required=True)
-    p.add_argument("-em", "--engine", default="eip",
-                   help="eip | dimer | spring_pair")
+    p.add_argument("-i2", "--end_input", default=None,
+                   help="product xyz (required except for -addf)")
+    p.add_argument("-em", "--engine", default=None,
+                   help="eip | dimer | spring_pair | gnt | addf | 2pshs")
+    # reference-syntax engine switches (ref: interface.py:117-136
+    # call_ieipparser -use_dimer/-addf/-gnt/-2pshs/-use_spm)
+    p.add_argument("-use_dimer", "--use_dimer", action="store_true",
+                   help="dimer method for the TS direction (ref -use_dimer)")
+    p.add_argument("-dimer_sep", "--dimer_separation", type=float,
+                   default=1e-4)
+    p.add_argument("-dimer_trial_angle", "--dimer_trial_angle", type=float,
+                   default=np.pi / 32.0)
+    p.add_argument("-dimer_maxiter", "--dimer_max_iterations", type=int,
+                   default=1000)
+    p.add_argument("-use_spm", "--use_spm", action="store_true",
+                   help="spring-pair method (ref -use_spm)")
+    p.add_argument("-gnt", "--use_gnt", action="store_true",
+                   help="growing Newton trajectory (ref -gnt)")
+    p.add_argument("-gnt_vec", "--gnt_vec", default=None,
+                   help="atoms defining the GNT direction, e.g. 1,2,3 "
+                        "(default: reactant->product vector) (ref -gnt_vec)")
+    p.add_argument("-gnt_step", "--gnt_step_len", type=float, default=0.5)
+    p.add_argument("-gnt_mi", "--gnt_microiter", type=int, default=25)
+    p.add_argument("-addf", "--use_addf", action="store_true",
+                   help="ADDF-like anharmonic-downward-distortion search "
+                        "(ref -addf; single-ended, -i2 not needed)")
+    p.add_argument("-addf_step", "--addf_step_size", type=float, default=0.1)
+    p.add_argument("-addf_num", "--addf_step_num", type=int, default=300)
+    p.add_argument("-addf_nadd", "--number_of_add", type=int, default=5)
+    p.add_argument("-2pshs", "--use_2pshs", action="store_true",
+                   help="2PSHS-like double-ended sphere search (ref -2pshs)")
+    p.add_argument("-2pshs_step", "--twoPshs_step_size", type=float,
+                   default=0.05)
+    p.add_argument("-2pshs_num", "--twoPshs_step_num", type=int, default=300)
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
     import jax.numpy as jnp
 
-    from multioptpy_tpu.drivers.ieip import IEIPConfig, ieip
     from multioptpy_tpu.io import read_xyz, write_xyz
     from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
 
-    _, end_ang = read_xyz(args.end_input)
-    end = jnp.asarray(end_ang * ANGSTROM2BOHR)
-    res = ieip(calc, coords, end, z, IEIPConfig(engine=args.engine,
-                                                n_steps=args.NSTEP))
+    engine = args.engine
+    if engine is None:
+        if args.use_addf:
+            engine = "addf"
+        elif args.use_gnt:
+            engine = "gnt"
+        elif getattr(args, "use_2pshs"):
+            engine = "2pshs"
+        elif args.use_dimer:
+            engine = "dimer"
+        elif args.use_spm:
+            engine = "spring_pair"
+        else:
+            engine = "eip"
     out = _outdir(args, "_ieip")
+
+    end = None
+    if args.end_input:
+        _, end_ang = read_xyz(args.end_input)
+        end = jnp.asarray(end_ang * ANGSTROM2BOHR)
+
+    if engine == "addf":
+        from multioptpy_tpu.drivers.addf import ADDFConfig, addf_search
+        res = addf_search(calc, coords, z, ADDFConfig(
+            n_channels=args.number_of_add, r_step=args.addf_step_size,
+            n_spheres=args.addf_step_num))
+        ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
+    elif engine == "gnt":
+        from multioptpy_tpu.drivers.newton_traj import (GNTConfig,
+                                                        newton_trajectory)
+        direction = None
+        if args.gnt_vec:
+            idx = [a - 1 for a in num_parse(args.gnt_vec)]
+            d = np.zeros_like(np.asarray(coords))
+            d[idx] = 1.0
+            direction = jnp.asarray(d)
+        elif end is None:
+            raise SystemExit("gnt needs -i2 or -gnt_vec")
+        res = newton_trajectory(
+            calc, coords, z, direction=direction, product_coords=end,
+            config=GNTConfig(step_size=args.gnt_step_len,
+                             n_corrector=args.gnt_microiter))
+        ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
+    elif engine == "2pshs":
+        from multioptpy_tpu.drivers.twopshs import TwoPSHSConfig, twopshs
+        if end is None:
+            raise SystemExit("2pshs needs -i2")
+        res = twopshs(calc, coords, end, z, TwoPSHSConfig(
+            r_step=args.twoPshs_step_size,
+            n_spheres=args.twoPshs_step_num))
+        ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
+    else:
+        from multioptpy_tpu.drivers.ieip import IEIPConfig, ieip
+        if end is None:
+            raise SystemExit(f"{engine} needs -i2 (a product geometry)")
+        res = ieip(calc, coords, end, z, IEIPConfig(engine=engine,
+                                                    n_steps=args.NSTEP))
+        ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
+
     write_xyz(os.path.join(out, "ts_guess.xyz"), symbols,
-              np.asarray(res.ts_guess) * BOHR2ANGSTROM,
-              f"E = {res.ts_energy:.10f}")
-    print(f"iEIP ({args.engine}): TS guess E = {res.ts_energy:.8f} -> {out}/")
+              np.asarray(ts_guess) * BOHR2ANGSTROM, f"E = {ts_e:.10f}")
+    print(f"iEIP ({engine}): TS guess E = {ts_e:.8f} -> {out}/")
     return 0
 
 

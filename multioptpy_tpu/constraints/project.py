@@ -46,7 +46,7 @@ class Constraints:
 
     def __init__(self, bonds=(), angles=(), dihedrals=(), fixed_atoms=(),
                  fixed_coords=(), fbonds=(), projection_vectors=(),
-                 atoms_pairs=(), n_atoms=None):
+                 atoms_pairs=(), eigvec_modes=(), n_atoms=None):
         self.bond_idx = np.asarray([[b[0] - 1, b[1] - 1] for b in bonds],
                                    np.int32).reshape(-1, 2)
         self.bond_targets = [b[2] for b in bonds]
@@ -78,7 +78,29 @@ class Constraints:
         # rebuilt from the CURRENT geometry so it stays meaningful when the
         # molecule rotates). 1-based pairs.
         self.atoms_pairs = [(p[0] - 1, p[1] - 1) for p in atoms_pairs]
+        # unresolved eigvec constraints: sorted-eigenvalue mode indices to
+        # be turned into projection vectors once a Hessian is available
+        # (ref: constraint_condition.py:414-424 — the reference also
+        # resolves them lazily at setup from the first Hessian)
+        self.eigvec_modes = [int(m) for m in eigvec_modes]
         self.n_atoms = n_atoms
+
+    def resolve_eigvecs(self, hessian):
+        """Resolve pending `eigvec_modes` against a (3N,3N) Hessian: mode k
+        = the k-th smallest eigenvalue with |eig| > 1e-10 (the reference's
+        selection, constraint_condition.py:417-422); appends the
+        eigenvectors to `projection_vectors` and clears the pending list."""
+        if not self.eigvec_modes:
+            return self
+        h = np.asarray(hessian)
+        w, v = np.linalg.eigh(h)
+        valid = np.where(np.abs(w) > 1e-10)[0]
+        order = valid[np.argsort(w[valid])]
+        for m in self.eigvec_modes:
+            self.projection_vectors.append(
+                np.asarray(v[:, order[m]], np.float64).reshape(-1))
+        self.eigvec_modes = []
+        return self
 
     @property
     def n_constraints(self):

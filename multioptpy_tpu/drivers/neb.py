@@ -526,6 +526,15 @@ class NEBConfig:
     dmf_beta: float = 10.0        # MaxFlux reciprocal temperature (1/Ha)
     dmf_nsegs: int = 4            # action-quadrature subdivision per segment
                                   # (ref: pathopt_dmf_force.py nsegs)
+    # in-loop image redistribution (ref: neb.py:572 -> 649
+    # _align_geometries; nebmain -ad* flags interface.py:267-287): apply
+    # `redistribute` every `redistribute_every` iterations on the host
+    # between jitted steps. Scheme names in
+    # interpolation.REDISTRIBUTION_SCHEMES.
+    redistribute: str = ""
+    redistribute_every: int = 0
+    savgol_window: int = 5
+    savgol_order: int = 3
 
 
 class NEBResult(NamedTuple):
@@ -616,7 +625,7 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
             from multioptpy_tpu.interpolation import linear_resample
             path_new = linear_resample(path_new, path.shape[0])
         fmax = jnp.max(jnp.abs(forces))
-        return path_new, fire_new, energies, fmax
+        return path_new, fire_new, energies, grads, fmax
 
     return step
 
@@ -645,8 +654,19 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     it = 0
     energies = None
     for it in range(1, config.n_steps + 1):
-        path, fire_state, energies, fmax = step(
+        path, fire_state, energies, grads, fmax = step(
             path, fire_state, jnp.asarray(it))
+        if (config.redistribute and config.redistribute_every
+                and it % config.redistribute_every == 0
+                and it < config.n_steps):
+            # in-loop image redistribution between jitted steps
+            # (ref: neb.py:572 _align_geometries every iteration)
+            from multioptpy_tpu.interpolation import redistribute_path
+            path = redistribute_path(
+                path, config.redistribute, energies=np.asarray(energies),
+                gradients=np.asarray(grads), z=np.asarray(z),
+                savgol_window=config.savgol_window,
+                savgol_order=config.savgol_order)
         e_hist.append(np.asarray(energies))
         if callback is not None:
             callback(it, path, energies, fmax)
@@ -692,7 +712,7 @@ def neb_scan(calc, path0, z, config=NEBConfig(), bias_engine=None):
     def run(p0, f0):
         def body(carry, it):
             p, f = carry
-            p, f, energies, fmax = step(p, f, it)
+            p, f, energies, _, fmax = step(p, f, it)
             return (p, f), (energies, fmax)
         (p, _), (e_hist, fmax_hist) = jax.lax.scan(
             body, (p0, f0), jnp.arange(1, config.n_steps + 1))

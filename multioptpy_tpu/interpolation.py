@@ -158,6 +158,97 @@ RESAMPLERS = {
 }
 
 
+def bernstein_energy_resample(path, energies, n_out=None, concentration=2.0):
+    """Energy-weighted Bernstein redistribution (ref:
+    Interpolation/binomial_interpolation distribute_geometry_by_energy
+    _bernstein): Bezier-smooth the path, then place images by inverse-CDF
+    sampling of an energy-concentrated density so images crowd the
+    barrier."""
+    path_np = np.asarray(path)
+    energies = np.asarray(energies)
+    n_old = len(path_np)
+    n_out = n_old if n_out is None else int(n_out)
+    flat = path_np.reshape(n_old, -1)
+    seg = np.linalg.norm(np.diff(flat, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    if s[-1] < 1e-12:
+        return jnp.asarray(path_np)
+    s /= s[-1]
+    e_rng = energies.max() - energies.min()
+    if e_rng > 1e-12:
+        e_sc = np.interp(np.linspace(0, 1, 400), s,
+                         (energies - energies.min()) / e_rng)
+        w = 1.0 + concentration * (np.exp(2.0 * e_sc) - 1.0)
+    else:
+        w = np.ones(400)
+    sf = np.linspace(0.0, 1.0, 400)
+    cdf = np.concatenate([[0.0], np.cumsum(0.5 * (w[1:] + w[:-1])
+                                           * np.diff(sf))])
+    cdf /= cdf[-1]
+    t_new = np.interp(np.linspace(0.0, 1.0, n_out), cdf, sf)
+    # Bernstein basis evaluated at the energy-concentrated parameters
+    k = np.arange(n_old)
+    from scipy.special import gammaln
+    log_binom = gammaln(n_old) - gammaln(k + 1.0) - gammaln(n_old - k)
+    eps = 1e-12
+    log_b = (log_binom[None, :] + k[None, :] * np.log(t_new[:, None] + eps)
+             + (n_old - 1 - k)[None, :] * np.log(1 - t_new[:, None] + eps))
+    wgt = np.exp(log_b)
+    wgt /= wgt.sum(axis=1, keepdims=True)
+    out = (wgt @ flat).reshape(n_out, *path_np.shape[1:])
+    out[0], out[-1] = path_np[0], path_np[-1]
+    return jnp.asarray(out)
+
+
+#: scheme-name registry for the IN-LOOP NEB image redistribution
+#: (ref: neb.py:572 -> 649 _align_geometries and the nebmain -ad* flags,
+#: interface.py:267-287). Every scheme keeps the image count fixed; the
+#: -nd node-distance family (which changes the count) is handled at path
+#: construction / round level instead.
+REDISTRIBUTION_SCHEMES = (
+    "linear",            # -ad    equal arc-length intervals
+    "energy",            # -adene energy-weighted intervals
+    "pred",              # -adpred cubic predicted (gradient-corrected)
+    "ritz",              # -adrpred B-spline Ritz (gradient-corrected)
+    "spline",            # -ads   cubic-spline equal intervals
+    "spline2",           # -ads2  spline ver.2
+    "geodesic",          # -adg   geodesic (morse-scaled internals)
+    "bernstein",         # -adb   Bernstein smoothing
+    "bernstein_energy",  # -adbene energy-weighted Bernstein
+    "adaptive",          # -adadene adaptive geometry+energy (hidden TS)
+    "savgol",            # -adsg  Savitzky-Golay smoothing
+)
+
+
+def redistribute_path(path, scheme, energies=None, gradients=None, z=None,
+                      savgol_window=5, savgol_order=3):
+    """Apply one in-loop redistribution scheme to an (I,N,3) path, keeping
+    the image count. Dispatcher for the reference's `_align_geometries`
+    strategies (ref: neb.py:649-770)."""
+    n = path.shape[0]
+    if scheme == "linear":
+        return linear_resample(path, n)
+    if scheme in ("spline", "spline2"):
+        return cubic_spline_resample(path, n)
+    if scheme == "bernstein":
+        return bernstein_resample(path, n)
+    if scheme == "geodesic":
+        return geodesic_resample(path, n, z=z, n_iter=30)
+    if scheme == "savgol":
+        return savitzky_golay_smooth(path, window=savgol_window,
+                                     order=savgol_order)
+    if scheme == "energy":
+        return ritz_resample(path, energies, n_out=n, gradients=None)
+    if scheme in ("pred", "ritz"):
+        return ritz_resample(path, energies, n_out=n, gradients=gradients)
+    if scheme == "bernstein_energy":
+        return bernstein_energy_resample(path, energies, n_out=n)
+    if scheme == "adaptive":
+        return adaptive_resample(path, energies, gradients, n_out=n)
+    raise ValueError(f"unknown redistribution scheme '{scheme}' "
+                     f"(choose from {REDISTRIBUTION_SCHEMES})")
+
+
 def ritz_resample(path, energies, n_out=None, gradients=None,
                   concentration=2.0):
     """B-spline Ritz redistribution (ref:

@@ -158,7 +158,7 @@ def test_stage_timer_and_profiler_hook(tmp_path):
 
 def test_nebmain_reference_variant_flags(tmp_path):
     """Reference-syntax NEB switches (-om/-lup/-dneb/.../-qsmv2, -sdneb,
-    -aneb, -spng, -pitr) parse and run (ref: interface.py:243)."""
+    -aneb, -pitr, in-loop -ad) parse and run (ref: interface.py:243)."""
     from multioptpy_tpu.cli import run_nebmain
 
     start = tmp_path / "a.xyz"
@@ -167,7 +167,8 @@ def test_nebmain_reference_variant_flags(tmp_path):
     end.write_text("2\n\nAr 0 0 0\nAr 0 0 4.8\n")
     out = tmp_path / "out"
     rc = run_nebmain([str(start), "-i2", str(end), "-nimg", "6",
-                      "-lup", "-sdneb", "-spng", "0.02", "-pitr",
-                      "-ns", "5", "-calc", "lj", "-out", str(out)])
+                      "-lup", "-sdneb", "-k", "0.02", "-pitr",
+                      "-ad", "2", "-ns", "5", "-calc", "lj",
+                      "-out", str(out)])
     assert rc == 0
     assert (out / "neb_path.xyz").exists()
