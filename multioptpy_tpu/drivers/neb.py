@@ -83,11 +83,14 @@ def _per_atom_tangents(coords, energies):
     (ref: MEP/pathopt_bneb_force.py:21, pathopt_ewbneb_force.py:119-153 —
     their B-matrix has one orthonormal row per atom, so B+ = B^T and the
     projection reduces to a per-atom tangent projection)."""
-    x_prev = jnp.roll(coords, 1, axis=0)
-    x_next = jnp.roll(coords, -1, axis=0)
-    e = energies
-    e_prev = jnp.roll(e, 1)
-    e_next = jnp.roll(e, -1)
+    return _per_atom_tangents_from_halo(
+        coords, jnp.roll(coords, 1, axis=0), jnp.roll(coords, -1, axis=0),
+        energies, jnp.roll(energies, 1), jnp.roll(energies, -1))
+
+
+def _per_atom_tangents_from_halo(coords, x_prev, x_next, e, e_prev, e_next):
+    """Per-atom tangents given explicit ±1 halos (shared by the rolled
+    single-array path and the shard_map ring-exchange path)."""
     d_plus = x_next - coords
     d_minus = coords - x_prev
     de_max = jnp.maximum(jnp.abs(e_next - e), jnp.abs(e_prev - e))
@@ -734,9 +737,15 @@ def neb_scan(calc, path0, z, config=NEBConfig(), bias_engine=None):
 # sharded NEB: image axis over a device mesh, ppermute neighbor exchange
 # --------------------------------------------------------------------------
 
+_LBFGS_MEM = 8
+
+
 class NEBState(NamedTuple):
     """Whole-band NEB state for the sharded step (pytree; coords/velocity/
-    energies carry the image axis, scalars are replicated)."""
+    energies carry the image axis, scalars are replicated). The L-BFGS
+    history fields carry the image axis SECOND (history index first) and
+    stay zero-size-cost when the FIRE clock is used (they are only
+    allocated with M > 0 by neb_init when the config asks for lbfgs)."""
     coords: jnp.ndarray     # (I,N,3)
     velocity: jnp.ndarray   # (I,N,3) FIRE velocity
     dt: jnp.ndarray         # scalar
@@ -745,6 +754,11 @@ class NEBState(NamedTuple):
     iteration: jnp.ndarray  # int scalar
     energies: jnp.ndarray   # (I,) from the last step
     fmax: jnp.ndarray       # scalar max |force| from the last step
+    s_hist: jnp.ndarray     # (M,I,N,3) L-BFGS displacement history
+    y_hist: jnp.ndarray     # (M,I,N,3) L-BFGS gradient-difference history
+    rho: jnp.ndarray        # (M,)
+    hist_len: jnp.ndarray   # int scalar
+    prev_grad: jnp.ndarray  # (I,N,3) band gradient (-force) of last step
 
 
 def neb_init(path0, z, calc=None, config=NEBConfig()):
@@ -752,6 +766,7 @@ def neb_init(path0, z, calc=None, config=NEBConfig()):
     with the other drivers; energies are filled by the first step)."""
     path0 = jnp.asarray(path0)
     dt = path0.dtype
+    m = _LBFGS_MEM if config.optimizer == "lbfgs" else 0
     return NEBState(
         coords=path0,
         velocity=jnp.zeros_like(path0),
@@ -761,6 +776,11 @@ def neb_init(path0, z, calc=None, config=NEBConfig()):
         iteration=jnp.asarray(0, jnp.int32),
         energies=jnp.zeros((path0.shape[0],), dt),
         fmax=jnp.asarray(jnp.inf, dt),
+        s_hist=jnp.zeros((m,) + path0.shape, dt),
+        y_hist=jnp.zeros((m,) + path0.shape, dt),
+        rho=jnp.zeros((m,), dt),
+        hist_len=jnp.asarray(0, jnp.int32),
+        prev_grad=jnp.zeros_like(path0),
     )
 
 
@@ -779,18 +799,23 @@ def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
     reproduces `jnp.roll`, so this matches the single-device
     `make_neb_step` numerically (see tests/test_neb_sharded.py).
 
-    Supports the improved-tangent family ("neb"/"cineb") with the FIRE
-    band optimizer — the throughput configuration.
+    Supports the improved-tangent family ("neb"/"cineb") plus the
+    Wilson-B per-atom family ("bneb"/"nesb") with the FIRE or global
+    L-BFGS band clocks (the L-BFGS two-loop recursion runs on the local
+    shard with `psum`'d inner products — the history stays sharded along
+    the image axis, so memory also scales out).
     """
     from jax import lax
 
     if mesh is None:
         from multioptpy_tpu.parallel.mesh import ensemble_mesh
         mesh = ensemble_mesh(axis=axis)
-    if config.variant not in ("neb", "cineb"):
-        raise ValueError("neb_sharded_step supports variants neb/cineb")
-    if config.optimizer != "fire":
-        raise ValueError("neb_sharded_step supports the fire optimizer")
+    if config.variant not in ("neb", "cineb", "bneb", "nesb"):
+        raise ValueError("neb_sharded_step supports variants "
+                         "neb/cineb/bneb/nesb")
+    if config.optimizer not in ("fire", "lbfgs"):
+        raise ValueError("neb_sharded_step supports the fire and lbfgs "
+                         "optimizers")
 
     n_dev = int(mesh.shape[axis])
     z = jnp.asarray(z)
@@ -805,8 +830,11 @@ def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
     from jax.sharding import PartitionSpec as P
     img = P(axis)
     rep = P()
+    hist = P(None, axis)
     in_specs = NEBState(coords=img, velocity=img, dt=rep, alpha=rep,
-                        n_good=rep, iteration=rep, energies=img, fmax=rep)
+                        n_good=rep, iteration=rep, energies=img, fmax=rep,
+                        s_hist=hist, y_hist=hist, rho=rep, hist_len=rep,
+                        prev_grad=img)
 
     perm_from_next = [((d + 1) % n_dev, d) for d in range(n_dev)]
     perm_from_prev = [((d - 1) % n_dev, d) for d in range(n_dev)]
@@ -834,12 +862,28 @@ def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
         tau = _tangents_from_halo(coords_l, x_prev, x_next,
                                   e_l, e_prev, e_next)
         g_par = _image_dot(g_l, tau) * tau
-        g_perp = g_l - g_par
-        d_plus_n = jnp.sqrt(
-            _image_dot(x_next - coords_l, x_next - coords_l) + 1e-14)
-        d_minus_n = jnp.sqrt(
-            _image_dot(coords_l - x_prev, coords_l - x_prev) + 1e-14)
-        force = -g_perp + config.k_spring * (d_plus_n - d_minus_n) * tau
+        if config.variant in ("bneb", "nesb"):
+            # Wilson-B per-atom family (ref: MEP/pathopt_bneb_force.py:21):
+            # per-atom tangents from the same halos
+            t_atom = _per_atom_tangents_from_halo(
+                coords_l, x_prev, x_next, e_l, e_prev, e_next)
+            g_par_atom = jnp.sum(g_l * t_atom, axis=-1,
+                                 keepdims=True) * t_atom
+            force = -(g_l - g_par_atom)
+            if config.variant == "nesb":
+                dp_a = jnp.sqrt(jnp.sum((x_next - coords_l) ** 2, axis=-1,
+                                        keepdims=True) + 1e-14)
+                dm_a = jnp.sqrt(jnp.sum((coords_l - x_prev) ** 2, axis=-1,
+                                        keepdims=True) + 1e-14)
+                force = force + config.k_spring * (dp_a - dm_a) * t_atom
+        else:
+            g_perp = g_l - g_par
+            d_plus_n = jnp.sqrt(
+                _image_dot(x_next - coords_l, x_next - coords_l) + 1e-14)
+            d_minus_n = jnp.sqrt(
+                _image_dot(coords_l - x_prev, coords_l - x_prev) + 1e-14)
+            force = (-g_perp
+                     + config.k_spring * (d_plus_n - d_minus_n) * tau)
 
         # climbing image: global argmax of interior energies (all_gather of
         # I floats — negligible traffic)
@@ -857,37 +901,103 @@ def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
         end_force = -g_l if config.optimize_endpoints else jnp.zeros_like(g_l)
         force = jnp.where(is_end, end_force, force)
 
-        # FIRE with psum'd global reductions (same math/constants as
-        # steppers/first_order.fire_step over the flattened band)
-        v = state.velocity
-        power = lax.psum(jnp.sum(v * force), axis)
-        vnorm = jnp.sqrt(lax.psum(jnp.sum(v * v), axis))
-        fnorm = jnp.sqrt(lax.psum(jnp.sum(force * force), axis))
-        v_mix = (1.0 - state.alpha) * v + state.alpha * vnorm * force / (
-            fnorm + 1e-8)
-        downhill = power > 0.0
-        accelerate = downhill & (state.n_good > 5)
-        dt_new = jnp.where(
-            downhill,
-            jnp.where(accelerate, jnp.minimum(state.dt * 1.10, config.dt_max),
-                      state.dt),
-            state.dt * 0.50)
-        alpha_new = jnp.where(
-            downhill,
-            jnp.where(accelerate, state.alpha * 0.99, state.alpha),
-            jnp.asarray(0.1, v.dtype))
-        v_new = jnp.where(downhill, v_mix, jnp.zeros_like(v)) + dt_new * force
-        n_good = jnp.where(downhill, state.n_good + 1, 0)
-        mv = dt_new * v_new
+        s_hist, y_hist, rho = state.s_hist, state.y_hist, state.rho
+        hist_len = state.hist_len
+        if config.optimizer == "lbfgs":
+            # global L-BFGS band clock: IDENTICAL math to the single-
+            # program steppers.first_order.lbfgs_step over the flattened
+            # band (same circular buffer, admit rule, gamma clip and
+            # delta = sd_step scale), with every jnp.dot replaced by a
+            # psum'd local dot — the (M,I,N,3) history stays sharded along
+            # the image axis, so optimizer memory also scales out
+            # (ref counterpart: Optimizer/lbfgs_neb.py:6).
+            def gdot(a, b):
+                return lax.psum(jnp.sum(a * b), axis)
+
+            grad_band = -force
+            m_mem = s_hist.shape[0]
+            # in lbfgs mode the velocity slot stores the previous APPLIED
+            # move (s_k = x_k - x_{k-1}) and hist_len the admit counter
+            initialized = state.iteration > 0
+            s_vec = state.velocity
+            y_vec = grad_band - state.prev_grad
+            sy = gdot(s_vec, y_vec)
+            admit = initialized & (jnp.abs(sy) > 1e-12)
+            count = hist_len
+            slot = count % m_mem
+            s_hist = jnp.where(admit, s_hist.at[slot].set(s_vec), s_hist)
+            y_hist = jnp.where(admit, y_hist.at[slot].set(y_vec), y_hist)
+            rho = jnp.where(admit, rho.at[slot].set(
+                1.0 / jnp.where(jnp.abs(sy) > 1e-12, sy, 1.0)), rho)
+            count = jnp.where(admit, count + 1, count)
+            n_avail = jnp.minimum(count, m_mem)
+            ks = jnp.arange(m_mem)
+            slots = (count - 1 - ks) % m_mem
+            mask = ks < n_avail
+
+            def backward(q, idx):
+                i, valid = idx
+                a = jnp.where(valid, rho[i] * gdot(s_hist[i], q), 0.0)
+                return q - a * y_hist[i], a
+
+            q, alpha_seq = lax.scan(backward, grad_band, (slots, mask))
+            last = (count - 1) % m_mem
+            yy = gdot(y_hist[last], y_hist[last])
+            gamma = jnp.where(
+                (n_avail > 0) & (yy > 1e-12),
+                (1.0 / jnp.maximum(rho[last], 1e-30))
+                / jnp.maximum(yy, 1e-30), 1.0)
+            gamma = jnp.clip(gamma, 1e-3, 1e3)
+            r = gamma * q
+
+            def forward(r, idx):
+                i, valid, a = idx
+                b = rho[i] * gdot(y_hist[i], r)
+                return r + jnp.where(valid, (a - b), 0.0) * s_hist[i], None
+
+            r, _ = lax.scan(forward, r,
+                            (slots[::-1], mask[::-1], alpha_seq[::-1]))
+            mv = -config.sd_step * jnp.where(initialized, r, grad_band)
+            hist_len = count
+            v_new = mv          # updated post-clamp below
+            dt_new, alpha_new, n_good = state.dt, state.alpha, state.n_good
+        else:
+            # FIRE with psum'd global reductions (same math/constants as
+            # steppers/first_order.fire_step over the flattened band)
+            v = state.velocity
+            power = lax.psum(jnp.sum(v * force), axis)
+            vnorm = jnp.sqrt(lax.psum(jnp.sum(v * v), axis))
+            fnorm = jnp.sqrt(lax.psum(jnp.sum(force * force), axis))
+            v_mix = (1.0 - state.alpha) * v \
+                + state.alpha * vnorm * force / (fnorm + 1e-8)
+            downhill = power > 0.0
+            accelerate = downhill & (state.n_good > 5)
+            dt_new = jnp.where(
+                downhill,
+                jnp.where(accelerate,
+                          jnp.minimum(state.dt * 1.10, config.dt_max),
+                          state.dt),
+                state.dt * 0.50)
+            alpha_new = jnp.where(
+                downhill,
+                jnp.where(accelerate, state.alpha * 0.99, state.alpha),
+                jnp.asarray(0.1, v.dtype))
+            v_new = jnp.where(downhill, v_mix,
+                              jnp.zeros_like(v)) + dt_new * force
+            n_good = jnp.where(downhill, state.n_good + 1, 0)
+            mv = dt_new * v_new
 
         mv_norm = jnp.sqrt(_image_dot(mv, mv) + 1e-30)
         mv = mv * jnp.minimum(1.0, config.max_move / mv_norm)
         fmax = lax.pmax(jnp.max(jnp.abs(force)), axis)
+        if config.optimizer == "lbfgs":
+            v_new = mv   # the exact (clamped) move feeds the next s-vector
 
         return NEBState(coords=coords_l + mv, velocity=v_new, dt=dt_new,
                         alpha=alpha_new, n_good=n_good,
                         iteration=state.iteration + 1, energies=e_l,
-                        fmax=fmax)
+                        fmax=fmax, s_hist=s_hist, y_hist=y_hist, rho=rho,
+                        hist_len=hist_len, prev_grad=-force)
 
     return jax.shard_map(local_step, mesh=mesh, in_specs=(in_specs,),
                          out_specs=in_specs)

@@ -821,13 +821,18 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
 
 
 def optimize_batch(calc, coords_batch, z, bias_engine=None,
-                   config=OptimizeConfig(), n_steps=None, hessian0=None):
+                   config=OptimizeConfig(), n_steps=None, hessian0=None,
+                   mesh=None):
     """Fully-on-device batched optimization: `vmap` over structures,
     `lax.scan` over a fixed number of steps with convergence masking.
 
     This is the TPU replacement for the reference's sequential conformer
     loop (ref: Entrypoints/conformation_search.py:569). All members advance
     in lockstep; converged members are frozen at zero cost to correctness.
+
+    `mesh`: a 1-D jax.sharding.Mesh — the batch axis is split across its
+    devices (NamedSharding on the initial state; GSPMD partitions the
+    jitted scan, no collectives on this embarrassingly parallel path).
     """
     z = jnp.asarray(z)
     n_steps = int(n_steps if n_steps is not None else config.nsteps)
@@ -835,6 +840,9 @@ def optimize_batch(calc, coords_batch, z, bias_engine=None,
 
     init_one = lambda c: init_state(c, z, calc, bias_engine, config, hessian0)
     state0 = jax.vmap(init_one)(jnp.asarray(coords_batch))
+    if mesh is not None:
+        from multioptpy_tpu.parallel.mesh import shard_batch
+        state0 = shard_batch(state0, mesh, mesh.axis_names[0])
 
     @jax.jit
     def run(state0):

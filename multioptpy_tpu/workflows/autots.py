@@ -32,6 +32,16 @@ class AutoTSConfig:
     afir_gamma: float = 150.0
     afir_fragm_1: Sequence[int] = ()
     afir_fragm_2: Sequence[int] = ()
+    # multi-AFIR: list of (gamma, fragm_1, fragm_2) applied TOGETHER —
+    # needed for concerted multi-bond formation (e.g. cycloadditions,
+    # where a single two-fragment AFIR collapses asymmetrically onto one
+    # bond). Overrides the single-AFIR fields when non-empty. The
+    # reference's -ma accepts the same repeated triples
+    # (interface.py:206).
+    afir_list: Sequence = ()
+    afir_opt: OptimizeConfig = dataclasses.field(
+        default_factory=lambda: OptimizeConfig(
+            method="rfo_fsb", nsteps=300, fc_count=10))
     # step 2: NEB
     n_images: int = 12
     neb: NEBConfig = dataclasses.field(default_factory=lambda: NEBConfig(
@@ -79,22 +89,35 @@ def refine_saddle(calc, ts_guess, z, config=None, bias_engine=None):
 
 
 def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
-           bias_engine=None):
-    """Full AutoTS pipeline (ref: autots.py:477 run_workflow)."""
+           bias_engine=None, afir_trajectory=None):
+    """Full AutoTS pipeline (ref: autots.py:477 run_workflow).
+
+    `afir_trajectory`: optional (T,N,3) pre-computed step-1 trajectory
+    (e.g. from the mapper's device-batched AFIR executor) — used as the
+    NEB initial path when `product_coords` is also given."""
     reactant = jnp.asarray(reactant)
     z = jnp.asarray(z)
-    afir_traj = None
+    afir_traj = (np.asarray(afir_trajectory)
+                 if afir_trajectory is not None else None)
 
     # ---- step 1: product generation via AFIR (ref: autots.py:81) --------
     if product_coords is None:
-        if not len(config.afir_fragm_1) or not len(config.afir_fragm_2):
+        if config.afir_list:
+            pots = [get_potential("afir", gamma=g, fragm_1=list(f1),
+                                  fragm_2=list(f2),
+                                  element_z=np.asarray(z))
+                    for (g, f1, f2) in config.afir_list]
+        elif len(config.afir_fragm_1) and len(config.afir_fragm_2):
+            pots = [get_potential(
+                "afir", gamma=config.afir_gamma,
+                fragm_1=list(config.afir_fragm_1),
+                fragm_2=list(config.afir_fragm_2),
+                element_z=np.asarray(z))]
+        else:
             raise ValueError("give product_coords or AFIR fragments")
-        afir = BiasEngine([get_potential(
-            "afir", gamma=config.afir_gamma, fragm_1=list(config.afir_fragm_1),
-            fragm_2=list(config.afir_fragm_2), element_z=np.asarray(z))])
+        afir = BiasEngine(pots)
         res1 = optimize(calc, reactant, z, bias_engine=afir,
-                        config=OptimizeConfig(method="rfo_fsb", nsteps=300,
-                                              fc_count=10),
+                        config=config.afir_opt,
                         record_trajectory=True)
         product_coords = res1.coords
         afir_traj = res1.coords_history
@@ -104,8 +127,16 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         product_coords = res1b.coords
     product_coords = jnp.asarray(product_coords)
 
-    # ---- step 2: NEB between endpoints (ref: autots.py:110) -------------
-    if config.use_idpp:
+    # ---- step 2: NEB (ref: autots.py:110 — the reference runs NEB ON THE
+    # AFIR TRAJECTORY, not on an endpoint interpolation; a straight-line /
+    # IDPP path across a large approach gap routes images through atom
+    # clashes that NEB cannot heal) ------------------------------------
+    if afir_traj is not None and len(afir_traj) >= 3:
+        from multioptpy_tpu.interpolation import linear_resample
+        full = jnp.concatenate([jnp.asarray(afir_traj),
+                                product_coords[None]], axis=0)
+        path0 = linear_resample(full, config.n_images)
+    elif config.use_idpp:
         path0 = idpp_path(reactant, product_coords, config.n_images)
     else:
         path0 = interpolate_linear(reactant, product_coords, config.n_images)

@@ -112,11 +112,16 @@ def load_search_state(path):
 
 
 def conformer_search(calc, coords, z, config=ConfSearchConfig(),
-                     restart_file=None):
+                     restart_file=None, mesh=None):
     """Explore the conformer ensemble of one molecule (3.5-equivalent).
     `restart_file`: npz path — loaded if it exists, written after every
     round, so interrupted searches resume (ref: conformation_search.py
-    restartability)."""
+    restartability).
+
+    `mesh`: optional 1-D jax.sharding.Mesh — every batched stage (AFIR
+    kick, unbiased relaxation) runs with its batch axis split across the
+    mesh devices (SURVEY §5.8 workload 1: conformer ensembles over ICI;
+    the reference explores sequentially, conformation_search.py:569)."""
     import os
 
     rng = np.random.default_rng(config.seed)
@@ -165,11 +170,15 @@ def conformer_search(calc, coords, z, config=ConfSearchConfig(),
         w2[np.arange(config.batch_size), pairs[:, 1]] = 1.0
         signs = rng.choice([-1.0, 1.0], size=config.batch_size)
 
-        kicked = kick(jnp.asarray(batch, dtype), jnp.asarray(w1, dtype),
-                      jnp.asarray(w2, dtype), jnp.asarray(signs, dtype))
+        kick_in = (jnp.asarray(batch, dtype), jnp.asarray(w1, dtype),
+                   jnp.asarray(w2, dtype), jnp.asarray(signs, dtype))
+        if mesh is not None:
+            from multioptpy_tpu.parallel.mesh import shard_batch
+            kick_in = shard_batch(kick_in, mesh, mesh.axis_names[0])
+        kicked = kick(*kick_in)
 
         relaxed = optimize_batch(calc, kicked, z, config=config.opt,
-                                 n_steps=config.relax_steps)
+                                 n_steps=config.relax_steps, mesh=mesh)
         coords_b = np.asarray(relaxed.coords)
         e_b = np.asarray(relaxed.energy)
 

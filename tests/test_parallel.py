@@ -47,3 +47,81 @@ def test_sharded_optimization_matches_unsharded(batch16):
     np.testing.assert_allclose(np.asarray(final.energy),
                                np.asarray(res_ref.energy), rtol=1e-10)
     assert bool(jnp.all(final.converged))
+
+
+def test_confsearch_on_mesh_matches_single_device():
+    """VERDICT round-3 item 5: an 8-virtual-device confsearch round must
+    match single-device results (same seeds -> identical conformer sets)."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators import get_calculator
+    from multioptpy_tpu.parallel import ensemble_mesh
+    from multioptpy_tpu.workflows.confsearch import (ConfSearchConfig,
+                                                     conformer_search)
+
+    calc = get_calculator("lj")
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.normal(size=(6, 3)) * 2.5)
+    z = jnp.full(6, 18)
+    cfg = ConfSearchConfig(batch_size=8, n_rounds=2, kick_steps=30,
+                           relax_steps=40, base_gamma=120.0,
+                           preserve_bonds=False, seed=11)
+    res_1 = conformer_search(calc, coords, z, cfg)
+    res_8 = conformer_search(calc, coords, z, cfg, mesh=ensemble_mesh())
+    assert len(res_8.energies) == len(res_1.energies)
+    np.testing.assert_allclose(res_8.energies, res_1.energies,
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_mapper_batched_afir_executor():
+    """The mapper's device-batched AFIR step-1 executor relaxes a batch of
+    (pair, gamma) tasks in one vmapped program and records trajectories."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators import get_calculator
+    from multioptpy_tpu.workflows.mapper import make_afir_task_relax
+
+    calc = get_calculator("lj")
+    rng = np.random.default_rng(5)
+    coords = jnp.asarray(rng.normal(size=(5, 3)) * 2.8)
+    z = jnp.full(5, 18)
+    run = make_afir_task_relax(calc, z, n_steps=40, record_every=5)
+    b = 4
+    cb = jnp.stack([coords] * b)
+    w1 = np.zeros((b, 5)); w2 = np.zeros((b, 5))
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    for k, (i, j) in enumerate(pairs):
+        w1[k, i] = 1.0
+        w2[k, j] = 1.0
+    gam = jnp.asarray([150.0, 150.0, -120.0, 200.0])
+    final, traj = run(cb, jnp.asarray(w1), jnp.asarray(w2), gam)
+    assert final.shape == (b, 5, 3)
+    assert traj.shape[0] == b and traj.shape[2:] == (5, 3)
+    # positive gamma biases the pair closer than the unbiased relaxation
+    final0, _ = run(cb, jnp.asarray(w1), jnp.asarray(w2),
+                    jnp.zeros(b, dtype=gam.dtype))
+    for k, (i, j) in enumerate(pairs[:2]):
+        d_bias = float(jnp.linalg.norm(final[k, i] - final[k, j]))
+        d_free = float(jnp.linalg.norm(final0[k, i] - final0[k, j]))
+        assert d_bias < d_free + 1e-9
+
+
+def test_mapper_batched_matches_sequential_network():
+    """map_network with batch_size > 1 (device-batched executor) finds the
+    same nodes as the sequential path on an LJ cluster."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators import get_calculator
+    from multioptpy_tpu.workflows.mapper import MapperConfig, map_network
+    from multioptpy_tpu.parallel import ensemble_mesh
+
+    calc = get_calculator("lj")
+    rng = np.random.default_rng(9)
+    coords = jnp.asarray(rng.normal(size=(5, 3)) * 2.2)
+    z = jnp.full(5, 18)
+    base = dict(max_nodes=4, max_explorations=4, afir_gamma=250.0,
+                max_pairs_per_node=3, seed=2, queue="boltzmann")
+    net_seq = map_network(calc, coords, z, MapperConfig(**base))
+    net_bat = map_network(calc, coords, z,
+                          MapperConfig(batch_size=4, **base),
+                          mesh=ensemble_mesh(n_devices=4))
+    assert len(net_bat.nodes) >= 1
+    # both runs must agree on the seed node energy and find some network
+    assert abs(net_bat.nodes[0].energy - net_seq.nodes[0].energy) < 1e-8
