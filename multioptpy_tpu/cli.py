@@ -827,15 +827,25 @@ def run_optmain(argv=None):
             f.write(repr(km) + "\n")
     if args.intrinsic_reaction_coordinates is not None:
         # chained IRC (ref: optimization.py:2173-2197): [step max method]
-        from multioptpy_tpu.drivers.irc import IRCConfig, irc
+        from multioptpy_tpu.drivers.irc import IRCConfig, irc, meta_irc
         from multioptpy_tpu.io import write_trajectory as _wt
         spec = list(args.intrinsic_reaction_coordinates)
         irc_cfg = IRCConfig(
             step_size=float(spec[0]) if len(spec) > 0 else 0.05,
             n_steps=int(spec[1]) if len(spec) > 1 else 200,
             method=spec[2] if len(spec) > 2 else "lqa")
-        irc_res = irc(calc, res.coords, z, config=irc_cfg,
-                      bias_engine=bias)
+        # auto-select: true IRC needs an imaginary mode; from a
+        # non-stationary or minimum structure run the downhill meta-IRC
+        # (ref: irc.py:195-206 saddle_check -> :328 _run_meta_irc)
+        h_irc = calc.hessian(res.coords, z)
+        w_irc = np.linalg.eigvalsh(np.asarray(h_irc))
+        if (w_irc < -1e-6).any():
+            irc_res = irc(calc, res.coords, z, hessian=h_irc,
+                          config=irc_cfg, bias_engine=bias)
+        else:
+            print("no imaginary mode -> meta-IRC (downhill relaxation)")
+            irc_res = meta_irc(calc, res.coords, z, config=irc_cfg,
+                               bias_engine=bias)
         both = np.concatenate([np.asarray(irc_res.backward_path)[::-1],
                                np.asarray(irc_res.forward_path)])
         _wt(os.path.join(out, "irc_path.xyz"), symbols,

@@ -257,6 +257,52 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
     )
 
 
+def meta_irc(calc, coords, z, config=IRCConfig(), bias_engine=None):
+    """meta-IRC: single-direction downhill relaxation path from a
+    NON-stationary point (ref: irc.py:328 _run_meta_irc, selected at
+    :201 when the Hessian has no imaginary mode): the initial kick is the
+    mass-weighted gradient-descent direction, then the chosen integrator
+    follows the path to the nearest minimum. Returns an IRCResult whose
+    forward branch is the path (the backward branch holds the start)."""
+    coords = jnp.asarray(coords)
+    z = jnp.asarray(z)
+    e0, g0 = calc.energy_and_gradient(coords, z)
+    if bias_engine is not None and len(bias_engine):
+        be, bg = bias_engine.energy_and_gradient(coords)
+        e0, g0 = e0 + be, g0 + bg
+    from multioptpy_tpu.geometry import masses_from_z
+    sm = jnp.sqrt(jnp.asarray(masses_from_z(z), coords.dtype))[:, None]
+    kick = (g0 / (jnp.linalg.norm(g0) + 1e-30)) / sm   # ref: irc.py:206
+    x0 = coords - config.init_displacement * kick
+    step = make_irc_step(calc, z, config, bias_engine)
+
+    @jax.jit
+    def run(x0):
+        def body(carry, _):
+            xc, prev_e, done = carry
+            x_new, e, g = step(xc)
+            gnorm = jnp.linalg.norm(g)
+            done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
+            x_out = jnp.where(done, xc, x_new)
+            e_out = jnp.where(done, prev_e, e)
+            return (x_out, e_out, done_new), (x_out, e_out)
+
+        big = jnp.asarray(jnp.inf, x0.dtype)
+        _, (path, es) = jax.lax.scan(body, (x0, big, jnp.asarray(False)),
+                                     None, length=config.n_steps)
+        return path, es
+
+    path, es = run(x0)
+    return IRCResult(
+        forward_path=np.asarray(path),
+        backward_path=np.asarray(coords)[None],
+        forward_energies=np.asarray(es),
+        backward_energies=np.asarray([float(e0)]),
+        ts_coords=coords,
+        ts_energy=float(e0),
+    )
+
+
 def modekill(calc, coords, z, keep_order=0, max_rounds=30, step_size=0.1,
              mode_thresh=-5.0, bias_engine=None, opt_config=None):
     """Remove unwanted imaginary modes from a stationary structure.

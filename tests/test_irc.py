@@ -61,3 +61,24 @@ def test_irc_reaches_both_minima(ts, method):
     for es in (res.forward_energies, res.backward_energies):
         diffs = np.diff(es[: np.argmin(es) + 1])
         assert np.all(diffs < 1e-10)
+
+
+def test_meta_irc_walks_downhill_to_minimum():
+    """meta-IRC (ref: irc.py:328): single-direction relaxation path from a
+    NON-stationary point follows the mass-weighted gradient to the nearest
+    minimum."""
+    import jax.numpy as jnp
+    from multioptpy_tpu.calculators import get_calculator
+    from multioptpy_tpu.drivers.irc import IRCConfig, meta_irc
+
+    calc = get_calculator("lj")
+    z = jnp.array([18, 18])
+    start = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 8.2]])  # stretched
+    res = meta_irc(calc, start, z, IRCConfig(method="euler", step_size=0.3,
+                                             n_steps=150))
+    e = np.asarray(res.forward_energies)
+    e = e[np.isfinite(e)]
+    assert e[-1] < float(res.ts_energy)           # went downhill
+    c_end = np.asarray(res.forward_path[-1])
+    r_end = float(np.linalg.norm(c_end[0] - c_end[1]))
+    assert abs(r_end - 7.17) < 0.5   # LJ Ar2 minimum ~ 2^(1/6) sigma
