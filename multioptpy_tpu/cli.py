@@ -1513,6 +1513,9 @@ def run_mapper_cli(argv=None):
     p = _base_parser("multioptpy_tpu reaction network mapper")
     p.add_argument("-cfg", "--config", default=None)
     p.add_argument("-maxnodes", "--max_nodes", type=int, default=10)
+    p.add_argument("--resume", nargs="?", const="", default=None,
+                   help="restart from a persisted network JSON (default: "
+                        "<out>/network.json) (ref: Entrypoints/mapper.py:21)")
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
@@ -1522,8 +1525,11 @@ def run_mapper_cli(argv=None):
     if args.config:
         with open(args.config) as f:
             kw.update(json.load(f).get("mapper", {}))
+    resume = args.resume
+    if resume == "":
+        resume = os.path.join(_outdir(args, "_mapper"), "network.json")
     res = map_network(calc, coords, z, MapperConfig(
-        max_nodes=args.max_nodes, **kw))
+        max_nodes=args.max_nodes, **kw), resume=resume)
     out = _outdir(args, "_mapper")
     res.save(os.path.join(out, "network.json"), symbols)
     print(f"network: {len(res.nodes)} EQ nodes, {len(res.edges)} TS edges "
