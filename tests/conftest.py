@@ -16,6 +16,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite compiles hundreds of distinct
+# XLA programs on a single core (5-30 s each); re-runs hit the disk cache
+# instead. Cold runs are unaffected.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
