@@ -10,6 +10,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 from multioptpy_tpu.geometry import (
     center_of_mass,
@@ -47,7 +49,7 @@ def normal_modes(hessian, coords, z):
     if coords.shape[0] > 1:
         # single-particle model surfaces live in the translation subspace
         h_mw = project_hessian_tr_rot(h_mw, coords, masses)
-    w, v = jnp.linalg.eigh(h_mw)
+    w, v = _eigh_fast(h_mw)
     freq = jnp.sign(w) * jnp.sqrt(jnp.abs(w)) * (_OMEGA_SI * _TO_CM1)
     n = coords.shape[0]
     cart_modes = (v / sm[:, None]).T.reshape(3 * n, n, 3)

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multioptpy_tpu.periodic import COVALENT_RADII_1
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 
 def _stretch(p, idx):
@@ -100,7 +102,7 @@ class InternalCoordinates:
     def g_pinv(g, thresh=1e-8):
         """Moore-Penrose inverse via masked eigendecomposition
         (ref: redundant_coordinate.py:381-401)."""
-        w, v = jnp.linalg.eigh(g)
+        w, v = _eigh_fast(g)
         keep = w > thresh * jnp.maximum(jnp.max(jnp.abs(w)), 1e-30)
         inv_w = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
         return (v * inv_w[None, :]) @ v.T
@@ -169,7 +171,7 @@ class InternalCoordinates:
         a mask of valid columns accompanies it."""
         b = self.b_matrix(coords)
         g = self.g_matrix(b)
-        w, v = jnp.linalg.eigh(g)
+        w, v = _eigh_fast(g)
         keep = w > thresh * jnp.maximum(jnp.max(jnp.abs(w)), 1e-30)
         u = jnp.where(keep[None, :], v, 0.0)
         return u, keep

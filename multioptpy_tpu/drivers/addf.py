@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multioptpy_tpu.geometry import project_hessian_tr_rot
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,7 +70,7 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
         h = h + bias_engine.hessian(coords)
     if n > 1:
         h = project_hessian_tr_rot(h, coords)
-    w, v = jnp.linalg.eigh(0.5 * (h + h.T))
+    w, v = _eigh_fast(0.5 * (h + h.T))
     scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
 
     x0_flat = coords.reshape(-1)

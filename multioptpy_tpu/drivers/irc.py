@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multioptpy_tpu.geometry import masses_from_z, project_hessian_tr_rot
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 
 def mass_weighted_modes(hessian, coords, z):
@@ -39,7 +41,7 @@ def mass_weighted_modes(hessian, coords, z):
     if coords.shape[0] > 1:
         # single-particle model surfaces live IN the translation subspace
         h_mw = project_hessian_tr_rot(h_mw, coords, masses)
-    w, v = jnp.linalg.eigh(h_mw)
+    w, v = _eigh_fast(h_mw)
     return w, v, sm
 
 
@@ -106,7 +108,7 @@ def make_irc_step(calc, z, config=IRCConfig(), bias_engine=None):
             if bias_engine is not None and len(bias_engine):
                 h = h + bias_engine.hessian(coords)
             h_mw = h / sm[:, None] / sm[None, :]
-            w, v = jnp.linalg.eigh(0.5 * (h_mw + h_mw.T))
+            w, v = _eigh_fast(0.5 * (h_mw + h_mw.T))
             g_t = v.T @ g_mw
 
             def dq_of_t(t):
@@ -148,7 +150,7 @@ def make_irc_step(calc, z, config=IRCConfig(), bias_engine=None):
                 if bias_engine is not None and len(bias_engine):
                     h = h + bias_engine.hessian(coords_loc)
                 h_mw = h / sm[:, None] / sm[None, :]
-                w, vv = jnp.linalg.eigh(0.5 * (h_mw + h_mw.T))
+                w, vv = _eigh_fast(0.5 * (h_mw + h_mw.T))
                 g_t = vv.T @ g_mw_loc
 
                 def dq_of_t(t):

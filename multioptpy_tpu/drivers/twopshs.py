@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multioptpy_tpu.geometry import project_hessian_tr_rot
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +63,7 @@ def twopshs(calc, reactant, product, z, config=TwoPSHSConfig(),
         h = h + bias_engine.hessian(reactant)
     if n > 1:
         h = project_hessian_tr_rot(h, reactant)
-    w, v = jnp.linalg.eigh(0.5 * (h + h.T))
+    w, v = _eigh_fast(0.5 * (h + h.T))
     scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
 
     x0 = reactant.reshape(-1)

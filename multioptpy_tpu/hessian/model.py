@@ -37,6 +37,8 @@ import numpy as np
 from multioptpy_tpu.coords.internals import InternalCoordinates, detect_primitives
 from multioptpy_tpu.geometry import project_hessian_tr_rot
 from multioptpy_tpu.periodic import COVALENT_RADII_1
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 # period index: 0 = H/He, 1 = Li..Ne, 2 = rest (ref: lindh.py:56-71)
 _LINDH_ALPHA = np.array([[1.0000, 0.3949, 0.3949],
@@ -455,7 +457,7 @@ def ts_model_hessian(h, thresh=1e-8):
     non-singular mode: H_ts = sym((I - 2 v v^T) H)
     (ref: ModelHessian/tshess.py:3 TransitionStateHessian). Returns `h`
     unchanged when a negative eigenvalue already exists. Branchless."""
-    w, v = jnp.linalg.eigh(0.5 * (h + h.T))
+    w, v = _eigh_fast(0.5 * (h + h.T))
     has_neg = jnp.any(w < -thresh)
     # first non-(TR/rot-)singular mode
     idx = jnp.argmax(jnp.abs(w) > thresh)
@@ -499,7 +501,7 @@ def short_range_hessian(coords, z, bonds=None, omega=0.2, cx_sr=0.78,
 def smooth_eigenvalues(h, alpha=0.1):
     """Compress |eigenvalues| >= 1 toward 2 - 1/|e|^alpha
     (ref: approx_hessian.py:115 smooth_eigval 'clip' option)."""
-    w, v = jnp.linalg.eigh(h)
+    w, v = _eigh_fast(h)
     big = jnp.abs(w) >= 1.0
     w_s = jnp.where(big, jnp.sign(w) * (2.0 - 1.0 / jnp.abs(w) ** alpha), w)
     return (v * w_s[None, :]) @ v.T

@@ -18,6 +18,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 
 class DiisState(NamedTuple):
@@ -327,7 +329,7 @@ def c2diis_coefficients(e_hist, valid_mask):
     vm = valid_mask.astype(dtype)
     scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
     b = b * vm[:, None] * vm[None, :] + jnp.diag(1.0 - vm) * scale * 1e6
-    w, v = jnp.linalg.eigh(b)
+    w, v = _eigh_fast(b)
     # candidate coefficient vectors: each eigenvector normalized to sum 1
     sums = jnp.sum(v, axis=0)
     safe = jnp.where(jnp.abs(sums) > 1e-8, sums, 1.0)

@@ -11,6 +11,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+# f64-on-TPU routes to the seeded solver; identity elsewhere
+from multioptpy_tpu.ops.eigh64 import eigh_fast as _eigh_fast
 
 
 def backtracking_linesearch(energy_fn, coords, move, e0, g0_flat,
@@ -43,7 +45,7 @@ def trim_step(gradient, hessian, trust_radius, saddle_order=0):
     ref: Optimizer/trim.py): Newton step with a level shift chosen by
     bisection so |step| <= trust radius; the lowest `saddle_order` modes are
     shifted in the opposite direction (image function)."""
-    d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
+    d, v = _eigh_fast(0.5 * (hessian + hessian.T))
     g_t = v.T @ gradient
     n = d.shape[0]
     flip = jnp.arange(n) < saddle_order
@@ -96,7 +98,7 @@ def mode_following_direction(hessian, reference_mode=None, index=0):
     """Pick the eigenvector to follow: by overlap with a reference mode if
     given, else by index (ref: Optimizer/mode_following.py:6 — feeds
     MF_RSIRFO's image projector)."""
-    d, v = jnp.linalg.eigh(0.5 * (hessian + hessian.T))
+    d, v = _eigh_fast(0.5 * (hessian + hessian.T))
     if reference_mode is None:
         return v[:, index], d[index]
     overlaps = jnp.abs(v.T @ reference_mode)
