@@ -430,12 +430,12 @@ def _sqm_eigh(a, impl):
     """Band-structure eigensolver dispatch: "xla" | "pallas" (the batched
     lane-parallel Jacobi kernel — f32-on-TPU only, falls back to the XLA
     Jacobi elsewhere; see steppers.rfo._eigh for the measured numbers).
-    f64 on TPU always routes through the seeded f32+polish solver
-    (ops/eigh64.py) — the emulated XLA QR pipeline is the long sequential
-    chain the round-3 f64 profile flagged."""
+    f64 on TPU routes through ops/eigh64.eigh_fast (currently the
+    emulated XLA QR — measured faster than the seeded f32+polish solver
+    at every production shape; see eigh_fast's docstring)."""
     if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
-        from multioptpy_tpu.ops.eigh64 import seeded_eigh
-        return seeded_eigh(a)
+        from multioptpy_tpu.ops.eigh64 import eigh_fast
+        return eigh_fast(a)
     if impl == "pallas":
         from multioptpy_tpu.steppers.rfo import _eigh
         return _eigh(a, "pallas")

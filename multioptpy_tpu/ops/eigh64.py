@@ -123,12 +123,21 @@ def seeded_eigh(a, polish_sweeps=2):
 
 
 def eigh_fast(a, polish_sweeps=2):
-    """Backend/dtype dispatch: LAPACK where it is the fast correct path
-    (CPU, or any f32), seeded polish for f64 on TPU. The one entry point
-    the f64 device hot paths (SQM band energy, EEQ solve, S^-1/2, RFO)
-    should call."""
-    if a.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
-        return seeded_eigh(a, polish_sweeps=polish_sweeps)
+    """The one eigh entry point the f64 device hot paths (SQM band
+    energy, EEQ solve, S^-1/2, RFO, IRC, vibrations) should call.
+
+    Currently = jnp.linalg.eigh on every backend: the round-3 production
+    A/B on v5e (f64 SQM+RFO 64x water, /tmp-era measurements recorded in
+    NOTES.md) found the current libtpu's emulated f64 QR eigh BEATS the
+    seeded f32+polish solver at every shape tried — in-step 0.290 (XLA)
+    vs 0.484 (seeded SQM paths) vs 0.690 (seeded everywhere)
+    ms/structure/step, and standalone 0.08 vs 46 ms at (64,10,10),
+    31-41 vs 42-70 ms at d 24-72. The f64 throughput win that matters
+    came from the closed forms below (one factorization + exact JVPs
+    replacing Newton-Schulz/CG/double-eigh chains), which are
+    eigh-backend-agnostic. `seeded_eigh` stays available as an explicit
+    fallback should a future libtpu regress the emulated QR path."""
+    del polish_sweeps
     return jnp.linalg.eigh(a)
 
 

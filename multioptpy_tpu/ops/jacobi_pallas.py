@@ -17,7 +17,8 @@ This kernel runs the ENTIRE Jacobi iteration inside one `pallas_call`:
     (G A G^T staged as (G A) then (. G^T)), with the rotation angles
     computed per lane from the pair's diagonal/off-diagonal entries —
     the same stable small-root Givens formula as ops/jacobi.py.
-  * the round-robin pair schedule sits in SMEM; sweeps x rounds x pairs
+  * the round-robin pairing is computed in scalar registers (circle
+    method closed form); sweeps x rounds x pairs
     are `fori_loop`s, so there is ZERO per-round dispatch overhead and no
     bf16-matmul-precision issue (no matmuls at all — full-f32 VPU math).
 
@@ -29,15 +30,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from multioptpy_tpu.ops.jacobi import _round_robin_schedule
+
 
 _LANES = 128
 
 
-def _kernel(sched_ref, a_ref, w_ref, v_ref, a_scr, v_scr, *, d, n_rounds,
-            sweeps):
+def _kernel(a_ref, w_ref, v_ref, a_scr, v_scr, *, d, n_rounds, sweeps):
     a_scr[:] = a_ref[:]
     row = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 1)
@@ -47,8 +46,16 @@ def _kernel(sched_ref, a_ref, w_ref, v_ref, a_scr, v_scr, *, d, n_rounds,
     def pair_body(k, r):
         import jax.experimental.pallas as pl
 
-        p = sched_ref[r, k, 0]
-        q = sched_ref[r, k, 1]
+        # circle-method pairing computed in scalar registers (a
+        # precomputed (d-1, d/2, 2) table would live in SMEM, whose 1 MiB
+        # window budget overflows at d ~ 64 — seen at the 18-atom SQM2
+        # band, d = 72). Same pairs as ops/jacobi._round_robin_schedule:
+        # index 0 is the fixed player; at round r the rotating ring
+        # places 1 + ((i - 1 - r) mod (d-1)) at seat i, and pair k
+        # matches seats k and d-1-k.
+        m = jnp.int32(d - 1)
+        q = 1 + (m - 1 - k - r + 2 * m) % m
+        p = jnp.where(k == 0, 0, 1 + (k - 1 - r + m) % m)
 
         rp = a_scr[pl.ds(p, 1), :, :].reshape(d, _LANES)
         rq = a_scr[pl.ds(q, 1), :, :].reshape(d, _LANES)
@@ -154,16 +161,13 @@ def _jacobi_eigh_pallas_impl(a, sweeps, interpret):
             [a, jnp.broadcast_to(jnp.eye(d, dtype=dtype),
                                  (b - b0, d, d))], axis=0)
 
-    schedule = jnp.asarray(_round_robin_schedule(d))   # (d-1, d/2, 2)
-    n_rounds = schedule.shape[0]
     a_t = jnp.transpose(a, (1, 2, 0))                  # (d, d, B)
 
-    kernel = partial(_kernel, d=d, n_rounds=n_rounds, sweeps=sweeps)
+    kernel = partial(_kernel, d=d, n_rounds=d - 1, sweeps=sweeps)
     w_t, v_t = pl.pallas_call(
         kernel,
         grid=(b // _LANES,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((d, d, _LANES), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -182,7 +186,7 @@ def _jacobi_eigh_pallas_impl(a, sweeps, interpret):
             pltpu.VMEM((d, d, _LANES), dtype),
         ],
         interpret=interpret,
-    )(schedule, a_t)
+    )(a_t)
 
     w = jnp.transpose(w_t, (1, 0))[:b0]                # (B, d)
     v = jnp.transpose(v_t, (2, 0, 1))[:b0]             # (B, d, d)
@@ -219,10 +223,22 @@ def _cv_eigh(sweeps):
     return f
 
 
+_PALLAS_MAX_D = 32
+
+
 def jacobi_eigh_pallas_auto(h, sweeps=7):
     """jacobi_eigh_pallas that composes with `jax.vmap`: unbatched (D, D)
     inputs go through a custom_vmap wrapper whose batch rule feeds the
-    kernel's native batch axis; already-batched inputs call it directly."""
+    kernel's native batch axis; already-batched inputs call it directly.
+
+    Dimension gate: the kernel's sequential chain grows as sweeps*d^2/2
+    pair rotations per 128-lane tile, so past d ~ 32 it loses to the XLA
+    QR eigh even in-scan (measured v5e: d=24 in the production RFO scan
+    pallas 0.0059 vs xla 0.050 ms/structure/step — 8.4x win; unbatched
+    d=72 pallas 51 ms vs xla ~0.1 ms — 500x loss). Above the gate this
+    returns jnp.linalg.eigh."""
+    if h.shape[-1] > _PALLAS_MAX_D:
+        return jnp.linalg.eigh(h)
     if h.ndim > 2:
         return jacobi_eigh_pallas(h, sweeps=sweeps)
     return _cv_eigh(sweeps)(h)

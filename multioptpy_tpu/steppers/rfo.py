@@ -141,12 +141,11 @@ def _eigh(h, impl):
     d = h.shape[-1]
     sweeps = 5 + max(0, int(_np.ceil(_np.log2(max(d, 16) / 16.0))))
     if h.dtype == jnp.float64 and jax.default_backend() == "tpu":
-        # f64 on TPU, ANY impl: seeded f32 Pallas + f64 Jacobi polish
-        # (ops/eigh64.py). The alternatives are both worse there — the
-        # XLA QR custom call and the matmul Jacobi run as long chains of
-        # emulated-f64 kernels
-        from multioptpy_tpu.ops.eigh64 import seeded_eigh
-        return seeded_eigh(h)
+        # f64 on TPU, ANY impl: the emulated XLA QR eigh. Measured faster
+        # than both the matmul Jacobi (which also drifts, ops/jacobi.py
+        # guard) and the seeded f32+polish solver at production shapes —
+        # see ops/eigh64.eigh_fast for the A/B numbers.
+        return jnp.linalg.eigh(h)
     if impl == "pallas":
         if h.dtype == jnp.float32 and jax.default_backend() == "tpu":
             from multioptpy_tpu.ops.jacobi_pallas import (
