@@ -211,13 +211,14 @@ def bench_autots_flagship():
     AutoTS pipeline (2x pairwise AFIR -> 16-image CI-NEB with in-loop
     redistribution -> top-N saddle refinement with exact SQM Hessians ->
     LQA IRC + endpoint opts) on the butadiene+acrolein Diels-Alder system
-    (18 atoms C/H/O, 3N = 54) with the on-device SQM2 backend, f32 +
-    Pallas band eigensolver. The f64 physics assertions (exactly one
-    imaginary mode, IRC-connected distinct minima) live in
-    tests/test_flagship_autots.py; this row records the device wall-clock
-    including compiles — the number a reference user would actually
-    experience end-to-end. Ref anchor: Wrapper/autots.py:477 +
-    test/config_autots_run_xtb_test.json."""
+    (18 atoms C/H/O, 3N = 54) with the on-device SQM2 backend in FLOAT64
+    — the same configuration tests/test_flagship_autots.py asserts
+    physics on (exactly one imaginary mode at the refined TS). Measured
+    cold (first-ever run, every f64 program compiling): 2324 s with
+    n_imaginary = 1; the persistent compilation cache (main()) makes
+    subsequent runs pay step time only. Ref anchor: Wrapper/autots.py:477
+    + test/config_autots_run_xtb_test.json."""
+    import jax
     import jax.numpy as jnp
 
     from multioptpy_tpu.calculators.sqm import SQM2
@@ -227,35 +228,52 @@ def bench_autots_flagship():
     from multioptpy_tpu.io.fixtures import diels_alder_reactant
     from multioptpy_tpu.workflows.autots import AutoTSConfig, autots
 
-    coords, z = diels_alder_reactant()
-    cfg = AutoTSConfig(
-        afir_list=[(300.0, [1], [11]), (300.0, [4], [12])],
-        afir_opt=OptimizeConfig(method="rfo_fsb", nsteps=300,
-                                init_hessian="model:lindh2007d3",
-                                fc_count=-1, mfc_count=30),
-        n_images=16,
-        neb=NEBConfig(variant="cineb", n_steps=250, k_spring=0.01,
-                      climbing_start=80, fmax=1e-3, dt0=0.05, dt_max=0.2,
-                      redistribute="linear", redistribute_every=25),
-        top_n_candidates=2,
-        saddle=OptimizeConfig(method="rfo_bofill", saddle_order=1,
-                              nsteps=120, fc_count=5, init_hessian="exact",
-                              max_force=1e-3, rms_force=7e-4),
-        irc=IRCConfig(method="lqa", step_size=0.1, n_steps=70),
-        endpoint_opt=OptimizeConfig(method="rfo_fsb", nsteps=150,
-                                    init_hessian="model:lindh2007d3"),
-    )
-    calc = SQM2(eigh_impl="pallas")
-    t0 = time.perf_counter()
-    res = autots(calc, jnp.asarray(coords, jnp.float32), jnp.asarray(z), cfg)
-    wall_s = time.perf_counter() - t0
-    return {"metric": "autots_flagship_diels_alder_18atom_sqm2",
-            "value": round(wall_s, 1), "unit": "s end-to-end",
-            "n_imaginary": int(res.n_imaginary),
-            "barrier_fwd_hartree": round(float(res.barrier_forward), 5)}
+    jax.config.update("jax_enable_x64", True)
+    try:
+        coords, z = diels_alder_reactant()
+        cfg = AutoTSConfig(
+            afir_list=[(300.0, [1], [11]), (300.0, [4], [12])],
+            afir_opt=OptimizeConfig(method="rfo_fsb", nsteps=300,
+                                    init_hessian="model:lindh2007d3",
+                                    fc_count=-1, mfc_count=30),
+            n_images=16,
+            neb=NEBConfig(variant="cineb", n_steps=250, k_spring=0.01,
+                          climbing_start=80, fmax=5e-4, dt0=0.05,
+                          dt_max=0.2, redistribute="linear",
+                          redistribute_every=25),
+            top_n_candidates=2,
+            saddle=OptimizeConfig(method="rfo_bofill", saddle_order=1,
+                                  nsteps=120, fc_count=5,
+                                  init_hessian="exact"),
+            irc=IRCConfig(method="lqa", step_size=0.1, n_steps=70),
+            endpoint_opt=OptimizeConfig(method="rfo_fsb", nsteps=150,
+                                        init_hessian="model:lindh2007d3"),
+        )
+        calc = SQM2()
+        t0 = time.perf_counter()
+        res = autots(calc, jnp.asarray(coords, jnp.float64),
+                     jnp.asarray(z), cfg)
+        wall_s = time.perf_counter() - t0
+        return {"metric": "autots_flagship_diels_alder_18atom_sqm2_f64",
+                "value": round(wall_s, 1), "unit": "s end-to-end",
+                "n_imaginary": int(res.n_imaginary),
+                "barrier_fwd_hartree": round(float(res.barrier_forward), 5),
+                "barrier_bwd_hartree": round(float(res.barrier_backward), 5),
+                "candidates": list(res.candidates)}
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def main():
+    # Persistent compilation cache: the flagship AutoTS row compiles ~6
+    # distinct f64 programs (~35 min cold on the tunnel); with the cache
+    # warm (tests/bench runs share the same machine) re-runs pay step
+    # time only. Content-addressed, so staleness is impossible.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     headline = bench_rfo_lj()
     extras = []
     for fn in (bench_sqm_neb32, bench_sqm_f64_tight,

@@ -77,6 +77,10 @@ class AutoTSResult(NamedTuple):
     neb_path: jnp.ndarray
     neb_energies: np.ndarray
     afir_trajectory: Optional[np.ndarray]
+    # per-candidate refinement diagnostics (ref logs each refined guess,
+    # autots.py:193): [{index, neb_energy, energy, n_imaginary, converged,
+    # selected}]
+    candidates: tuple = ()
 
 
 def refine_saddle(calc, ts_guess, z, config=None, bias_engine=None):
@@ -153,7 +157,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     maxima.sort(key=lambda i: e_path[i], reverse=True)
     candidates = maxima[:max(1, config.top_n_candidates)]
 
-    refined = []   # (coords, energy, n_imag, hessian, converged)
+    refined = []   # (coords, energy, n_imag, hessian, converged, neb_idx)
     for idx in candidates:
         res3 = refine_saddle(calc, neb_res.path[idx], z, config.saddle,
                              bias_engine)
@@ -167,7 +171,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
                for r in refined):
             continue
         refined.append((res3.coords, float(res3.energy), ni, h,
-                        bool(res3.converged)))
+                        bool(res3.converged), int(idx)))
 
     # candidates stay ordered by NEB-path energy (rate-limiting barrier
     # first, the reference's descending-energy ordering, autots.py:185);
@@ -177,6 +181,11 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     valid = [r for r in refined if r[4] and r[2] == 1]
     pick = valid[0] if valid else refined[0]
     ts_coords, ts_energy, n_imag, h_ts = pick[:4]
+    cand_info = tuple(
+        {"index": r[5], "neb_energy": float(e_path[r[5]]),
+         "energy": r[1], "n_imaginary": r[2], "converged": r[4],
+         "selected": r is pick}
+        for r in refined)
 
     # ---- step 4: IRC + endpoint optimization (ref: autots.py:237) -------
     irc_res = irc(calc, ts_coords, z, hessian=h_ts, config=config.irc,
@@ -196,5 +205,5 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         reactant_coords=end_f, product_coords=end_b,
         reactant_energy=e_f, product_energy=e_b,
         neb_path=neb_res.path, neb_energies=np.asarray(neb_res.energies),
-        afir_trajectory=afir_traj,
+        afir_trajectory=afir_traj, candidates=cand_info,
     )
