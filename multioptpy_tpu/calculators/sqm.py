@@ -429,11 +429,24 @@ from functools import partial
 def _sqm_eigh(a, impl):
     """Band-structure eigensolver dispatch: "xla" | "pallas" (the batched
     lane-parallel Jacobi kernel — f32-on-TPU only, falls back to the XLA
-    Jacobi elsewhere; see steppers.rfo._eigh for the measured numbers).
+    Jacobi elsewhere; see steppers.rfo._eigh for the measured numbers) |
+    "seeded" (ops/eigh64.seeded_eigh — the f32-seed + fixed-sweep f64
+    Jacobi polish).
+
     f64 on TPU routes through ops/eigh64.eigh_fast (currently the
     emulated XLA QR — measured faster than the seeded f32+polish solver
-    at every production shape; see eigh_fast's docstring)."""
+    at every production shape; see eigh_fast's docstring) — EXCEPT when
+    the caller asks for "seeded": the emulated QR's backward error
+    (~1e-10, and non-smooth in the input because its iteration counts
+    jump) makes the Hellmann-Feynman gradient jitter at ~5e-8, which a
+    1e-4 central-difference Hessian amplifies to ~2.6e-4 (measured on the
+    Diels-Alder TS, round 3). The seeded solver's fixed-count sweeps are
+    a smooth function of the matrix, so the seminumerical-Hessian path
+    selects it explicitly."""
     if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        if impl == "seeded":
+            from multioptpy_tpu.ops.eigh64 import seeded_eigh
+            return seeded_eigh(a)
         from multioptpy_tpu.ops.eigh64 import eigh_fast
         return eigh_fast(a)
     if impl == "pallas":
@@ -791,7 +804,25 @@ class SQM(Calculator):
         the eigenvectors (NaN for the degenerate placeholder shells), so
         second derivatives use 6N batched gradient evaluations instead —
         one vmapped call (ref: the same strategy as
-        tblite_calculation_tools.py:100, but batched)."""
+        tblite_calculation_tools.py:100, but batched).
+
+        On TPU/f64 the displaced gradients route through the SEEDED band
+        eigensolver: the emulated-QR eigh is non-smooth in its input
+        (iteration-count jumps -> ~5e-8 gradient jitter), which the 1e-4
+        differencing amplified to a 2.6e-4 Hessian error — enough to send
+        the flagship saddle refinement 0.3 Ha uphill (round-3 diagnosis).
+        The fixed-sweep seeded solver restores smoothness: measured
+        max|dH vs CPU| 2.6e-4 -> 1.5e-5 on the Diels-Alder TS guess."""
+        want_seeded = (jax.default_backend() == "tpu"
+                       and jnp.asarray(coords).dtype == jnp.float64
+                       and self.eigh_impl != "seeded")
+        if want_seeded:
+            prev = self.eigh_impl
+            self.eigh_impl = "seeded"
+            try:
+                return self.numerical_hessian(coords, z, step=1e-4)
+            finally:
+                self.eigh_impl = prev
         return self.numerical_hessian(coords, z, step=1e-4)
 
     def energy_terms(self, coords, z):

@@ -217,14 +217,24 @@ def rs_rfo_step(gradient, hessian, trust_radius, saddle_order=0,
 
 def update_trust_radius(trust_radius, actual_change, predicted_change,
                         tr_min=0.01, tr_max=0.5, good=0.75, poor=0.25,
-                        increase=1.2, decrease=0.5):
+                        increase=1.2, decrease=0.5, overshoot=2.0):
     """Conventional ratio-based trust-radius control as a pure function
-    (ref: rsirfo.py:805 adjust_trust_radius; optimizer.py:534)."""
+    (ref: rsirfo.py:805 adjust_trust_radius; optimizer.py:534).
+
+    Unlike the reference's rule, the accept band is TWO-SIDED: a ratio far
+    ABOVE 1 (|actual| >> |predicted|) is just as much a model failure as a
+    ratio below `poor` — during saddle refinement (where uphill motion is
+    legal and downhill rejection is off) a one-sided rule reads a
+    catastrophic under-prediction as "excellent" and keeps the radius
+    pinned while the energy runs away 0.3 Ha (round-3 flagship diagnosis:
+    40 consecutive steps at exactly the trust bound)."""
     ok = jnp.abs(predicted_change) >= 1e-10
     ratio = jnp.where(ok, actual_change / jnp.where(ok, predicted_change, 1.0), 1.0)
     grown = jnp.minimum(trust_radius * increase, tr_max)
     shrunk = jnp.maximum(trust_radius * decrease, tr_min)
-    new = jnp.where(ratio > good, grown, jnp.where(ratio < poor, shrunk, trust_radius))
+    new = jnp.where((ratio > good) & (ratio < overshoot), grown,
+                    jnp.where((ratio < poor) | (ratio > overshoot),
+                              shrunk, trust_radius))
     return jnp.where(ok, new, trust_radius)
 
 
