@@ -153,6 +153,22 @@ class TestRsRfo:
         same = update_trust_radius(tr, 1.0, 1e-14)
         assert float(same) == pytest.approx(0.2)
 
+    def test_trust_radius_overshoot_shrinks(self):
+        # |actual| >> |predicted| is a model failure even though the raw
+        # ratio is far above `good`: during saddle refinement (uphill
+        # legal, downhill rejection off) a one-sided rule kept the radius
+        # pinned while the energy ran away 0.3 Ha (round-3 flagship
+        # diagnosis) — the two-sided band must SHRINK here.
+        tr = jnp.asarray(0.2)
+        overshoot = update_trust_radius(tr, -3.0, -1.0, tr_min=0.01)
+        assert float(overshoot) == pytest.approx(0.1)
+        # ratio just inside the band still grows
+        inside = update_trust_radius(tr, -1.9, -1.0, tr_max=0.5)
+        assert float(inside) == pytest.approx(0.24)
+        # custom bound respected
+        custom = update_trust_radius(tr, -1.9, -1.0, overshoot=1.5)
+        assert float(custom) == pytest.approx(0.1)
+
     def test_rs_rfo_vmap(self, rng):
         hs, xs, gs = [], [], []
         for _ in range(3):
