@@ -184,7 +184,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     cand_info = tuple(
         {"index": r[5], "neb_energy": float(e_path[r[5]]),
          "energy": r[1], "n_imaginary": r[2], "converged": r[4],
-         "selected": r is pick}
+         "selected": r is pick, "coords": np.asarray(r[0])}
         for r in refined)
 
     # ---- step 4: IRC + endpoint optimization (ref: autots.py:237) -------
