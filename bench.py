@@ -259,7 +259,10 @@ def bench_autots_flagship():
                 "n_imaginary": int(res.n_imaginary),
                 "barrier_fwd_hartree": round(float(res.barrier_forward), 5),
                 "barrier_bwd_hartree": round(float(res.barrier_backward), 5),
-                "candidates": list(res.candidates)}
+                # strip the per-candidate coordinate arrays — this dict
+                # goes through json.dumps
+                "candidates": [{k: v for k, v in c.items() if k != "coords"}
+                               for c in res.candidates]}
     finally:
         jax.config.update("jax_enable_x64", False)
 

@@ -40,6 +40,30 @@ def _bend(p, idx):
                        jnp.sum(v1 * v2, axis=-1))
 
 
+def _linear_bend(p, idx, axes):
+    """Orthogonal linear-bend pair for near-linear a-b-c triples.
+
+    The regular bend's Wilson row carries a 1/sin(theta) factor that
+    diverges at 180 deg (the autodiff Jacobian inherits it: a fixture
+    with an exactly collinear O-H...O arrangement produced |B| ~ 1e16 and
+    annihilated the DIC active space). Instead, for each triple measure
+    the two components of unit(a-b) + unit(c-b) along fixed reference
+    axes u, v perpendicular to the a-c line: both are zero at linearity,
+    ~ the bend angle for small bends, and smooth EVERYWHERE. The axes are
+    frozen at primitive-detection time (standard practice for static
+    primitive sets). Returns (2*Ml,) = [u-components..., v-components...].
+    """
+    a, b, c = p[idx[:, 0]], p[idx[:, 1]], p[idx[:, 2]]
+    v1 = a - b
+    v2 = c - b
+    v1 = v1 / jnp.sqrt(jnp.sum(v1 * v1, axis=-1, keepdims=True) + 1e-14)
+    v2 = v2 / jnp.sqrt(jnp.sum(v2 * v2, axis=-1, keepdims=True) + 1e-14)
+    s = v1 + v2
+    qu = jnp.sum(axes[:, 0, :] * s, axis=-1)
+    qv = jnp.sum(axes[:, 1, :] * s, axis=-1)
+    return jnp.concatenate([qu, qv])
+
+
 def _torsion(p, idx):
     a, b, c, d = (p[idx[:, 0]], p[idx[:, 1]], p[idx[:, 2]], p[idx[:, 3]])
     b1, b2, b3 = b - a, c - b, d - c
@@ -58,15 +82,30 @@ class InternalCoordinates:
     bonds (Mb,2) / angles (Ma,3) / torsions (Mt,4): 0-based numpy indices.
     """
 
-    def __init__(self, bonds=None, angles=None, torsions=None, n_atoms=None):
+    def __init__(self, bonds=None, angles=None, torsions=None, n_atoms=None,
+                 linear_bends=None, linear_axes=None):
         as_arr = lambda x, w: (np.zeros((0, w), dtype=np.int32) if x is None
                                or len(x) == 0 else np.asarray(x, np.int32))
         self.bonds = as_arr(bonds, 2)
         self.angles = as_arr(angles, 3)
         self.torsions = as_arr(torsions, 4)
+        self.linear_bends = as_arr(linear_bends, 3)
+        if linear_axes is None or len(self.linear_bends) == 0:
+            self.linear_axes = np.zeros((0, 2, 3))
+        else:
+            self.linear_axes = np.asarray(linear_axes, np.float64)
         self.n_atoms = n_atoms
         self.n_primitives = (len(self.bonds) + len(self.angles)
-                             + len(self.torsions))
+                             + len(self.torsions)
+                             + 2 * len(self.linear_bends))
+
+    def torsion_mask(self):
+        """(M,) bool: which primitive slots hold torsions (the values that
+        must be compared mod 2*pi). Linear-bend components sit AFTER the
+        torsion block and are plain differences."""
+        nb, na, nt = len(self.bonds), len(self.angles), len(self.torsions)
+        idx = jnp.arange(self.n_primitives)
+        return (idx >= nb + na) & (idx < nb + na + nt)
 
     # --- primitive values --------------------------------------------------
 
@@ -79,6 +118,10 @@ class InternalCoordinates:
             parts.append(_bend(coords, jnp.asarray(self.angles)))
         if len(self.torsions):
             parts.append(_torsion(coords, jnp.asarray(self.torsions)))
+        if len(self.linear_bends):
+            parts.append(_linear_bend(coords, jnp.asarray(self.linear_bends),
+                                      jnp.asarray(self.linear_axes,
+                                                  coords.dtype)))
         if not parts:
             return jnp.zeros((0,), dtype=coords.dtype)
         return jnp.concatenate(parts)
@@ -147,8 +190,7 @@ class InternalCoordinates:
         """Find x with q(x) = q_target by damped Gauss-Newton from coords0
         (standard back-transform; torsions compared mod 2 pi). Fixed
         iteration count -> jit/vmap-safe."""
-        nb, na = len(self.bonds), len(self.angles)
-        is_torsion = jnp.arange(self.n_primitives) >= (nb + na)
+        is_torsion = self.torsion_mask()
 
         def body(_, x):
             q_now = self.q_flat(x)
@@ -181,11 +223,18 @@ class InternalCoordinates:
 # primitive auto-detection (host-side)
 # --------------------------------------------------------------------------
 
-def detect_primitives(coords_np, z, scale=1.3, link_fragments=True):
+def detect_primitives(coords_np, z, scale=1.3, link_fragments=True,
+                      linear_thresh_deg=170.0, with_linear=False):
     """Bond graph from covalent radii; angles and torsions from the graph;
     minimal link bonds between disconnected fragments
     (ref: Utils/bond_connectivity.py + DIC primitive setup).
     Returns (bonds, angles, torsions) numpy index arrays.
+
+    Near-linear triples (angle >= linear_thresh_deg) are excluded from the
+    regular bend list — their Wilson rows diverge as 1/sin(theta) — and
+    torsions whose INNER angles are near-linear are dropped for the same
+    reason. With `with_linear=True` the excluded triples come back as a
+    4th return value for `_linear_bend` treatment.
     """
     coords_np = np.asarray(coords_np, dtype=np.float64)
     z = np.asarray(z)
@@ -210,11 +259,19 @@ def detect_primitives(coords_np, z, scale=1.3, link_fragments=True):
 
     bonds = [(i, j) for i in range(n) for j in range(i + 1, n) if adj[i, j]]
 
-    angles = []
+    def _angle_deg(a, j, c):
+        v1 = coords_np[a] - coords_np[j]
+        v2 = coords_np[c] - coords_np[j]
+        cosv = np.dot(v1, v2) / max(np.linalg.norm(v1) * np.linalg.norm(v2),
+                                    1e-30)
+        return np.degrees(np.arccos(np.clip(cosv, -1.0, 1.0)))
+
+    angles, linear = [], []
     for j in range(n):
         nb = [i for i in range(n) if adj[i, j]]
         for a, c in itertools.combinations(nb, 2):
-            angles.append((a, j, c))
+            (linear if _angle_deg(a, j, c) >= linear_thresh_deg
+             else angles).append((a, j, c))
 
     torsions = []
     for (j, k) in bonds:
@@ -222,11 +279,33 @@ def detect_primitives(coords_np, z, scale=1.3, link_fragments=True):
             if adj[i, j] and i != k:
                 for l in range(n):
                     if adj[l, k] and l != j and l != i:
-                        torsions.append((i, j, k, l))
+                        if (_angle_deg(i, j, k) < linear_thresh_deg
+                                and _angle_deg(j, k, l) < linear_thresh_deg):
+                            torsions.append((i, j, k, l))
 
-    return (np.asarray(bonds, np.int32).reshape(-1, 2),
-            np.asarray(angles, np.int32).reshape(-1, 3),
-            np.asarray(torsions, np.int32).reshape(-1, 4))
+    out = (np.asarray(bonds, np.int32).reshape(-1, 2),
+           np.asarray(angles, np.int32).reshape(-1, 3),
+           np.asarray(torsions, np.int32).reshape(-1, 4))
+    if with_linear:
+        out = out + (np.asarray(linear, np.int32).reshape(-1, 3),)
+    return out
+
+
+def linear_bend_axes(coords_np, linear):
+    """Frozen orthonormal reference axes (Ml,2,3) for `_linear_bend`:
+    for each near-linear a-b-c, u and v span the plane perpendicular to
+    the a->c direction (computed once from the detection geometry)."""
+    coords_np = np.asarray(coords_np, dtype=np.float64)
+    axes = np.zeros((len(linear), 2, 3))
+    for m, (a, _, c) in enumerate(np.asarray(linear).reshape(-1, 3)):
+        w = coords_np[c] - coords_np[a]
+        w = w / max(np.linalg.norm(w), 1e-30)
+        e = np.eye(3)[np.argmin(np.abs(w))]
+        u = np.cross(w, e)
+        u = u / max(np.linalg.norm(u), 1e-30)
+        axes[m, 0] = u
+        axes[m, 1] = np.cross(w, u)
+    return axes
 
 
 def _components(adj):
@@ -245,10 +324,15 @@ def _components(adj):
 
 
 def auto_internals(coords_np, z, **kw):
-    """Convenience: detect primitives and build InternalCoordinates."""
-    bonds, angles, torsions = detect_primitives(coords_np, z, **kw)
+    """Convenience: detect primitives (near-linear triples as smooth
+    linear-bend pairs) and build InternalCoordinates."""
+    bonds, angles, torsions, linear = detect_primitives(
+        coords_np, z, with_linear=True, **kw)
     return InternalCoordinates(bonds, angles, torsions,
-                               n_atoms=len(coords_np))
+                               n_atoms=len(coords_np),
+                               linear_bends=linear,
+                               linear_axes=linear_bend_axes(coords_np,
+                                                            linear))
 
 
 def cartesian_to_z_matrix(coords):

@@ -211,9 +211,10 @@ def _dic_diag_hessian(ic, dtype):
     per Bohr^2/rad^2 for stretches/bends/torsions (ref: dic_rsirfo.py
     initial Hessian)."""
     nb, na, nt = len(ic.bonds), len(ic.angles), len(ic.torsions)
+    nl = 2 * len(ic.linear_bends)   # linear-bend pairs: bend-like stiffness
     return jnp.diag(jnp.asarray(
         np.concatenate([np.full(nb, 0.5), np.full(na, 0.2),
-                        np.full(nt, 0.1)]), dtype))
+                        np.full(nt, 0.1), np.full(nl, 0.2)]), dtype))
 
 
 def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
@@ -379,8 +380,7 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         g_q = ginv @ (b @ g_flat)
         h_q, g_q_prev, q_prev = state.fo_state
 
-        nb, na = len(ic.bonds), len(ic.angles)
-        is_torsion = jnp.arange(ic.n_primitives) >= (nb + na)
+        is_torsion = ic.torsion_mask()
         s_q = q_now - q_prev
         s_q = jnp.where(is_torsion,
                         jnp.arctan2(jnp.sin(s_q), jnp.cos(s_q)), s_q)
@@ -752,10 +752,8 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
     if config.method.lower().startswith("dic"):
         # DIC engine: primitives fixed at the starting connectivity
         # (ref: Optimizer/dic_rsirfo.py builds its RIC set once)
-        from multioptpy_tpu.coords.internals import (InternalCoordinates,
-                                                     detect_primitives)
-        b, a, t = detect_primitives(np.asarray(coords), np.asarray(z))
-        internals = InternalCoordinates(b, a, t, coords.shape[0])
+        from multioptpy_tpu.coords.internals import auto_internals
+        internals = auto_internals(np.asarray(coords), np.asarray(z))
     if resume_from is not None:
         from multioptpy_tpu.checkpoint import load_checkpoint
         state, _ = load_checkpoint(resume_from)

@@ -229,3 +229,53 @@ def test_local_force_constants_diatomic():
     k_proj = np.asarray(local_force_constants(jnp.asarray(h), b,
                                               method="projection"))
     np.testing.assert_allclose(k_proj[0, 0], k_true, rtol=1e-8)
+
+
+class TestLinearBends:
+    """Near-linear triples must NOT enter the regular bend list — the bend
+    Wilson row diverges as 1/sin(theta) at 180 deg (an exactly collinear
+    O-H...O fixture produced |B| ~ 1e16, which annihilated the DIC active
+    space and froze the optimizer). They come back as smooth orthogonal
+    linear-bend pairs instead."""
+
+    def test_co2_linear_pair_spans_3n_minus_5(self):
+        co2 = np.array([[0.0, 0.0, 0.0], [1.16, 0.0, 0.0],
+                        [-1.16, 0.0, 0.0]]) * ANGSTROM2BOHR
+        z = np.array([6, 8, 8])
+        bonds, angles, torsions, linear = detect_primitives(
+            co2, z, with_linear=True)
+        assert len(angles) == 0 and len(torsions) == 0
+        assert len(linear) == 1          # the O-C-O triple
+        ic = auto_internals(co2, z)
+        assert ic.n_primitives == len(bonds) + 2
+        b = np.asarray(ic.b_matrix(jnp.asarray(co2)))
+        assert np.abs(b).max() < 1e2     # no 1/sin blow-up
+        _, keep = ic.delocalized_basis(jnp.asarray(co2))
+        assert int(np.sum(np.asarray(keep))) == 4   # 3N-5 for linear CO2
+
+    def test_two_fragment_complex_full_active_space(self):
+        # the aldol fixture has H10 exactly on the O2..O7 line: before the
+        # linear-bend split its G-matrix had ~1e32 eigenvalues and only 2
+        # surviving basis vectors (should be 3N-6 = 27)
+        from multioptpy_tpu.io.fixtures import aldol_reactant
+        rc, z = aldol_reactant()
+        ic = auto_internals(rc, np.asarray(z))
+        b = np.asarray(ic.b_matrix(jnp.asarray(rc)))
+        assert np.abs(b).max() < 1e2
+        _, keep = ic.delocalized_basis(jnp.asarray(rc))
+        assert int(np.sum(np.asarray(keep))) == 27
+
+    def test_dic_moves_a_two_fragment_complex(self):
+        # regression: DIC on the complex must actually move (it froze at
+        # the starting energy before the fix); LJ keeps the test cheap
+        from multioptpy_tpu.calculators import LennardJones
+        from multioptpy_tpu.drivers.optimize import (OptimizeConfig,
+                                                     optimize)
+        from multioptpy_tpu.io.fixtures import aldol_reactant
+        rc, z = aldol_reactant()
+        calc = LennardJones()
+        e0 = float(calc.energy(jnp.asarray(rc), jnp.asarray(z)))
+        r = optimize(calc, jnp.asarray(rc), jnp.asarray(z),
+                     config=OptimizeConfig(method="dic_rsirfo_fsb",
+                                           nsteps=30))
+        assert float(r.energy) < e0 - 1e-4
