@@ -1089,11 +1089,15 @@ def run_nebmain(argv=None):
               f"E_max = {float(energies.max()):+.8f}")
 
     if args.adaptive_neb is not None:
-        from multioptpy_tpu.drivers.neb import adaptive_neb
+        # reference -aneb semantics: [interpolation_num frequency] ->
+        # in-run densification around energy maxima (interface.py:263)
+        from multioptpy_tpu.drivers.neb import aneb
         aneb_kw = {}
         if len(args.adaptive_neb) >= 1 and args.adaptive_neb[0]:
-            aneb_kw["n_rounds"] = int(args.adaptive_neb[0])
-        res = adaptive_neb(calc, path0, z, cfg, bias_engine=bias, **aneb_kw)
+            aneb_kw["interpolation_num"] = int(args.adaptive_neb[0])
+        if len(args.adaptive_neb) >= 2:
+            aneb_kw["frequency"] = int(args.adaptive_neb[1])
+        res = aneb(calc, path0, z, cfg, bias_engine=bias, **aneb_kw)
     else:
         res = neb(calc, path0, z, cfg, bias_engine=bias, callback=cb)
     out = _outdir(args, "_neb")

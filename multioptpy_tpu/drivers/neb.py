@@ -1072,3 +1072,73 @@ def adaptive_neb(calc, path0, z, config=NEBConfig(), bias_engine=None,
         path = jnp.asarray(np.asarray(dense)[idx])
         path = path.at[0].set(res.path[0]).at[-1].set(res.path[-1])
     return res
+
+
+def aneb_insert(path, energies, interpolation_num):
+    """The reference's ANEB insertion rule, exactly (pure numpy; oracle-
+    pinned in tests/test_redistribution.py).
+
+    Around each strict interior local maximum i of `energies`, insert
+    `interpolation_num` points linearly between images i-1 and i at
+    fractions (j+1)/(num+1), keep image i, then the same between i and
+    i+1. Non-maximum images pass through unchanged, so the image count
+    grows by 2*num per maximum (ref: neb.py:609-646 _exec_adaptive_neb;
+    P. Maragakis et al., J. Chem. Phys. 117, 4651 (2002)).
+    """
+    path = np.asarray(path)
+    e = np.asarray(energies)
+    n = len(e)
+    # scipy.signal.argrelmax(order=1) semantics: strict > both neighbors,
+    # interior points only
+    maxima = {i for i in range(1, n - 1) if e[i - 1] < e[i] > e[i + 1]}
+    out = []
+    for i in range(n):
+        if i in maxima:
+            for j in range(interpolation_num):
+                alpha = (j + 1) / (interpolation_num + 1)
+                out.append(path[i - 1] + alpha * (path[i] - path[i - 1]))
+            out.append(path[i])
+            for j in range(interpolation_num):
+                alpha = (j + 1) / (interpolation_num + 1)
+                out.append(path[i] + alpha * (path[i + 1] - path[i]))
+        else:
+            out.append(path[i])
+    return np.asarray(out, dtype=path.dtype)
+
+
+def aneb(calc, path0, z, config=NEBConfig(), bias_engine=None,
+         interpolation_num=1, frequency=5, max_images=64):
+    """Adaptive NEB with the reference's -aneb semantics: every
+    `frequency` iterations, densify the band around each current energy
+    maximum via `aneb_insert` and RESET the optimizer state (the
+    reference clears its velocity/LBFGS memory at exactly this point,
+    neb.py:580-588 — here each growth event starts a fresh `neb()`
+    segment, which is also where the grown static shape recompiles).
+
+    Usage mirrors `-aneb [interpolation_num] [frequency]`
+    (ref: interface.py:263). `max_images` bounds the growth so a long
+    run can't compile an unbounded ladder of shapes. Climbing-image
+    scheduling stays GLOBAL across growth events (the reference gates CI
+    on optimize_num, which does not reset with adaptive_neb_count).
+    """
+    from dataclasses import replace
+
+    path = jnp.asarray(path0)
+    res = None
+    steps_done = 0
+    while steps_done < config.n_steps:
+        seg = min(frequency, config.n_steps - steps_done)
+        seg_cfg = replace(
+            config, n_steps=seg,
+            climbing_start=max(0, config.climbing_start - steps_done))
+        res = neb(calc, path, z, seg_cfg, bias_engine=bias_engine)
+        steps_done += int(res.n_iterations)
+        if bool(res.converged) or steps_done >= config.n_steps:
+            break
+        grown = aneb_insert(np.asarray(res.path), np.asarray(res.energies),
+                            interpolation_num)
+        if len(grown) == len(res.path) or len(grown) > max_images:
+            path = res.path          # no maxima found / at capacity:
+            continue                 # keep relaxing at this size
+        path = jnp.asarray(grown)
+    return res

@@ -172,3 +172,12 @@ def test_nebmain_reference_variant_flags(tmp_path):
                       "-out", str(out)])
     assert rc == 0
     assert (out / "neb_path.xyz").exists()
+
+    # -aneb [interpolation_num frequency]: reference in-run densification
+    # semantics (interface.py:263 -> drivers.neb.aneb)
+    out2 = tmp_path / "out_aneb"
+    rc = run_nebmain([str(start), "-i2", str(end), "-nimg", "6",
+                      "-aneb", "1", "3", "-ns", "7", "-calc", "lj",
+                      "-out", str(out2)])
+    assert rc == 0
+    assert (out2 / "neb_path.xyz").exists()

@@ -143,6 +143,56 @@ def test_adaptive_neb_grows_and_focuses():
     assert e[res.ts_index] / 1e-3 == pytest.approx(-40.665, abs=2.0)
 
 
+def test_aneb_insert_matches_reference_rule():
+    """Oracle for the reference's _exec_adaptive_neb insertion
+    (neb.py:609-646): strict interior maxima get interpolation_num
+    linear points on EACH side at fractions (j+1)/(num+1)."""
+    from multioptpy_tpu.drivers.neb import aneb_insert
+
+    path = np.arange(5, dtype=np.float64).reshape(5, 1, 1) * 10.0
+    e = np.array([0.0, 1.0, 0.5, 2.0, 0.0])   # maxima at i=1 and i=3
+    out = aneb_insert(path, e, interpolation_num=1)
+    expected = np.array([0.0, 5.0, 10.0, 15.0, 20.0,
+                         25.0, 30.0, 35.0, 40.0]).reshape(9, 1, 1)
+    np.testing.assert_allclose(out, expected)
+
+    # num=2: fractions 1/3, 2/3 around the single maximum
+    e2 = np.array([0.0, 1.0, 0.0])
+    path2 = np.array([0.0, 3.0, 9.0]).reshape(3, 1, 1)
+    out2 = aneb_insert(path2, e2, interpolation_num=2)
+    np.testing.assert_allclose(
+        out2.ravel(), [0.0, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0])
+
+    # plateaus/edges are NOT maxima (argrelmax strictness)
+    e3 = np.array([0.0, 1.0, 1.0, 0.0])
+    assert len(aneb_insert(path[:4], e3, 1)) == 4
+
+
+def test_aneb_densifies_around_mb_barrier():
+    """-aneb semantics end-to-end: the band grows in-run around the
+    energy maxima and still resolves the higher MB saddle."""
+    from multioptpy_tpu.drivers.neb import aneb
+
+    calc = MullerBrown()
+    path0 = _mb_path(8)
+    z = jnp.array([1])
+    res = aneb(calc, path0, z, NEBConfig(
+        variant="cineb", n_steps=150, k_spring=5e-4, climbing_start=30,
+        fmax=5e-4, dt0=0.05, dt_max=0.3),
+        interpolation_num=1, frequency=40, max_images=20)
+    e = np.asarray(res.energies)
+    assert len(e) > 8                      # grew in-run
+    assert e[res.ts_index] > max(e[0], e[-1])
+    assert e[res.ts_index] / 1e-3 == pytest.approx(-40.665, abs=2.0)
+    # density increased near the maximum: the two segments flanking the
+    # TS image must be shorter than the mean segment
+    p = np.asarray(res.path).reshape(len(e), -1)
+    seg = np.linalg.norm(np.diff(p, axis=0), axis=1)
+    i = int(res.ts_index)
+    flank = seg[max(i - 1, 0):i + 1]
+    assert flank.mean() < seg.mean()
+
+
 def test_ewbneb_variant_converges_on_mb():
     calc = MullerBrown()
     path0 = _mb_path(10)
