@@ -230,12 +230,19 @@ def detect_primitives(coords_np, z, scale=1.3, link_fragments=True,
     (ref: Utils/bond_connectivity.py + DIC primitive setup).
     Returns (bonds, angles, torsions) numpy index arrays.
 
-    Near-linear triples (angle >= linear_thresh_deg) are excluded from the
-    regular bend list — their Wilson rows diverge as 1/sin(theta) — and
-    torsions whose INNER angles are near-linear are dropped for the same
-    reason. With `with_linear=True` the excluded triples come back as a
-    4th return value for `_linear_bend` treatment.
+    With `with_linear=True` (the DIC path via `auto_internals`),
+    near-linear triples (angle >= linear_thresh_deg) are excluded from
+    the regular bend list — their Wilson rows diverge as 1/sin(theta)
+    and annihilate the DIC active space — and come back as a 4th return
+    value for `_linear_bend` treatment; torsions whose INNER angles are
+    near-linear are dropped for the same reason. With the default
+    `with_linear=False` NO filtering happens (model-Hessian primitive
+    sets and every other caller see the full graph exactly as before —
+    the stiff near-singular rows there are harmless inside a damped
+    H0 and the downstream pipelines are calibrated against them).
     """
+    if not with_linear:
+        linear_thresh_deg = 181.0      # unreachable: keep every triple
     coords_np = np.asarray(coords_np, dtype=np.float64)
     z = np.asarray(z)
     n = len(coords_np)
