@@ -1336,7 +1336,10 @@ def run_autots_cli(argv=None):
     from multioptpy_tpu.workflows.autots import AutoTSConfig, autots
     import jax.numpy as jnp
 
-    kw = {"n_images": args.n_images}
+    n_images = args.partition if args.partition > 0 else args.n_images
+    kw = {"n_images": n_images}
+    ts_config = None
+    flow = {}
     if args.config:
         with open(args.config) as f:
             cfg = json.load(f)
@@ -1354,16 +1357,63 @@ def run_autots_cli(argv=None):
                           np.asarray(engine.ctx["ts"]) * BOHR2ANGSTROM)
             print(f"AutoTS v2: {len(reports)} steps -> {out}/")
             return 0
-        kw.update(cfg.get("autots", {}))
-    if args.manual_AFIR:
-        kw["afir_gamma"] = float(args.manual_AFIR[0])
-        kw["afir_fragm_1"] = num_parse(args.manual_AFIR[1])
-        kw["afir_fragm_2"] = num_parse(args.manual_AFIR[2])
+        if any(f"step{i}_settings" in cfg for i in range(1, 5)) or \
+                any(k in cfg for k in ("skip_step1", "skip_to_step4",
+                                       "run_step4")):
+            # reference v1 legacy config (ref: Entrypoints/autots.py:17;
+            # the format of test/config_autots_run_xtb_test.json)
+            from multioptpy_tpu.workflows.autots import autots_config_from_v1
+            ts_config, flow = autots_config_from_v1(
+                cfg, n_images_default=n_images)
+        else:
+            kw.update(cfg.get("autots", {}))
+    if ts_config is None:
+        if args.manual_AFIR:
+            kw["afir_gamma"] = float(args.manual_AFIR[0])
+            kw["afir_fragm_1"] = num_parse(args.manual_AFIR[1])
+            kw["afir_fragm_2"] = num_parse(args.manual_AFIR[2])
+        ts_config = AutoTSConfig(**kw)
+    elif args.manual_AFIR:
+        # CLI -ma overrides the config's step1 AFIR (ref autots.py:343)
+        import dataclasses as _dc
+        ts_config = _dc.replace(
+            ts_config, afir_gamma=float(args.manual_AFIR[0]),
+            afir_fragm_1=num_parse(args.manual_AFIR[1]),
+            afir_fragm_2=num_parse(args.manual_AFIR[2]), afir_list=())
     product = None
     if args.product:
         _, prod_ang = read_xyz(args.product)
         product = jnp.asarray(prod_ang * ANGSTROM2BOHR)
-    res = autots(calc, coords, z, AutoTSConfig(**kw), product_coords=product)
+    if flow.get("skip_to_step4"):
+        # v1 flow: the input IS the TS guess — refine + IRC only
+        # (ref: Entrypoints/autots.py:78, Wrapper/autots.py skip_to_step4)
+        from multioptpy_tpu.analysis import normal_modes
+        from multioptpy_tpu.analysis.vibrations import count_imaginary
+        from multioptpy_tpu.drivers.irc import irc as _irc
+        from multioptpy_tpu.drivers.optimize import optimize as _optimize
+        from multioptpy_tpu.workflows.autots import refine_saddle
+        res3 = refine_saddle(calc, coords, z, ts_config.saddle)
+        h_ts = calc.hessian(res3.coords, z)
+        ni = count_imaginary(
+            normal_modes(h_ts, res3.coords, z).frequencies_cm1)
+        irc_res = _irc(calc, res3.coords, z, hessian=h_ts,
+                       config=ts_config.irc)
+        end_f = _optimize(calc, irc_res.forward_path[-1], z,
+                          config=ts_config.endpoint_opt).coords
+        end_b = _optimize(calc, irc_res.backward_path[-1], z,
+                          config=ts_config.endpoint_opt).coords
+        out = _outdir(args, "_autots")
+        write_xyz(os.path.join(out, "ts.xyz"), symbols,
+                  np.asarray(res3.coords) * BOHR2ANGSTROM,
+                  f"E = {float(res3.energy):.10f}, n_imag = {ni}")
+        write_xyz(os.path.join(out, "irc_end_1.xyz"), symbols,
+                  np.asarray(end_f) * BOHR2ANGSTROM)
+        write_xyz(os.path.join(out, "irc_end_2.xyz"), symbols,
+                  np.asarray(end_b) * BOHR2ANGSTROM)
+        print(f"AutoTS (skip_to_step4): TS E = {float(res3.energy):.8f} "
+              f"({ni} imaginary) -> {out}/")
+        return 0
+    res = autots(calc, coords, z, ts_config, product_coords=product)
     out = _outdir(args, "_autots")
     write_xyz(os.path.join(out, "ts.xyz"), symbols,
               np.asarray(res.ts_coords) * BOHR2ANGSTROM,

@@ -44,6 +44,10 @@ class AutoTSConfig:
             method="rfo_fsb", nsteps=300, fc_count=10))
     # step 2: NEB
     n_images: int = 12
+    # image count from path length instead: one image per `node_distance`
+    # Angstrom of initial-path arc length (ref: interface.py:284 -nd;
+    # overrides n_images when set), clipped to [4, 64]
+    node_distance_ang: Optional[float] = None
     neb: NEBConfig = dataclasses.field(default_factory=lambda: NEBConfig(
         variant="cineb", n_steps=300, k_spring=5e-4, climbing_start=30,
         fmax=5e-4, dt0=0.05, dt_max=0.4))
@@ -135,15 +139,30 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     # AFIR TRAJECTORY, not on an endpoint interpolation; a straight-line /
     # IDPP path across a large approach gap routes images through atom
     # clashes that NEB cannot heal) ------------------------------------
+    n_images = config.n_images
+    if config.node_distance_ang:
+        # one image per node_distance Angstrom of arc length along the
+        # source path (ref: interface.py:284 -nd node_distance)
+        from multioptpy_tpu.units import BOHR2ANGSTROM
+        if afir_traj is not None and len(afir_traj) >= 3:
+            src = np.concatenate([np.asarray(afir_traj),
+                                  np.asarray(product_coords)[None]], axis=0)
+        else:
+            src = np.stack([np.asarray(reactant),
+                            np.asarray(product_coords)])
+        seg = np.sqrt(((src[1:] - src[:-1]) ** 2).sum(axis=(1, 2)))
+        arc_ang = float(seg.sum()) * BOHR2ANGSTROM
+        n_images = int(np.clip(round(arc_ang / config.node_distance_ang) + 1,
+                               4, 64))
     if afir_traj is not None and len(afir_traj) >= 3:
         from multioptpy_tpu.interpolation import linear_resample
         full = jnp.concatenate([jnp.asarray(afir_traj),
                                 product_coords[None]], axis=0)
-        path0 = linear_resample(full, config.n_images)
+        path0 = linear_resample(full, n_images)
     elif config.use_idpp:
-        path0 = idpp_path(reactant, product_coords, config.n_images)
+        path0 = idpp_path(reactant, product_coords, n_images)
     else:
-        path0 = interpolate_linear(reactant, product_coords, config.n_images)
+        path0 = interpolate_linear(reactant, product_coords, n_images)
     neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
 
     # ---- step 3: refine the top-N NEB local maxima (ref: autots.py:152
@@ -207,3 +226,176 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         neb_path=neb_res.path, neb_energies=np.asarray(neb_res.energies),
         afir_trajectory=afir_traj, candidates=cand_info,
     )
+
+
+# ---------------------------------------------------------------------------
+# reference v1 legacy config translation
+# ---------------------------------------------------------------------------
+
+# NEB force-law switches: reference argparse dest name -> variant string
+# (ref: interface.py call_nebparser -om/-lup/-bneb/.../-qsmv2)
+_V1_VARIANTS = (("QSMv2", "qsm2"), ("QSM", "qsm"), ("OM", "om"),
+                ("LUP", "lup"), ("BNEB2", "bneb2"), ("BNEB", "bneb"),
+                ("DNEB", "dneb"), ("NESB", "nesb"), ("DMF", "dmf"),
+                ("EWBNEB", "ewbneb"))
+
+# in-loop redistribution switches (ref: interface.py:267-287)
+_V1_REDIST = (("align_distances", "linear"),
+              ("align_distances_energy", "energy"),
+              ("align_distances_energy_predicted", "pred"),
+              ("align_distances_ritz_energy_predicted", "ritz"),
+              ("align_distances_spline", "spline"),
+              ("align_distances_spline_ver2", "spline2"),
+              ("align_distances_geodesic", "geodesic"),
+              ("align_distances_bernstein", "bernstein"),
+              ("align_distances_bernstein_energy", "bernstein_energy"),
+              ("align_distances_adaptive_energy", "adaptive"))
+
+
+def _v1_opt_config(settings, base):
+    """stepN_settings -> OptimizeConfig derived from `base`.
+
+    Keys are the reference's call_optimizeparser argparse dest names — the
+    reference's own config guide points users at interface.py for the
+    vocabulary (ref: Entrypoints/autots.py:21-26; dest names at
+    interface.py:98 calc_exact_hess, :147 NSTEP, :151 max_trust_radius,
+    :181 tight_convergence_criteria, :191 use_model_hessian)."""
+    kw = {}
+    om = settings.get("opt_method") or []
+    if isinstance(om, str):
+        om = [om]
+    if len(om) >= 2:
+        # two entries = sigmoid force-switching pair (ref: optimizer.py:582)
+        kw["switch_method"], kw["method"] = om[0], om[1]
+    elif om:
+        kw["method"] = om[0]
+    if "NSTEP" in settings:
+        kw["nsteps"] = int(settings["NSTEP"])
+    fc = int(settings.get("calc_exact_hess", -1) or -1)
+    if fc > 0:
+        kw["fc_count"] = fc
+        kw["init_hessian"] = "exact"
+    mh = settings.get("use_model_hessian")
+    if mh:
+        # bare true / null = flag given without argument -> the reference's
+        # default "Improved Lindh + D3" (interface.py:191 ModelhessAction)
+        kw["init_hessian"] = "model:%s" % (mh if isinstance(mh, str)
+                                           else "lindhd3")
+    if settings.get("tight_convergence_criteria"):
+        kw.update(max_force=1.5e-5, rms_force=1e-5,
+                  max_displacement=6e-5, rms_displacement=4e-5)
+    if settings.get("loose_convergence_criteria"):
+        kw.update(max_force=3e-3, rms_force=2e-3,
+                  max_displacement=1e-2, rms_displacement=7e-3)
+    if settings.get("max_trust_radius") is not None:
+        kw["trust_radius_ang"] = float(settings["max_trust_radius"])
+    return dataclasses.replace(base, **kw)
+
+
+def _v1_afir_list(ma):
+    """manual_AFIR value -> ((gamma, fragm_1, fragm_2), ...). The reference
+    accepts repeated [gamma f1 f2] triples (interface.py:206); fragments use
+    the 1-indexed "1,2-5" syntax."""
+    from multioptpy_tpu.cli import num_parse
+    ma = list(ma or [])
+    out = []
+    for i in range(0, len(ma) - 2, 3):
+        f1, f2 = ma[i + 1], ma[i + 2]
+        out.append((float(ma[i]),
+                    tuple(num_parse(str(f1))),
+                    tuple(num_parse(str(f2)))))
+    return tuple(out)
+
+
+def autots_config_from_v1(cfg, n_images_default=12):
+    """Translate the reference's v1 legacy AutoTS config (top-level
+    step1_settings..step4_settings keys — the format of the reference's own
+    regression fixture, test/config_autots_run_xtb_test.json; ref:
+    Entrypoints/autots.py:17 "V1 (Legacy)") into an AutoTSConfig.
+
+    Returns (config, flow): `flow` carries the v1 switches the caller
+    interprets — skip_step1 / skip_to_step4 / run_step4 / save_pict /
+    frequency_analysis plus calculator hints (usextb, electronic_charge,
+    spin_multiplicity) and node_distance (image count from path length).
+    """
+    base = AutoTSConfig(n_images=n_images_default)
+    s1 = dict(cfg.get("step1_settings", {}))
+    s2 = dict(cfg.get("step2_settings", {}))
+    s3 = dict(cfg.get("step3_settings", {}))
+    s4 = dict(cfg.get("step4_settings", {}))
+
+    kw = {"afir_opt": _v1_opt_config(s1, base.afir_opt),
+          "saddle": _v1_opt_config(s3, base.saddle)}
+    if "top_n_candidates" in cfg:
+        kw["top_n_candidates"] = int(cfg["top_n_candidates"])
+    afir = _v1_afir_list(s1.get("manual_AFIR"))
+    if len(afir) == 1:
+        kw.update(afir_gamma=afir[0][0], afir_fragm_1=afir[0][1],
+                  afir_fragm_2=afir[0][2])
+    elif afir:
+        kw["afir_list"] = afir
+
+    # step 2 -> NEBConfig (dest names from call_nebparser)
+    nkw = {}
+    if "NSTEP" in s2:
+        nkw["n_steps"] = int(s2["NSTEP"])
+    for dest, variant in _V1_VARIANTS:
+        if s2.get(dest):
+            nkw["variant"] = variant
+            break
+    ci = s2.get("apply_CI_NEB")
+    if ci is not None and int(ci) < 99999:
+        nkw["climbing_start"] = int(ci)
+    if s2.get("memory_limited_BFGS") or s2.get("global_quasi_newton"):
+        nkw["optimizer"] = "lbfgs"
+    elif int(s2.get("steepest_descent", 99999) or 99999) < 99999:
+        nkw["optimizer"] = "sd"
+    for dest, scheme in _V1_REDIST:
+        every = int(s2.get(dest, 0) or 0)
+        if every > 0:
+            nkw.update(redistribute=scheme, redistribute_every=every)
+    sg = str(s2.get("align_distances_savgol", "0,0,0")).split(",")
+    if sg and sg[0].strip() and int(sg[0]) > 0:
+        nkw.update(redistribute="savgol", redistribute_every=int(sg[0]))
+        if len(sg) >= 3:
+            nkw.update(savgol_window=int(sg[1]), savgol_order=int(sg[2]))
+    if nkw:
+        kw["neb"] = dataclasses.replace(base.neb, **nkw)
+    if s2.get("use_image_dependent_pair_potential"):
+        kw["use_idpp"] = True
+    part = int(s2.get("partition", 0) or 0)
+    if part > 0:
+        kw["n_images"] = part
+    if s2.get("node_distance") is not None:
+        kw["node_distance_ang"] = float(s2["node_distance"])
+
+    # step 4 -> IRCConfig + endpoint optimization
+    irc_spec = list(s4.get("intrinsic_reaction_coordinates", []) or [])
+    if irc_spec:
+        # [step_size, n_steps, method] (ref: optimization.py:2173)
+        kw["irc"] = IRCConfig(
+            step_size=float(irc_spec[0]) if len(irc_spec) > 0 else 0.05,
+            n_steps=int(irc_spec[1]) if len(irc_spec) > 1 else 200,
+            method=str(irc_spec[2]) if len(irc_spec) > 2 else "lqa")
+    ep = s4.get("step4b_opt_method") or s4.get("opt_method")
+    if ep:
+        kw["endpoint_opt"] = _v1_opt_config(
+            {"opt_method": ep,
+             "NSTEP": s4.get("NSTEP", base.endpoint_opt.nsteps),
+             "tight_convergence_criteria":
+                 s4.get("tight_convergence_criteria")},
+            base.endpoint_opt)
+
+    flow = {"skip_step1": bool(cfg.get("skip_step1", False)),
+            "skip_to_step4": bool(cfg.get("skip_to_step4", False)),
+            "run_step4": bool(cfg.get("run_step4", True)),
+            "save_pict": bool(s2.get("save_pict", False)),
+            "frequency_analysis": bool(s3.get("frequency_analysis", False)
+                                       or s4.get("frequency_analysis",
+                                                 False)),
+            "node_distance": s2.get("node_distance"),
+            "usextb": (s1.get("usextb") or s2.get("usextb")
+                       or s3.get("usextb") or s4.get("usextb")),
+            "electronic_charge": s1.get("electronic_charge"),
+            "spin_multiplicity": s1.get("spin_multiplicity")}
+    return dataclasses.replace(base, **kw), flow
