@@ -1570,20 +1570,74 @@ def run_mapper_cli(argv=None):
     p.add_argument("--resume", nargs="?", const="", default=None,
                    help="restart from a persisted network JSON (default: "
                         "<out>/network.json) (ref: Entrypoints/mapper.py:21)")
+    # reference mapper CLI surface (ref: Entrypoints/mapper.py:150-310;
+    # precedence CLI > mapper_settings > defaults, :352 resolve)
+    p.add_argument("--temperature", type=float, default=None,
+                   help="Boltzmann temperature [K]")
+    p.add_argument("--rmsd_threshold", type=float, default=None)
+    p.add_argument("--max_iter", type=int, default=None,
+                   help="max exploration tasks")
+    p.add_argument("--afir_gamma", type=float, default=None,
+                   help="AFIR gamma [kJ/mol]")
+    p.add_argument("--max_pairs", type=int, default=None)
+    p.add_argument("--dist_lower", type=float, default=None)
+    p.add_argument("--dist_upper", type=float, default=None)
+    p.add_argument("--rng_seed", type=int, default=None)
+    p.add_argument("--active_atoms", nargs="*", type=int, default=None,
+                   help="restrict AFIR pairs to these 1-indexed atoms")
+    p.add_argument("--negative_gamma", action="store_true",
+                   help="also push fragments apart (negative gamma)")
+    p.add_argument("--exclude_nodes", nargs="*", type=int, default=None,
+                   help="EQ node ids never explored further")
+    p.add_argument("--exclude_bond_rearrangement", action="store_true",
+                   help="auto-exclude EQs whose bond topology differs "
+                        "from the seed (EQ0)")
+    p.add_argument("--use_rcmc", action="store_true",
+                   help="kinetics-driven RCMC priority queue")
+    p.add_argument("--rcmc_temperature", type=float, default=None)
+    p.add_argument("--rcmc_time", type=float, default=None,
+                   help="RCMC reaction time [s]")
+    p.add_argument("--rcmc_start_node", type=int, default=None)
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
-    from multioptpy_tpu.workflows.mapper import MapperConfig, map_network
+    from multioptpy_tpu.workflows.mapper import (
+        MapperConfig, map_network, mapper_config_from_v1)
 
-    kw = {}
+    overrides = dict(
+        max_nodes=args.max_nodes,
+        temperature_k=(args.rcmc_temperature if args.use_rcmc
+                       and args.rcmc_temperature is not None
+                       else args.temperature),
+        rmsd_threshold_ang=args.rmsd_threshold,
+        max_explorations=args.max_iter, afir_gamma=args.afir_gamma,
+        max_pairs_per_node=args.max_pairs,
+        dist_lower_ang=args.dist_lower, dist_upper_ang=args.dist_upper,
+        seed=args.rng_seed,
+        active_atoms=tuple(args.active_atoms) if args.active_atoms else None,
+        include_negative_gamma=args.negative_gamma or None,
+        excluded_node_ids=(tuple(args.exclude_nodes)
+                           if args.exclude_nodes else None),
+        exclude_bond_rearrangement=args.exclude_bond_rearrangement or None,
+        queue="rcmc" if args.use_rcmc else None,
+        rcmc_reaction_time_s=args.rcmc_time,
+        rcmc_start_node=args.rcmc_start_node)
+    cfg_json = {}
     if args.config:
         with open(args.config) as f:
-            kw.update(json.load(f).get("mapper", {}))
+            cfg_json = json.load(f)
+    if "mapper_settings" in cfg_json or \
+            any(f"step{i}_settings" in cfg_json for i in range(1, 5)):
+        # reference-format config (ref: Entrypoints/mapper.py:28-55)
+        mcfg = mapper_config_from_v1(cfg_json, **overrides)
+    else:
+        kw = dict(cfg_json.get("mapper", {}))
+        kw.update({k: v for k, v in overrides.items() if v is not None})
+        mcfg = MapperConfig(**kw)
     resume = args.resume
     if resume == "":
         resume = os.path.join(_outdir(args, "_mapper"), "network.json")
-    res = map_network(calc, coords, z, MapperConfig(
-        max_nodes=args.max_nodes, **kw), resume=resume)
+    res = map_network(calc, coords, z, mcfg, resume=resume)
     out = _outdir(args, "_mapper")
     res.save(os.path.join(out, "network.json"), symbols)
     print(f"network: {len(res.nodes)} EQ nodes, {len(res.edges)} TS edges "

@@ -29,7 +29,7 @@ import dataclasses
 import json
 import os
 from abc import ABC, abstractmethod
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -528,6 +528,19 @@ class MapperConfig:
     temperature_k: float = 300.0
     rmsd_threshold_ang: float = 0.30
     seed: int = 0
+    # atom-pair restriction: AFIR pairs drawn only among these 1-indexed
+    # atoms (ref: Entrypoints/mapper.py active_atoms)
+    active_atoms: Optional[Sequence[int]] = None
+    # EQ exclusion (ref: Wrapper/mapper.py:1295-1304): these node ids are
+    # never explored further; with exclude_bond_rearrangement any new EQ
+    # whose covalent bond topology differs from the seed (EQ0) is
+    # auto-excluded
+    excluded_node_ids: Sequence[int] = ()
+    exclude_bond_rearrangement: bool = False
+    # RCMC queue kinetics (ref: Utils/rcmc.py; Entrypoints/mapper.py
+    # rcmc_reaction_time_s / rcmc_start_node_id)
+    rcmc_reaction_time_s: float = 1.0
+    rcmc_start_node: int = 0
     batch_size: int = 1             # tasks per round: >1 pops a batch and
                                     # runs their AFIR step-1 relaxations as
                                     # ONE vmapped (mesh-shardable) program
@@ -588,7 +601,9 @@ def _make_queue(config):
     if config.queue == "boltzmann":
         return BoltzmannQueue(config.temperature_k, config.seed)
     if config.queue == "rcmc":
-        return RCMCQueue(config.temperature_k, rng_seed=config.seed)
+        return RCMCQueue(config.temperature_k,
+                         reaction_time=config.rcmc_reaction_time_s,
+                         rng_seed=config.seed)
     if config.queue == "random":
         return RandomQueue(config.seed)
     raise ValueError(f"unknown queue '{config.queue}' "
@@ -618,7 +633,9 @@ def map_network(calc, coords, z, config=MapperConfig(), resume=None,
         dist_lower_ang=config.dist_lower_ang,
         dist_upper_ang=config.dist_upper_ang,
         rng_seed=config.seed,
-        include_negative_gamma=config.include_negative_gamma)
+        include_negative_gamma=config.include_negative_gamma,
+        active_atoms=config.active_atoms)
+    excluded = set(config.excluded_node_ids)
 
     log_path = net_path = None
     if config.work_dir:
@@ -649,7 +666,17 @@ def map_network(calc, coords, z, config=MapperConfig(), resume=None,
                 return i
         return None
 
+    fp0 = None  # seed (EQ0) bond topology, set once nodes exist
+
     def seed_tasks(node_id):
+        # EQ exclusion (ref: Wrapper/mapper.py:1295-1304): explicit ids,
+        # plus auto-exclusion of bond-rearranged EQs relative to EQ0
+        if node_id in excluded:
+            return
+        if (config.exclude_bond_rearrangement and fp0 is not None
+                and topo.fingerprint(z_np, nodes[node_id].coords) != fp0):
+            excluded.add(node_id)
+            return
         ref_e = min(n.energy for n in nodes)
         de = nodes[node_id].energy - ref_e
         for pair, gamma in gen.generate(z_np, nodes[node_id].coords):
@@ -661,6 +688,7 @@ def map_network(calc, coords, z, config=MapperConfig(), resume=None,
                 metadata={"delta_E_hartree": de,
                           "source_node_energy": nodes[node_id].energy}))
 
+    fp0 = topo.fingerprint(z_np, nodes[0].coords)
     seed_tasks(0)
 
     def persist():
@@ -676,7 +704,8 @@ def map_network(calc, coords, z, config=MapperConfig(), resume=None,
         if len(nodes) >= config.max_nodes:
             break
         if isinstance(queue, RCMCQueue):
-            queue.set_network(Network(nodes, edges))
+            queue.set_network(Network(nodes, edges),
+                              start_node=config.rcmc_start_node)
         else:
             queue.refresh_priorities(min(n.energy for n in nodes))
         # pop a round of tasks (batch_size > 1 = device-batched executor)
@@ -773,3 +802,53 @@ def _absorb_result(res, nodes, edges, find_node, seed_tasks, queue):
             edges.append(TSEdge(ids[0], ids[1],
                                 np.asarray(res.ts_coords),
                                 float(res.ts_energy)))
+
+
+# ==========================================================================
+# reference config translation (ref: Entrypoints/mapper.py:28-55 the
+# mapper_settings block, :352 CLI > mapper_settings > defaults resolution)
+# ==========================================================================
+
+# reference mapper_settings key -> MapperConfig field
+_V1_MAPPER_KEYS = (("temperature_K", "temperature_k", float),
+                   ("rmsd_threshold", "rmsd_threshold_ang", float),
+                   ("max_iterations", "max_explorations", int),
+                   ("afir_gamma_kJmol", "afir_gamma", float),
+                   ("max_pairs", "max_pairs_per_node", int),
+                   ("dist_lower_ang", "dist_lower_ang", float),
+                   ("dist_upper_ang", "dist_upper_ang", float),
+                   ("output_dir", "work_dir", str),
+                   ("rng_seed", "seed", int),
+                   ("include_negative_gamma", "include_negative_gamma",
+                    bool),
+                   ("exclude_bond_rearrangement",
+                    "exclude_bond_rearrangement", bool),
+                   ("rcmc_reaction_time_s", "rcmc_reaction_time_s", float),
+                   ("rcmc_start_node_id", "rcmc_start_node", int))
+
+
+def mapper_config_from_v1(cfg, **cli_overrides):
+    """Translate the reference's mapper config.json — a `mapper_settings`
+    block plus the step1..4_settings AutoTS base config — into a
+    MapperConfig. Keyword overrides (MapperConfig field names) model the
+    reference's CLI > mapper_settings > defaults precedence."""
+    ms = dict(cfg.get("mapper_settings", {}))
+    kw = {}
+    for src, dst, typ in _V1_MAPPER_KEYS:
+        if ms.get(src) is not None:
+            kw[dst] = typ(ms[src])
+    if ms.get("active_atoms"):
+        kw["active_atoms"] = tuple(int(a) for a in ms["active_atoms"])
+    if ms.get("excluded_node_ids"):
+        kw["excluded_node_ids"] = tuple(int(i)
+                                        for i in ms["excluded_node_ids"])
+    if ms.get("use_rcmc"):
+        kw["queue"] = "rcmc"
+        if ms.get("rcmc_temperature_K") is not None:
+            kw["temperature_k"] = float(ms["rcmc_temperature_K"])
+    # per-task AutoTS base config from the shared stepN_settings blocks
+    if any(f"step{i}_settings" in cfg for i in range(1, 5)):
+        from multioptpy_tpu.workflows.autots import autots_config_from_v1
+        kw["autots"], _ = autots_config_from_v1(cfg)
+    kw.update({k: v for k, v in cli_overrides.items() if v is not None})
+    return MapperConfig(**kw)
