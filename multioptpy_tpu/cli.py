@@ -1263,9 +1263,33 @@ def run_ircmain(argv=None):
 def run_confsearch(argv=None):
     """Conformer search (ref: Entrypoints/conformation_search.py:13)."""
     p = _base_parser("multioptpy_tpu conformer search")
-    p.add_argument("-bf", "--base_force", type=float, default=200.0)
-    p.add_argument("-nsample", "--max_samples", type=int, default=8)
+    # reference flag surface (ref: conformation_search.py:205-214)
+    p.add_argument("-bf", "--base_force", type=float, default=100.0,
+                   help="AFIR kick strength [kJ/mol] (ref -bf)")
+    p.add_argument("-ms", "-nsample", "--max_samples", type=int, default=50,
+                   help="max sampling rounds (ref -ms)")
     p.add_argument("-bsize", "--batch_size", type=int, default=16)
+    p.add_argument("-nl", "--number_of_lowest", type=int, default=5,
+                   help="stop after this many rounds without a lowest-"
+                        "energy-list update (ref -nl)")
+    p.add_argument("-nr", "--number_of_rank", type=int, default=10,
+                   help="length of the watched lowest-energy list (ref -nr)")
+    p.add_argument("-tgta", "--target_atoms", nargs="*", default=None,
+                   help="restrict AFIR kicks to these atoms, e.g. 1-3,7 "
+                        "(ref -tgta)")
+    p.add_argument("-st", "--sampling_temperature", type=float,
+                   default=298.15,
+                   help="Boltzmann seed-selection temperature [K] (ref -st)")
+    p.add_argument("-nost", "--no_stochastic", action="store_true",
+                   help="always kick from the initial EQ (ref -nost)")
+    p.add_argument("-pbc", "--preserve_bond_connectivity",
+                   action="store_true",
+                   help="reject conformers whose bond connectivity differs "
+                        "from the seed (ref -pbc)")
+    p.add_argument("-tabu", "--tabu_search", action="store_true",
+                   help="frequency-penalized seed selection (ref -tabu)")
+    p.add_argument("-alpha", "--tabu_alpha", type=float, default=0.5,
+                   help="tabu visit-count penalty coefficient (ref -alpha)")
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
@@ -1274,9 +1298,18 @@ def run_confsearch(argv=None):
     from multioptpy_tpu.workflows.confsearch import (
         ConfSearchConfig, conformer_search)
 
+    tgt = None
+    if args.target_atoms:
+        tgt = tuple(num_parse(args.target_atoms[0]))
     res = conformer_search(calc, coords, z, ConfSearchConfig(
         n_rounds=args.max_samples, batch_size=args.batch_size,
-        base_gamma=args.base_force))
+        base_gamma=args.base_force,
+        temperature=args.sampling_temperature,
+        preserve_bonds=args.preserve_bond_connectivity,
+        tabu_weight=args.tabu_alpha if args.tabu_search else 0.0,
+        target_atoms=tgt, stochastic=not args.no_stochastic,
+        number_of_rank=args.number_of_rank,
+        number_of_lowest=args.number_of_lowest))
     out = _outdir(args, "_confsearch")
     write_trajectory(os.path.join(out, "conformers.xyz"), symbols,
                      res.conformers * BOHR2ANGSTROM,

@@ -15,7 +15,7 @@ Boltzmann bookkeeping stay on host (cheap, O(found^2)).
 """
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,18 @@ class ConfSearchConfig:
     preserve_bonds: bool = True     # reject connectivity changes (ref: :129)
     seed: int = 0
     tabu_weight: float = 1.0        # visit-count penalty (ref: :34)
+    # AFIR pairs drawn only among these 1-indexed atoms (ref: -tgta
+    # :209,:477 target_atoms)
+    target_atoms: Optional[Sequence[int]] = None
+    # False = always kick from the initial EQ instead of (tabu-)Boltzmann
+    # seed switching (ref: -nost no_stochastic :698)
+    stochastic: bool = True
+    # termination: stop once the lowest-`number_of_rank` energy list has
+    # not changed for `number_of_lowest` consecutive rounds (ref: -nr/-nl
+    # :675-686; only active while more than number_of_rank conformers
+    # exist, as in the reference)
+    number_of_rank: int = 10
+    number_of_lowest: int = 5
 
 
 class ConfSearchResult(NamedTuple):
@@ -150,19 +162,37 @@ def conformer_search(calc, coords, z, config=ConfSearchConfig(),
     kick = make_kick_relax(calc, z, config.base_gamma, config.kick_steps)
     kT = KB_HARTREE * config.temperature
 
+    # AFIR pairs drawn from target atoms only (ref: :477 target_atoms,
+    # :339 make_tgt_atom_pair)
+    if config.target_atoms:
+        pool = np.asarray(sorted({int(a) - 1 for a in config.target_atoms}))
+        if len(pool) < 2:
+            raise ValueError("target_atoms needs at least 2 atoms")
+    else:
+        pool = np.arange(n)
+
+    prev_rank = None
+    no_update = 0
+    n_rounds_run = 0
     for _ in range(config.n_rounds):
-        # Boltzmann + tabu seed selection (ref: conformation_search.py:382)
-        e_arr = np.asarray(energies)
-        w = np.exp(-(e_arr - e_arr.min()) / max(kT, 1e-12)
-                   - config.tabu_weight * np.asarray(visits))
-        w = w / w.sum()
-        seeds_idx = rng.choice(len(found), size=config.batch_size, p=w)
+        n_rounds_run += 1
+        if config.stochastic:
+            # Boltzmann + tabu seed selection (ref: :382)
+            e_arr = np.asarray(energies)
+            w = np.exp(-(e_arr - e_arr.min()) / max(kT, 1e-12)
+                       - config.tabu_weight * np.asarray(visits))
+            w = w / w.sum()
+            seeds_idx = rng.choice(len(found), size=config.batch_size, p=w)
+        else:
+            # no EQ switching: every kick starts from the initial EQ
+            # (ref: :698 no_stochastic -> idx = 0)
+            seeds_idx = np.zeros(config.batch_size, dtype=int)
         for i in seeds_idx:
             visits[i] += 1
 
         batch = np.stack([found[i] for i in seeds_idx])
         # random atom pairs + push/pull
-        pairs = np.stack([rng.choice(n, size=2, replace=False)
+        pairs = np.stack([rng.choice(pool, size=2, replace=False)
                           for _ in range(config.batch_size)])
         w1 = np.zeros((config.batch_size, n))
         w2 = np.zeros((config.batch_size, n))
@@ -200,10 +230,23 @@ def conformer_search(calc, coords, z, config=ConfSearchConfig(),
         if restart_file:
             save_search_state(restart_file, found, energies, visits)
 
+        # termination: lowest-`number_of_rank` list stable for
+        # `number_of_lowest` rounds (ref: :675-686)
+        if len(energies) > config.number_of_rank:
+            rank = np.sort(np.asarray(energies))[:config.number_of_rank]
+            if prev_rank is not None and len(prev_rank) == len(rank) \
+                    and np.allclose(rank, prev_rank, atol=0.0):
+                no_update += 1
+            else:
+                no_update = 0
+            prev_rank = rank
+            if no_update > config.number_of_lowest:
+                break
+
     order = np.argsort(energies)
     return ConfSearchResult(
         conformers=np.stack(found)[order],
         energies=np.asarray(energies)[order],
-        n_generated=config.n_rounds * config.batch_size,
+        n_generated=n_rounds_run * config.batch_size,
         n_rejected_bonds=n_rejected,
     )
