@@ -1325,18 +1325,57 @@ def run_relaxedscan(argv=None):
     """Relaxed PES scan (ref: Entrypoints/relaxed_scan.py:10)."""
     p = _base_parser("multioptpy_tpu relaxed scan")
     p.add_argument("-sk", "--scan_kind", default="bond")
-    p.add_argument("-sa", "--scan_atoms", required=True,
+    p.add_argument("-sa", "--scan_atoms", default=None,
                    help="e.g. 1,2 for a bond")
-    p.add_argument("-sr", "--scan_range", required=True,
+    p.add_argument("-sr", "--scan_range", default=None,
                    help="start,stop,npoints")
+    # reference syntax (ref: Entrypoints/relaxed_scan.py:15-17): repeated
+    # [kind atoms v1,v2] triples scanned simultaneously
+    p.add_argument("-scan", "--scan_tgt", nargs="*", default=None,
+                   help="repeated [kind atoms start,stop] triples, e.g. "
+                        "-scan bond 1,2 1.0,1.8 angle 1,2,3 100,120 "
+                        "(ref -scan)")
+    p.add_argument("-nsample", "--number_of_samples", type=int, default=10,
+                   help="scan points (ref -nsample)")
+    p.add_argument("-fo", "--first_only", action="store_true",
+                   help="seed every point from the input structure "
+                        "(ref -fo)")
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
-    start, stop, npts = args.scan_range.split(",")
     from multioptpy_tpu.io import write_trajectory
     from multioptpy_tpu.units import BOHR2ANGSTROM
     from multioptpy_tpu.workflows import relaxed_scan
+    from multioptpy_tpu.workflows.relaxed_scan import relaxed_scan_multi
 
+    if args.scan_tgt:
+        spec = list(args.scan_tgt)
+        if len(spec) % 3:
+            raise SystemExit("-scan expects repeated [kind atoms v1,v2] "
+                             "triples")
+        targets = []
+        for i in range(0, len(spec), 3):
+            v1, v2 = spec[i + 2].split(",")
+            targets.append((spec[i], num_parse(spec[i + 1]),
+                            float(v1), float(v2)))
+        res = relaxed_scan_multi(calc, coords, z, targets,
+                                 args.number_of_samples,
+                                 config=_opt_config(args),
+                                 first_only=args.first_only)
+        out = _outdir(args, "_scan")
+        write_trajectory(os.path.join(out, "scan.xyz"), symbols,
+                         res.geometries * BOHR2ANGSTROM,
+                         [f"E = {e:.10f}" for e in res.energies])
+        header = ",".join(t[0] for t in targets) + ",energy"
+        np.savetxt(os.path.join(out, "energy_profile.csv"),
+                   np.column_stack([res.values, res.energies]),
+                   header=header, delimiter=",")
+        print(f"{len(res.energies)} scan points ({len(targets)} targets) "
+              f"-> {out}/")
+        return 0
+    if not (args.scan_atoms and args.scan_range):
+        raise SystemExit("give either -scan triples or -sa/-sr")
+    start, stop, npts = args.scan_range.split(",")
     res = relaxed_scan(calc, coords, z, args.scan_kind,
                        num_parse(args.scan_atoms), float(start), float(stop),
                        int(npts), config=_opt_config(args))
@@ -1467,6 +1506,9 @@ def run_orientsearch(argv=None):
     p.add_argument("-part", "--fragment", required=True,
                    help="atoms of the mobile fragment, e.g. 5-9")
     p.add_argument("-nsample", "--n_samples", type=int, default=16)
+    p.add_argument("-dist", "--distance", type=float, default=None,
+                   help="fragment-center separation [Angstrom] before "
+                        "orientation sampling (ref -dist)")
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
@@ -1476,7 +1518,8 @@ def run_orientsearch(argv=None):
 
     res = orientation_search(calc, coords, z, num_parse(args.fragment),
                              n_samples=args.n_samples,
-                             config=_opt_config(args))
+                             config=_opt_config(args),
+                             distance_ang=args.distance)
     out = _outdir(args, "_orient")
     write_trajectory(os.path.join(out, "orientations.xyz"), symbols,
                      res.geometries * BOHR2ANGSTROM,

@@ -27,18 +27,35 @@ def _random_rotation(rng):
 
 def orientation_search(calc, coords, z, fragment_atoms, n_samples=16,
                        config=OptimizeConfig(), bias_engine=None,
-                       max_shift=2.0, n_opt_steps=100, seed=0):
-    """fragment_atoms: 1-based indices of the mobile fragment."""
+                       max_shift=2.0, n_opt_steps=100, seed=0,
+                       distance_ang=None):
+    """fragment_atoms: 1-based indices of the mobile fragment.
+
+    distance_ang: place the fragment's center this many Angstrom from the
+    center of the remaining atoms (along the original separation axis)
+    before sampling orientations (ref: orientation_search.py:16 -dist)."""
     rng = np.random.default_rng(seed)
     coords_np = np.asarray(coords)
     idx = np.asarray(fragment_atoms) - 1
     rest = np.setdiff1d(np.arange(len(coords_np)), idx)
+
+    place_center = None
+    if distance_ang is not None and len(rest):
+        from multioptpy_tpu.units import ANGSTROM2BOHR
+        rest_center = coords_np[rest].mean(axis=0)
+        axis = coords_np[idx].mean(axis=0) - rest_center
+        nrm = np.linalg.norm(axis)
+        axis = axis / nrm if nrm > 1e-8 else np.array([1.0, 0.0, 0.0])
+        place_center = rest_center + axis * distance_ang * ANGSTROM2BOHR
 
     samples = []
     for _ in range(n_samples):
         new = coords_np.copy()
         frag = coords_np[idx]
         center = frag.mean(axis=0)
+        if place_center is not None:
+            frag = frag - center + place_center
+            center = place_center
         rot = _random_rotation(rng)
         shift = rng.uniform(-max_shift, max_shift, size=3)
         new[idx] = (frag - center) @ rot.T + center + shift

@@ -156,3 +156,42 @@ def test_atoms_pair_projection():
     g2 = jnp.zeros((3, 3)).at[2, 1].set(1.0)
     pg2 = np.asarray(c.project_gradient(g2, coords))
     np.testing.assert_allclose(pg2, np.asarray(g2), atol=1e-14)
+
+
+class TestRelaxedScanMulti:
+    def test_two_targets_in_lockstep(self, ar3):
+        """Reference -scan semantics (relaxed_scan.py:45-104): several
+        targets advance along their own linspace simultaneously; every
+        point satisfies BOTH constraints."""
+        from multioptpy_tpu.workflows.relaxed_scan import relaxed_scan_multi
+
+        coords, z = ar3
+        rmin_ang = RMIN * 0.52917721067
+        targets = [("bond", [1, 2], rmin_ang * 0.95, rmin_ang * 1.15),
+                   ("bond", [2, 3], rmin_ang * 1.00, rmin_ang * 1.20)]
+        res = relaxed_scan_multi(
+            LennardJones(), coords, z, targets, n_points=4,
+            config=OptimizeConfig(method="rfo_fsb", nsteps=120, **TIGHT))
+        assert res.values.shape == (4, 2)
+        assert np.all(res.converged)
+        for geom, (v12, v23) in zip(res.geometries, res.values):
+            d12 = np.linalg.norm(geom[0] - geom[1]) * 0.52917721067
+            d23 = np.linalg.norm(geom[1] - geom[2]) * 0.52917721067
+            assert d12 == pytest.approx(v12, abs=1e-6)
+            assert d23 == pytest.approx(v23, abs=1e-6)
+
+    def test_first_only_reseeds_from_input(self, ar3):
+        """-fo: every point seeds from the INPUT structure; the scan still
+        hits its targets (ref: relaxed_scan.py:119 first_only)."""
+        from multioptpy_tpu.workflows.relaxed_scan import relaxed_scan_multi
+
+        coords, z = ar3
+        rmin_ang = RMIN * 0.52917721067
+        res = relaxed_scan_multi(
+            LennardJones(), coords, z,
+            [("bond", [1, 2], rmin_ang * 0.95, rmin_ang * 1.2)],
+            n_points=3, first_only=True,
+            config=OptimizeConfig(method="rfo_fsb", nsteps=120, **TIGHT))
+        for geom, (v12,) in zip(res.geometries, res.values):
+            d12 = np.linalg.norm(geom[0] - geom[1]) * 0.52917721067
+            assert d12 == pytest.approx(v12, abs=1e-6)

@@ -80,3 +80,27 @@ def test_mapper_on_muller_brown_degenerate():
         net2 = Network.load(path)
     assert len(net2.nodes) == 2 and len(net2.edges) == 1
     assert net2.edges[0].ts_energy == pytest.approx(-0.2)
+
+
+def test_orientation_search_distance_placement():
+    """-dist places the mobile fragment's center the given Angstrom from
+    the host center before orientation sampling (ref:
+    orientation_search.py:16)."""
+    from multioptpy_tpu.drivers.optimize import OptimizeConfig
+    from multioptpy_tpu.workflows.orientsearch import orientation_search
+
+    coords = jnp.asarray([[0.0, 0.0, 0.0], [RMIN, 0.0, 0.0],
+                          [RMIN / 2, RMIN, 2.0]])
+    z = jnp.array([18, 18, 18])
+    res = orientation_search(
+        LennardJones(), coords, z, [3], n_samples=4,
+        config=OptimizeConfig(method="rfo_fsb", max_force=1e-6,
+                              rms_force=7e-7, max_displacement=1e-4,
+                              rms_displacement=7e-5),
+        n_opt_steps=0, max_shift=0.0, seed=3, distance_ang=6.0)
+    # with no optimization steps and no random shift, every sample's guest
+    # sits exactly 6 Angstrom from the host center
+    host_center = np.asarray(coords[:2]).mean(axis=0)
+    for geom in res.geometries:
+        d = np.linalg.norm(geom[2] - host_center) * 0.52917721067
+        assert d == pytest.approx(6.0, abs=1e-6)
