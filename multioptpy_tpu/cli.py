@@ -1418,7 +1418,12 @@ def run_autots_cli(argv=None):
         if "workflow" in cfg:
             # v2 dynamic workflow engine (ref: Entrypoints/autots.py:70)
             from multioptpy_tpu.workflows.autots_v2 import run_autots_v2
-            engine, reports = run_autots_v2(calc, coords, z, cfg)
+            prod_v2 = None
+            if args.product:
+                _, prod_ang = read_xyz(args.product)
+                prod_v2 = jnp.asarray(prod_ang * ANGSTROM2BOHR)
+            engine, reports = run_autots_v2(calc, coords, z, cfg,
+                                            product_coords=prod_v2)
             out = _outdir(args, "_autots")
             with open(os.path.join(out, "workflow_report.json"), "w") as f:
                 json.dump(reports, f, indent=1, default=str)

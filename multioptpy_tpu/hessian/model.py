@@ -369,6 +369,11 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
         # short-range erf correction (ref: ModelHessian/shortrange.py)
         add_sr = True
         base = base[: -len("_sr")]
+    if base.endswith("old"):
+        # "fischerd3old" (ref: ModelHessian/fischerd3old.py — the static
+        # D2-C6 BJ-damped D3 flavor): our d3 correction IS that static
+        # form (see dispersion.d3_energy), so the old name folds to d3
+        base = base[: -len("old")]
     dispersion = None
     for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
         if base.endswith(suffix):

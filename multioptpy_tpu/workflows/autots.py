@@ -289,6 +289,8 @@ def _v1_opt_config(settings, base):
                   max_displacement=1e-2, rms_displacement=7e-3)
     if settings.get("max_trust_radius") is not None:
         kw["trust_radius_ang"] = float(settings["max_trust_radius"])
+    if settings.get("min_trust_radius") is not None:
+        kw["trust_radius_min_ang"] = float(settings["min_trust_radius"])
     return dataclasses.replace(base, **kw)
 
 
@@ -366,8 +368,18 @@ def autots_config_from_v1(cfg, n_images_default=12):
     part = int(s2.get("partition", 0) or 0)
     if part > 0:
         kw["n_images"] = part
-    if s2.get("node_distance") is not None:
-        kw["node_distance_ang"] = float(s2["node_distance"])
+    # all -nd variants place images by arc-length spacing; the spline /
+    # bernstein / savgol flavors differ only in the resampling curve
+    # (ref: interface.py:284-287), which linear_resample approximates
+    for nd_key in ("node_distance", "node_distance_spline",
+                   "node_distance_bernstein"):
+        if s2.get(nd_key) is not None:
+            kw["node_distance_ang"] = float(s2[nd_key])
+            break
+    if s2.get("node_distance_savgol"):
+        first = str(s2["node_distance_savgol"]).split(",")[0]
+        if first.strip():
+            kw["node_distance_ang"] = float(first)
 
     # step 4 -> IRCConfig + endpoint optimization
     irc_spec = list(s4.get("intrinsic_reaction_coordinates", []) or [])
@@ -397,5 +409,11 @@ def autots_config_from_v1(cfg, n_images_default=12):
             "usextb": (s1.get("usextb") or s2.get("usextb")
                        or s3.get("usextb") or s4.get("usextb")),
             "electronic_charge": s1.get("electronic_charge"),
-            "spin_multiplicity": s1.get("spin_multiplicity")}
+            "spin_multiplicity": s1.get("spin_multiplicity"),
+            # failure-detection knobs the driver layer owns (ref:
+            # optimization.py:2219 dissociation_check; -negeigval)
+            "dissociate_check": (float(s1["dissociate_check"])
+                                 if s1.get("dissociate_check") else None),
+            "detect_negative_eigenvalues":
+                bool(s3.get("detect_negative_eigenvalues", False))}
     return dataclasses.replace(base, **kw), flow

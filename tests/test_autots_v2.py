@@ -72,3 +72,66 @@ def test_repeat_with_param_override():
     assert len(reports) == 2
     np.testing.assert_allclose(np.asarray(engine.ctx["geometry"][0, :2]),
                                MB_MIN_A, atol=1e-4)
+
+
+def test_reference_vocabulary_workflow():
+    """The reference's own v2 config layout (test/config_autots_v2_test.json):
+    steps named step2/step3/step4 with stepN_settings carrying interface.py
+    dest names (NSTEP, opt_method, calc_exact_hess, max_trust_radius,
+    intrinsic_reaction_coordinates, step4b_opt_method)."""
+    calc = MullerBrown()
+    z = jnp.array([1])
+    reactant = jnp.array([[MB_MIN_A[0], MB_MIN_A[1], 0.0]])
+    config = {
+        "workflow": [
+            {"step": "step2"},
+            {"step": "step3"},
+            {"step": "step4"},
+        ],
+        "step2_settings": {"NSTEP": 300, "n_images": 12, "k_spring": 5e-4,
+                           "climbing_start": 40, "from_path": False},
+        "step3_settings": {"opt_method": ["rsirfo_bofill"],
+                           "calc_exact_hess": 3,
+                           "max_trust_radius": 0.1,
+                           "frequency_analysis": True},
+        "step4_settings": {
+            "intrinsic_reaction_coordinates": ["0.05", "120", "lqa"],
+            "step4b_opt_method": ["rsirfo_fsb"]},
+    }
+    engine = AutoTSv2(calc, reactant, z, config)
+    engine.ctx["product"] = jnp.array([[MB_MIN_C[0], MB_MIN_C[1], 0.0]])
+    reports = engine.run()
+
+    assert [r["step"] for r in reports] == ["neb", "saddle", "irc"]
+    np.testing.assert_allclose(np.asarray(engine.ctx["ts"][0, :2]),
+                               MB_TS_AB, atol=1e-4)
+    # step3's frequency_analysis folded into the saddle report
+    assert reports[1]["n_imaginary"] == 1
+    # step4b endpoint optimization ran and produced two energies
+    assert len(reports[2]["endpoint_energies"]) == 2
+    # endpoints are the two adjacent minima (A and B)
+    from multioptpy_tpu.calculators.model_surfaces import MB_MIN_B
+    ends = np.asarray(
+        [np.asarray(e)[0, :2] for e in engine.ctx["irc_ends"]])
+    got = sorted([tuple(x) for x in ends])
+    expect = sorted([tuple(MB_MIN_A), tuple(MB_MIN_B)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=5e-3)
+
+
+def test_reference_fixture_validates_and_normalizes():
+    """The reference's shipped v2 config passes validation and its step1
+    settings normalize into engine keys."""
+    import json
+
+    with open("/root/reference/test/config_autots_v2_test.json") as f:
+        cfg = json.load(f)
+    validate_workflow(cfg["workflow"])
+    norm = AutoTSv2._normalize(cfg["step1_settings"])
+    assert norm["method"] == "rsirfo_block_fsb"
+    assert norm["gamma"] == 300.0
+    assert norm["fragm_1"] == [3]
+    assert norm["fragm_2"] == [21]
+    norm2 = AutoTSv2._normalize(cfg["step4_settings"])
+    assert norm2["irc_nsteps"] > 0
+    assert norm2["irc_method"] == "lqa"

@@ -93,3 +93,35 @@ def test_excluded_seed_node_blocks_exploration(tmp_path):
     net = map_network(LennardJones(), coords, z, cfg)
     assert len(net.nodes) == 1
     assert len(net.edges) == 0
+
+
+def test_reference_mapper_fixture_translates():
+    """The reference's shipped mapper config (test/config_mapper_test.json)
+    translates end to end, including the fischerd3old model-Hessian kind."""
+    import json
+
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.hessian.model import model_hessian
+
+    with open("/root/reference/test/config_mapper_test.json") as f:
+        cfg = json.load(f)
+    mc = mapper_config_from_v1(cfg)
+    assert mc.temperature_k == pytest.approx(500.0)
+    assert mc.rmsd_threshold_ang == pytest.approx(0.50)
+    assert mc.max_explorations == 150
+    assert mc.afir_gamma == pytest.approx(300.0)
+    assert mc.dist_lower_ang == pytest.approx(2.0)
+    assert mc.seed == 30
+    assert mc.work_dir == "mapper_output"
+    # nested AutoTS: step3 tight + min/max trust radii, fischerd3old kind
+    assert mc.autots.saddle.trust_radius_ang == pytest.approx(0.2)
+    assert mc.autots.saddle.trust_radius_min_ang == pytest.approx(0.1)
+    assert mc.autots.afir_opt.init_hessian == "model:fischerd3old"
+    assert mc.autots.node_distance_ang == pytest.approx(0.50)
+    assert mc.autots.irc.step_size == pytest.approx(0.4)
+    # the kind is actually buildable (folds to the static-D3 correction,
+    # ref: ModelHessian/fischerd3old.py)
+    c = jnp.asarray(np.random.default_rng(0).standard_normal((3, 3)) * 2)
+    h = model_hessian(c, jnp.array([8, 1, 1]), kind="fischerd3old")
+    assert h.shape == (9, 9)
