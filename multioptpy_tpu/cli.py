@@ -1571,6 +1571,19 @@ def run_ieipmain(argv=None):
                    default=0.05)
     p.add_argument("-2pshs_num", "--twoPshs_step_num", type=int, default=300)
     args = p.parse_args(argv)
+    if not os.path.isfile(args.input):
+        # reference input discovery (ref: ieip.py:250
+        # glob(START_FILE + "*_[A-Z].xyz")): the positional argument may
+        # be a prefix or a directory holding the *_A.xyz / *_B.xyz pair
+        import glob as _glob
+        matches = sorted(
+            m for pat in (os.path.join(args.input, "*_[A-Z].xyz"),
+                          args.input + "*_[A-Z].xyz")
+            for m in _glob.glob(pat))
+        if len(matches) >= 2:
+            args.input = matches[0]
+            if args.end_input is None:
+                args.end_input = matches[1]
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
     import jax.numpy as jnp

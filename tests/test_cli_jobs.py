@@ -181,3 +181,23 @@ def test_nebmain_reference_variant_flags(tmp_path):
                       "-out", str(out2)])
     assert rc == 0
     assert (out2 / "neb_path.xyz").exists()
+
+
+def test_ieipmain_pair_discovery(tmp_path):
+    """Reference input discovery (ieip.py:250): the positional input may
+    be a directory (or prefix) holding *_A.xyz / *_B.xyz; the pair is
+    globbed instead of requiring -i2."""
+    from multioptpy_tpu.cli import run_ieipmain
+
+    d = tmp_path / "pairdir"
+    d.mkdir()
+    a = np.array([[0.0, 0.0, 0.0], [RMIN_ANG * 1.05, 0.0, 0.0],
+                  [RMIN_ANG * 0.5, RMIN_ANG * 0.95, 0.0]])
+    b = np.array([[0.0, 0.0, 0.0], [RMIN_ANG * 1.05, 0.0, 0.0],
+                  [RMIN_ANG * 1.6, RMIN_ANG * 0.95, 0.0]])
+    (d / "ar3_A.xyz").write_text(format_xyz(["Ar"] * 3, a))
+    (d / "ar3_B.xyz").write_text(format_xyz(["Ar"] * 3, b))
+    out = str(tmp_path / "out")
+    rc = run_ieipmain([str(d), "-calc", "lj", "-ns", "60", "-out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "ts_guess.xyz"))
