@@ -983,6 +983,21 @@ def run_nebmain(argv=None):
         nimg = args.partition if args.partition > 0 else args.n_images
         path0 = (idpp_path(start, end, nimg) if args.use_idpp
                  else interpolate_linear(start, end, nimg))
+    elif os.path.isdir(args.input):
+        # reference folder input (ref: neb.py:1008): a directory of
+        # *_0.xyz .. *_N.xyz images, numerically ordered, is the path
+        import glob as _glob
+        files = sum([sorted(_glob.glob(os.path.join(
+            args.input, "*_" + "[0-9]" * i + ".xyz")))
+            for i in range(1, 7)], [])
+        if len(files) < 3:
+            raise SystemExit(f"{args.input}: found {len(files)} *_N.xyz "
+                             "images (need >= 3)")
+        frames = []
+        for f in files:
+            symbols, c_ang = read_xyz(f)
+            frames.append(c_ang)
+        path0 = jnp.asarray(np.stack(frames) * ANGSTROM2BOHR)
     else:
         symbols, frames, _ = read_trajectory(args.input)
         path0 = jnp.asarray(frames * ANGSTROM2BOHR)

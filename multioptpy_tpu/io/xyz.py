@@ -27,11 +27,37 @@ def _parse_frame(lines, start):
     return symbols, np.array(coords, dtype=np.float64), comment, start + 2 + natoms
 
 
+def _parse_atom_lines(lines):
+    symbols, coords = [], []
+    for ln in lines:
+        parts = ln.split()
+        if len(parts) < 4:
+            raise ValueError(f"not an atom line: {ln!r}")
+        symbols.append(parts[0])
+        coords.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    if not symbols:
+        raise ValueError("no atom lines")
+    return symbols, np.array(coords, dtype=np.float64)
+
+
 def read_xyz(path):
-    """Read first frame of an xyz file -> (symbols, coords_ang (N,3))."""
+    """Read first frame of an xyz file -> (symbols, coords_ang (N,3)).
+
+    Also accepts the reference's internal headerless format (e.g.
+    test/aldol_rxn/_0.xyz): a "charge multiplicity" first line followed
+    directly by atom lines, with no count/comment header (ref:
+    fileio.py:53 xyz2list consumes these via make_geometry_list)."""
     with open(path) as f:
-        lines = f.readlines()
-    symbols, coords, _, _ = _parse_frame(lines, 0)
+        raw = f.readlines()
+    stripped = [ln for ln in raw if ln.strip()]
+    tok = stripped[0].split() if stripped else []
+    if len(tok) >= 2:
+        try:
+            int(tok[0]), int(tok[1])
+            return _parse_atom_lines(stripped[1:])
+        except ValueError:
+            pass
+    symbols, coords, _, _ = _parse_frame(raw, 0)
     return symbols, coords
 
 

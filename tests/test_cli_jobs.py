@@ -201,3 +201,26 @@ def test_ieipmain_pair_discovery(tmp_path):
     rc = run_ieipmain([str(d), "-calc", "lj", "-ns", "60", "-out", out])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "ts_guess.xyz"))
+
+
+def test_nebmain_folder_input(tmp_path):
+    """Reference folder input (neb.py:1008): a directory of numerically
+    ordered *_N.xyz images is the initial NEB path."""
+    from multioptpy_tpu.cli import run_nebmain
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    a = np.array([[0.0, 0.0, 0.0], [RMIN_ANG * 1.05, 0.0, 0.0],
+                  [RMIN_ANG * 0.5, RMIN_ANG * 0.95, 0.0]])
+    b = a.copy()
+    b[2, 0] += RMIN_ANG * 1.1
+    for i in range(11):  # 11 images, two-digit suffixes exercise ordering
+        t = i / 10.0
+        (d / f"img_{i}.xyz").write_text(
+            format_xyz(["Ar"] * 3, a * (1 - t) + b * t))
+    out = str(tmp_path / "out")
+    rc = run_nebmain([str(d), "-calc", "lj", "-ns", "5", "-out", out])
+    assert rc == 0
+    from multioptpy_tpu.io import read_trajectory
+    _, frames, _ = read_trajectory(os.path.join(out, "neb_path.xyz"))
+    assert frames.shape[0] == 11

@@ -130,3 +130,19 @@ def test_md_with_shake_constraint():
     # constrained bond stays at its target along the whole trajectory
     d = np.linalg.norm(res.trajectory[:, 0] - res.trajectory[:, 1], axis=1)
     np.testing.assert_allclose(d, rmin, atol=1e-6)
+
+
+def test_read_xyz_reference_internal_format(tmp_path):
+    """The reference's internal headerless format — "charge mult" first
+    line, atom lines directly after (e.g. test/aldol_rxn/_0.xyz) — parses
+    alongside standard xyz."""
+    from multioptpy_tpu.io import read_xyz
+
+    p = tmp_path / "frame.xyz"
+    p.write_text("0 1\nC 0.0 0.0 0.0\nO 1.2 0.0 0.0\n")
+    s, c = read_xyz(str(p))
+    assert s == ["C", "O"]
+    assert c.shape == (2, 3)
+    # the reference's own fixture
+    s2, c2 = read_xyz("/root/reference/test/aldol_rxn/_0.xyz")
+    assert len(s2) == 11 and c2.shape == (11, 3)
