@@ -113,6 +113,59 @@ def bench_sqm_neb32():
             "vs_baseline": round(1.0 / ms, 3)}
 
 
+def bench_aldol_neb_fixture():
+    """CI-NEB step throughput on the reference's LITERAL aldol_rxn NEB
+    fixture (test/aldol_rxn/_0..{80}.xyz, 17 images x 11 atoms, C/H/O) with
+    the on-device SQM backend — the BASELINE.md 'NEB wall-clock
+    (aldol_rxn)' anchor on the reference's own input files."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.calculators.sqm import SQM
+    from multioptpy_tpu.drivers.neb import NEBConfig, make_neb_step
+    from multioptpy_tpu.io import read_xyz
+    from multioptpy_tpu.periodic import symbols_to_z
+    from multioptpy_tpu.steppers.first_order import fire_init
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    folder = "/root/reference/test/aldol_rxn"
+    files = sum([sorted(glob.glob(os.path.join(
+        folder, "*_" + "[0-9]" * i + ".xyz"))) for i in range(1, 4)], [])
+    frames, symbols = [], None
+    for f in files:
+        symbols, c_ang = read_xyz(f)
+        frames.append(np.float32(c_ang * ANGSTROM2BOHR))
+    path0 = jnp.asarray(np.stack(frames))
+    z = jnp.asarray(symbols_to_z(symbols))
+    n_images = path0.shape[0]
+
+    N_STEPS = 60
+    calc = SQM(eigh_impl="pallas")
+    config = NEBConfig(variant="cineb", optimizer="fire", n_steps=N_STEPS)
+    step = make_neb_step(calc, z, config)
+    fire0 = fire_init(path0.size, path0.dtype, dt0=config.dt0)
+
+    @jax.jit
+    def run(p, f):
+        def body(carry, it):
+            p, f = carry
+            p, f, _, _, _ = step(p, f, it)
+            return (p, f), None
+        (p, f), _ = jax.lax.scan(body, (p, f),
+                                 jnp.arange(1, N_STEPS + 1))
+        return p
+
+    dt = _timeit(lambda: jax.block_until_ready(run(path0, fire0)))
+    ms = dt / (n_images * N_STEPS) * 1e3
+    return {"metric": "aldol_fixture_neb_step",
+            "value": round(ms, 6), "unit": "ms/image/step",
+            "n_images": n_images,
+            "vs_baseline": round(1.0 / ms, 3)}
+
+
 def bench_sqm_f64_tight():
     """f64 on-device SQM + RFO, 64x water ensemble, 40 steps — proves the
     full QM gradient path runs in x64 on the TPU (round-1 blocker) and
@@ -279,7 +332,8 @@ def main():
 
     headline = bench_rfo_lj()
     extras = []
-    for fn in (bench_sqm_neb32, bench_sqm_f64_tight,
+    for fn in (bench_sqm_neb32, bench_aldol_neb_fixture,
+               bench_sqm_f64_tight,
                bench_reference_sqm2_ab, bench_autots_flagship):
         try:
             extras.append(fn())
