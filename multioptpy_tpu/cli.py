@@ -218,9 +218,10 @@ def _base_parser(description):
     p.add_argument("-mintr", "--min_trust_radius", type=float, default=0.01,
                    help="trust-radius floor in ang (ref -mintr)")
     p.add_argument("-modelhess", "--use_model_hessian", nargs="?",
-                   const="lindh2007d3", default=None,
-                   help="alias of -mh; bare flag = lindh2007d3 "
-                        "(ref -modelhess)")
+                   const="fischerd3old", default=None,
+                   help="alias of -mh; bare flag = fischerd3old, the "
+                        "reference's bare-flag default "
+                        "(ref interface.py:187 ModelhessAction)")
     p.add_argument("-tcc", dest="tight_convergence_criteria",
                    action="store_true", help="alias of -tight (ref -tcc)")
     p.add_argument("-lcc", dest="loose_convergence_criteria",

@@ -278,9 +278,9 @@ def _v1_opt_config(settings, base):
     mh = settings.get("use_model_hessian")
     if mh:
         # bare true / null = flag given without argument -> the reference's
-        # default "Improved Lindh + D3" (interface.py:191 ModelhessAction)
+        # ModelhessAction default 'fischerd3old' (interface.py:187)
         kw["init_hessian"] = "model:%s" % (mh if isinstance(mh, str)
-                                           else "lindhd3")
+                                           else "fischerd3old")
     if settings.get("tight_convergence_criteria"):
         kw.update(max_force=1.5e-5, rms_force=1e-5,
                   max_displacement=6e-5, rms_displacement=4e-5)
