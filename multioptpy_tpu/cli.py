@@ -762,8 +762,14 @@ def run_optmain(argv=None):
 
     cfg = _opt_config(args)
     snapshot_config(out, cfg, extra={"input": args.input})
+    from multioptpy_tpu.units import ANGSTROM2BOHR as _A2B
+    dc = args.dissociate_check
+    if isinstance(dc, (list, tuple)):
+        dc = dc[0] if dc else "10"
     res = optimize(calc, coords, z, bias_engine=bias, config=cfg,
-                   constraints=cons, record_trajectory=True, callback=cb)
+                   constraints=cons, record_trajectory=True, callback=cb,
+                   dissociation_limit=float(dc) * _A2B,
+                   shape_conditions=list(args.shape_conditions or []))
     logger.flush()
     write_xyz(os.path.join(out, "optimized.xyz"), symbols,
               np.asarray(res.coords) * BOHR2ANGSTROM,

@@ -725,6 +725,7 @@ def dissociation_detected(coords, limit=10.0):
 def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
              hessian0=None, record_trajectory=False, callback=None,
              constraints=None, stop_file="end.txt", dissociation_limit=None,
+             shape_conditions=None,
              checkpoint_path=None, checkpoint_every=0, resume_from=None,
              timer=None):
     """Host-driven optimization loop with early exit (3.1-equivalent stack).
@@ -803,6 +804,13 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
         if dissociation_limit and dissociation_detected(
                 state.coords, dissociation_limit):
             break
+        if shape_conditions:
+            # geometric exit conditions (ref: optimization.py:1871
+            # judge_shape_condition on every iteration)
+            from multioptpy_tpu.geometry import judge_shape_condition
+            if judge_shape_condition(np.asarray(state.coords),
+                                     shape_conditions):
+                break
         e_now = float(state.energy)
         if not np.isfinite(e_now) or abs(e_now) > 1e8:
             # runaway guard: a diverging (e.g. uphill TS) search otherwise

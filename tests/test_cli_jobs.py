@@ -224,3 +224,35 @@ def test_nebmain_folder_input(tmp_path):
     from multioptpy_tpu.io import read_trajectory
     _, frames, _ = read_trajectory(os.path.join(out, "neb_path.xyz"))
     assert frames.shape[0] == 11
+
+
+class TestShapeAndDissociation:
+    def test_judge_shape_condition(self):
+        from multioptpy_tpu.geometry import judge_shape_condition
+
+        # linear triatomic, 1.0 Ang spacings (in Bohr)
+        a2b = 1.0 / 0.52917721067
+        c = np.array([[0.0, 0.0, 0.0], [a2b, 0.0, 0.0], [2 * a2b, 0.0, 0.0]])
+        # bond 1-2 = 1.0 Ang: "gt 0.5" holds, "gt 1.5" violated
+        assert not judge_shape_condition(c, ["0.5", "gt", "1,2"])
+        assert judge_shape_condition(c, ["1.5", "gt", "1,2"])
+        assert not judge_shape_condition(c, ["1.5", "lt", "1,2"])
+        # angle 1-2-3 = 180 deg
+        assert not judge_shape_condition(c, ["90", "gt", "1,2,3"])
+        assert judge_shape_condition(c, ["90", "lt", "1,2,3"])
+        # multiple triples: first holds, second violated
+        assert judge_shape_condition(
+            c, ["0.5", "gt", "1,2", "0.5", "lt", "2,3"])
+        with pytest.raises(ValueError):
+            judge_shape_condition(c, ["1.0", "gt"])
+
+    def test_optmain_sc_aborts(self, ar3_xyz, tmp_path):
+        """-sc condition violated from the start -> immediate abort, few
+        iterations recorded (ref: optimization.py:1871)."""
+        from multioptpy_tpu.cli import run_optmain
+
+        out = str(tmp_path / "out_sc")
+        run_optmain([ar3_xyz, "-calc", "lj", "-ns", "200",
+                     "-sc", "0.1", "lt", "1,2", "-out", out])
+        e = np.loadtxt(os.path.join(out, "energies.csv"))
+        assert e.ndim == 0 or len(np.atleast_1d(e)) <= 3
