@@ -639,8 +639,15 @@ def _opt_config(args):
               mfc_count=args.mfc_count, trust_radius_ang=args.trust_radius,
               diis_variant=getattr(args, "diis_variant", None),
               delta=getattr(args, "delta", 1.0))
-    if args.model_hessian:
-        kw["init_hessian"] = f"model:{args.model_hessian}"
+    # reference -d/--DELTA ('x' sentinel = per-method default,
+    # interface.py:150); explicit values feed the first-order step scale
+    big_d = getattr(args, "DELTA", None)
+    if big_d not in (None, "x") and kw["delta"] == 1.0:
+        kw["delta"] = float(big_d)
+    kw["trust_radius_min_ang"] = getattr(args, "min_trust_radius", 0.01)
+    mh = args.model_hessian or getattr(args, "use_model_hessian", None)
+    if mh:
+        kw["init_hessian"] = f"model:{mh}"
     if args.tight_convergence_criteria:
         kw.update(max_force=1.5e-5, rms_force=1e-5, max_displacement=6e-5,
                   rms_displacement=4e-5)
@@ -769,7 +776,9 @@ def run_optmain(argv=None):
     res = optimize(calc, coords, z, bias_engine=bias, config=cfg,
                    constraints=cons, record_trajectory=True, callback=cb,
                    dissociation_limit=float(dc) * _A2B,
-                   shape_conditions=list(args.shape_conditions or []))
+                   shape_conditions=list(args.shape_conditions or []),
+                   detect_negative_eigenvalues=getattr(
+                       args, "detect_negative_eigenvalues", False))
     logger.flush()
     write_xyz(os.path.join(out, "optimized.xyz"), symbols,
               np.asarray(res.coords) * BOHR2ANGSTROM,
@@ -1097,9 +1106,13 @@ def run_nebmain(argv=None):
         redist, redist_every = "savgol", int(sg[0])
         if len(sg) >= 3:
             sg_window, sg_order = int(sg[1]), int(sg[2])
+    # the reference only stops on force criteria when -aconv is given
+    # (interface.py call_nebparser apply_convergence_criteria; default =
+    # run every NSTEP iteration)
+    fmax = (NEBConfig().fmax if args.apply_convergence_criteria else 0.0)
     cfg = NEBConfig(variant=variant, n_steps=args.NSTEP,
                     k_spring=args.spring_const, climbing_start=ci_start,
-                    optimizer=optimizer,
+                    optimizer=optimizer, fmax=fmax,
                     optimize_endpoints=(args.fixedges == 0),
                     per_image_trust=args.per_image_trust,
                     dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs,
@@ -1224,7 +1237,9 @@ def run_mdmain(argv=None):
             res = run_md(calc, x, z, MDConfig(
                 timestep_fs=args.timestep, n_steps=n,
                 temperature=temp, thermostat=args.thermostat,
-                seed=itraj), bias_engine=bias, velocities=vel,
+                seed=itraj,
+                pbc_box_ang=tuple(float(v) for v in (args.pbc or []))),
+                bias_engine=bias, velocities=vel,
                 constraints=cons)
             x, vel = res.final.coords, res.final.velocities
             trajs.append(np.asarray(res.trajectory))
@@ -1668,8 +1683,14 @@ def run_ieipmain(argv=None):
         from multioptpy_tpu.drivers.ieip import IEIPConfig, ieip
         if end is None:
             raise SystemExit(f"{engine} needs -i2 (a product geometry)")
-        res = ieip(calc, coords, end, z, IEIPConfig(engine=engine,
-                                                    n_steps=args.NSTEP))
+        ikw = {"engine": engine, "n_steps": args.NSTEP}
+        if getattr(args, "BETA", 1.0) != 1.0:
+            # -beta scales the image-pair attraction (ref: ieip.py:147,
+            # elastic_image_pair.py:458 X = BETA/|u| - ...)
+            ikw["pull_strength"] = IEIPConfig().pull_strength * args.BETA
+        if getattr(args, "dimer_separation", None) not in (None, 1e-4):
+            ikw["dimer_separation"] = args.dimer_separation
+        res = ieip(calc, coords, end, z, IEIPConfig(**ikw))
         ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
 
     write_xyz(os.path.join(out, "ts_guess.xyz"), symbols,

@@ -34,6 +34,9 @@ class MDConfig:
     seed: int = 0
     n_chain: int = 3                 # Nose-Hoover chain length
     remove_com: bool = True
+    # orthorhombic periodic box lengths [a b c] in Angstrom (ref: -pbc
+    # interface.py:376; Utils/pbc.py molecule-preserving COM wrap)
+    pbc_box_ang: tuple = ()
 
 
 class MDState(NamedTuple):
@@ -63,8 +66,46 @@ def maxwell_boltzmann(key, masses_au, temperature, dtype=jnp.float64):
     return v
 
 
+def make_fragment_pbc_wrap(coords0, z, box_ang):
+    """Molecule-preserving periodic wrap (ref: Utils/pbc.py:6
+    apply_periodic_boundary_condition): whole covalent fragments translate
+    so each center of mass lands inside the orthorhombic box. The
+    reference re-derives fragments on host every step; here membership is
+    fixed from the t=0 bond connectivity and the wrap is two matmuls that
+    jit inside the MD scan. Returns coords -> coords."""
+    from multioptpy_tpu.coords.internals import _components
+    from multioptpy_tpu.geometry import bond_connectivity
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    coords0 = jnp.asarray(coords0)
+    z_np = np.asarray(z)
+    adj = np.asarray(bond_connectivity(coords0, jnp.asarray(z)))
+    labels = _components(adj)
+    frag_ids = sorted(set(labels))
+    n = len(z_np)
+    member = np.zeros((len(frag_ids), n))
+    for fi, lab in enumerate(frag_ids):
+        member[fi, [i for i in range(n) if labels[i] == lab]] = 1.0
+    m = masses_from_z(np.asarray(z_np))
+    com_w = member * np.asarray(m)[None, :]
+    com_w = com_w / com_w.sum(axis=1, keepdims=True)
+    dtype = coords0.dtype
+    member_j = jnp.asarray(member, dtype)
+    com_w_j = jnp.asarray(com_w, dtype)
+    box = jnp.asarray(np.asarray(box_ang, dtype=np.float64)
+                      * ANGSTROM2BOHR, dtype)
+
+    def wrap(x):
+        com = com_w_j @ x                        # (F,3)
+        shift = -jnp.floor(com / box) * box      # translate into [0, box)
+        return x + member_j.T @ shift
+
+    return wrap
+
+
 def make_md_step(calc, z, config=MDConfig(), bias_engine=None,
-                 constraints=None, constraint_targets=None):
+                 constraints=None, constraint_targets=None,
+                 pbc_wrap=None):
     dt = config.timestep_fs / AU2FS
     masses = None  # resolved lazily from z inside (traced gather)
     kT = KB_HARTREE * config.temperature
@@ -146,6 +187,11 @@ def make_md_step(calc, z, config=MDConfig(), bias_engine=None,
             p = jnp.sum(m[:, None] * v, axis=0)
             v = v - p[None, :] / jnp.sum(m)
 
+        if pbc_wrap is not None:
+            # per-fragment COM wrap into the box (ref:
+            # moleculardynamics.py:156)
+            x = pbc_wrap(x)
+
         return MDState(coords=x, velocities=v, energy=e, gradient=g,
                        xi=xi, key=key)
 
@@ -187,8 +233,11 @@ def run_md(calc, coords, z, config=MDConfig(), bias_engine=None,
     state0 = MDState(coords=coords, velocities=velocities, energy=e0,
                      gradient=g0,
                      xi=jnp.zeros((n_chain,), coords.dtype), key=key)
+    pbc_wrap = None
+    if config.pbc_box_ang:
+        pbc_wrap = make_fragment_pbc_wrap(coords, z, config.pbc_box_ang)
     step = make_md_step(calc, z, config, bias_engine, constraints,
-                        constraint_targets)
+                        constraint_targets, pbc_wrap=pbc_wrap)
 
     @jax.jit
     def run(state):

@@ -725,7 +725,7 @@ def dissociation_detected(coords, limit=10.0):
 def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
              hessian0=None, record_trajectory=False, callback=None,
              constraints=None, stop_file="end.txt", dissociation_limit=None,
-             shape_conditions=None,
+             shape_conditions=None, detect_negative_eigenvalues=False,
              checkpoint_path=None, checkpoint_every=0, resume_from=None,
              timer=None):
     """Host-driven optimization loop with early exit (3.1-equivalent stack).
@@ -810,6 +810,18 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
             from multioptpy_tpu.geometry import judge_shape_condition
             if judge_shape_condition(np.asarray(state.coords),
                                      shape_conditions):
+                break
+        if (detect_negative_eigenvalues and config.saddle_order > 0
+                and config.fc_count > 0):
+            # saddle search left the region with downhill curvature (ref:
+            # optimization.py:1291 judge_early_stop_due_to_no_negative_
+            # eigenvalues): projected Hessian all-positive -> stop
+            from multioptpy_tpu.geometry import project_hessian_tr_rot
+            h_proj = np.asarray(project_hessian_tr_rot(
+                state.hessian, state.coords))
+            if not np.any(np.linalg.eigvalsh(h_proj) < -1e-10):
+                print("# no negative eigenvalues while saddle_order > 0 "
+                      "- stopping (ref -negeigval)")
                 break
         e_now = float(state.energy)
         if not np.isfinite(e_now) or abs(e_now) > 1e8:

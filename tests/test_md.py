@@ -73,3 +73,46 @@ def test_thermostats_hold_temperature(ar4, thermo):
     t_avg = float(np.mean(res.temperatures[500:]))
     assert 10.0 < t_avg < 120.0  # loose: small system, large fluctuations
     assert np.all(np.isfinite(res.trajectory))
+
+
+def test_pbc_fragment_wrap():
+    """-pbc box: whole covalent fragments wrap so their centers of mass
+    stay inside the orthorhombic box (ref: Utils/pbc.py
+    apply_periodic_boundary_condition), without tearing bonds."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multioptpy_tpu.drivers.md import make_fragment_pbc_wrap
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    # H2 molecule placed outside a 5x5x5 Ang box
+    box = (5.0, 5.0, 5.0)
+    r = 0.74 * ANGSTROM2BOHR
+    mol = np.array([[0.0, 0.0, 0.0], [r, 0.0, 0.0]])
+    shifted = mol + np.array([7.3, -2.0, 11.0]) * ANGSTROM2BOHR
+    z = jnp.array([1, 1])
+    wrap = make_fragment_pbc_wrap(jnp.asarray(shifted), z, box)
+    out = np.asarray(wrap(jnp.asarray(shifted)))
+    # bond length preserved exactly (rigid fragment translation)
+    np.testing.assert_allclose(np.linalg.norm(out[1] - out[0]), r,
+                               rtol=1e-12)
+    com = out.mean(axis=0)  # equal masses
+    box_bohr = np.asarray(box) * ANGSTROM2BOHR
+    assert np.all(com >= 0.0) and np.all(com < box_bohr)
+
+
+def test_md_with_pbc_box_runs():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multioptpy_tpu.calculators import LennardJones
+    from multioptpy_tpu.drivers.md import MDConfig, run_md
+    from multioptpy_tpu.periodic import UFF_VDW_R
+
+    rmin = float(UFF_VDW_R[18])
+    coords = jnp.asarray(np.array([[0.0, 0.0, 0.0], [rmin, 0.0, 0.0]]))
+    z = jnp.array([18, 18])
+    res = run_md(LennardJones(), coords, z,
+                 MDConfig(n_steps=50, thermostat="none", remove_com=False,
+                          temperature=400.0, pbc_box_ang=(8.0, 8.0, 8.0)))
+    assert np.all(np.isfinite(res.trajectory))
