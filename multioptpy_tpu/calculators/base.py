@@ -95,3 +95,38 @@ def available_calculators():
     from multioptpy_tpu.calculators import (  # noqa: F401
         emt, host, lj, model_surfaces, sqm, tersoff)
     return sorted(_REGISTRY)
+
+
+class FragmentGradWrapper(Calculator):
+    """Rigid-fragment optimization gradient filter (ref: -of/--opt_fragment,
+    optimization.py:1228 calc_fragment_grads): within each listed fragment
+    the gradient is replaced by its mean, so those atoms move as one rigid
+    translation unit. Wraps any backend; the averaging is a static (N,N)
+    projection matmul, jit/vmap-safe."""
+
+    def __init__(self, inner, fragments, n_atoms):
+        import numpy as np
+        self.inner = inner
+        self.on_device = inner.on_device
+        self.name = f"fragopt({inner.name})"
+        self.charge = inner.charge
+        self.multiplicity = inner.multiplicity
+        self.options = inner.options
+        p = np.eye(n_atoms)
+        for frag in fragments:
+            idx = [int(a) - 1 for a in frag]
+            for i in idx:
+                p[i, :] = 0.0
+                for j in idx:
+                    p[i, j] = 1.0 / len(idx)
+        self._proj = jnp.asarray(p)
+
+    def energy(self, coords, z):
+        return self.inner.energy(coords, z)
+
+    def energy_and_gradient(self, coords, z):
+        e, g = self.inner.energy_and_gradient(coords, z)
+        return e, jnp.asarray(self._proj, g.dtype) @ g
+
+    def hessian(self, coords, z):
+        return self.inner.hessian(coords, z)

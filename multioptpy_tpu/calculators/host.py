@@ -174,6 +174,12 @@ class Psi4(HostCalculator):
     def _host_energy_gradient(self, coords, z):
         import psi4
         from multioptpy_tpu.periodic import z_to_symbol
+        # host resource hints (ref: psi4_calculation_tools.py set_memory/
+        # set_num_threads from -mem / -core)
+        if self.options.get("memory"):
+            psi4.set_memory(str(self.options["memory"]))
+        if self.options.get("n_threads"):
+            psi4.set_num_threads(int(self.options["n_threads"]))
         lines = [f"{self.charge} {self.multiplicity}"]
         for zi, c in zip(z, coords * BOHR2ANGSTROM):
             lines.append(f"{z_to_symbol(zi)} {c[0]:.12f} {c[1]:.12f} {c[2]:.12f}")

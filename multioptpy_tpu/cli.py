@@ -322,6 +322,13 @@ def _make_calculator(args):
         kw["grid"] = getattr(args, "dft_grid", 3)
     else:
         name, kw = "lj", {}
+    if name == "psi4":
+        # host resource hints (ref: -mem/-core -> psi4 set_memory /
+        # set_num_threads, psi4_calculation_tools.py)
+        if getattr(args, "SET_MEMORY", None):
+            kw.setdefault("memory", args.SET_MEMORY)
+        if getattr(args, "N_THREAD", None):
+            kw.setdefault("n_threads", args.N_THREAD)
     return get_calculator(name, charge=charge, multiplicity=mult, **kw)
 
 
@@ -702,6 +709,12 @@ def run_optmain(argv=None):
     args = p.parse_args(argv)
     symbols, coords, z = _load_system(args)
     calc = _make_calculator(args)
+    if getattr(args, "opt_fragment", None):
+        # -of: rigid-fragment gradient averaging (ref: optimization.py:1228)
+        from multioptpy_tpu.calculators.base import FragmentGradWrapper
+        calc = FragmentGradWrapper(
+            calc, [num_parse(s) for s in args.opt_fragment],
+            int(coords.shape[0]))
     if args.oniom_flag:
         # 2-layer ONIOM wrapper (ref: Utils/oniom.py + ONIOMHandler,
         # optimization.py:597): high layer keeps `calc`, low layer defaults

@@ -256,3 +256,26 @@ class TestShapeAndDissociation:
                      "-sc", "0.1", "lt", "1,2", "-out", out])
         e = np.loadtxt(os.path.join(out, "energies.csv"))
         assert e.ndim == 0 or len(np.atleast_1d(e)) <= 3
+
+
+def test_opt_fragment_rigid_translation(ar3_xyz, tmp_path):
+    """-of: atoms of a fragment share one averaged gradient, so their
+    internal geometry is frozen while the fragment still translates
+    (ref: optimization.py:1228 calc_fragment_grads)."""
+    from multioptpy_tpu.cli import run_optmain
+    from multioptpy_tpu.io import read_xyz
+
+    # first-order engine: the reference documents -of as incompatible
+    # with quasi-Newton steps (interface.py:177) — with steepest descent
+    # the averaged gradient IS the move, giving a rigid translation
+    out = str(tmp_path / "out_of")
+    run_optmain([ar3_xyz, "-calc", "lj", "-ns", "300", "-o", "sd",
+                 "-tight", "-of", "1,2", "-out", out])
+    _, before = read_xyz(ar3_xyz)
+    _, after = read_xyz(os.path.join(out, "optimized.xyz"))
+    d_before = np.linalg.norm(before[0] - before[1])
+    d_after = np.linalg.norm(after[0] - after[1])
+    # the 1-2 distance is untouched by a pure shared translation
+    assert d_after == pytest.approx(d_before, abs=1e-6)
+    # but atom 3 relaxed relative to the fragment
+    assert np.linalg.norm(after[2] - before[2]) > 1e-3
