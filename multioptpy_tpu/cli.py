@@ -1084,7 +1084,13 @@ def run_nebmain(argv=None):
     variant = (args.neb_variant or (args.variant_flags or ["cineb"])[-1])
     optimizer = ((args.opt_flags or [args.neb_optimizer])[-1]
                  if args.neb_optimizer == "fire" else args.neb_optimizer)
-    if args.memory_limited_BFGS or args.global_quasi_newton:
+    if args.fc_count > 0 or (args.mfc_count > 0
+                             and (args.model_hessian
+                                  or args.use_model_hessian)):
+        # Hessian-based band optimizer (ref: neb.py:797 _setup_optimizer:
+        # FC_COUNT/MFC_COUNT+modelhess -> RFOOptimizer)
+        optimizer = "rfo"
+    elif args.memory_limited_BFGS or args.global_quasi_newton:
         optimizer = "lbfgs"
     elif args.conjugate_gradient is not None:
         optimizer = "cg_" + str(args.conjugate_gradient).lower()
@@ -1129,6 +1135,7 @@ def run_nebmain(argv=None):
                     optimize_endpoints=(args.fixedges == 0),
                     per_image_trust=args.per_image_trust,
                     dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs,
+                    rfo_ratio=args.ratio_of_rfo_step,
                     redistribute=redist, redistribute_every=redist_every,
                     savgol_window=sg_window, savgol_order=sg_order)
 

@@ -507,10 +507,14 @@ class NEBConfig:
     spring k, CI start iteration (ref: APPLY_CI_NEB)."""
 
     variant: str = "cineb"
-    optimizer: str = "fire"       # fire | afire | quickmin | lbfgs | sd
-                                  # (ref: Optimizer/{fire,afire,
+    optimizer: str = "fire"       # fire | afire | quickmin | lbfgs | sd |
+                                  # rfo (ref: Optimizer/{fire,afire,
                                   # gradientdescent,lbfgs,rfo}_neb.py;
-                                  # afire = per-image adaptive FIRE clocks)
+                                  # afire = per-image adaptive FIRE clocks;
+                                  # rfo = blended FIRE + per-image
+                                  # quasi-Newton RFO)
+    rfo_ratio: float = 0.5        # RFO fraction of the interior move
+                                  # (ref: -rrs interface.py:336)
     n_steps: int = 100
     k_spring: float = 0.01
     climbing_start: int = 10
@@ -549,14 +553,39 @@ class NEBResult(NamedTuple):
     ts_index: int              # highest-energy image
 
 
+class RFONEBState(NamedTuple):
+    """Carry for the blended FIRE+RFO band clock (ref:
+    Optimizer/rfo_neb.py:95 RFOOptimizer)."""
+
+    fire: tuple             # inner FIRE state for the band
+    hessians: jnp.ndarray   # (I,D,D) per-image quasi-Newton Hessians
+    prev_x: jnp.ndarray     # (I,D)
+    prev_g: jnp.ndarray     # (I,D) raw per-image gradients
+    have_prev: jnp.ndarray  # bool scalar
+
+
+def rfo_neb_init(path0, dtype=None, dt0=0.3):
+    from multioptpy_tpu.steppers.first_order import fire_init
+    path0 = jnp.asarray(path0)
+    dt = dtype or path0.dtype
+    n_img = path0.shape[0]
+    d = path0.shape[1] * 3
+    return RFONEBState(
+        fire=fire_init(path0.size, dt, dt0=dt0),
+        hessians=jnp.tile(jnp.eye(d, dtype=dt)[None], (n_img, 1, 1)),
+        prev_x=jnp.zeros((n_img, d), dt),
+        prev_g=jnp.zeros((n_img, d), dt),
+        have_prev=jnp.asarray(False))
+
+
 def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
     """One jitted NEB iteration: (path, fire_state, it) -> ..."""
     opt = config.optimizer
-    if opt not in ("fire", "afire", "quickmin", "lbfgs", "sd") and not (
-            opt.startswith("cg")):
+    if opt not in ("fire", "afire", "quickmin", "lbfgs", "sd",
+                   "rfo") and not (opt.startswith("cg")):
         raise ValueError(f"unknown NEB optimizer '{opt}' (choose from fire, "
-                         f"afire, quickmin, lbfgs, sd, cg_pr, cg_fr, cg_hs, "
-                         f"cg_dy, cg_hz)")
+                         f"afire, quickmin, lbfgs, sd, rfo, cg_pr, cg_fr, "
+                         f"cg_hs, cg_dy, cg_hz)")
     base_variant = ("neb" if config.variant == "cineb"
                     else config.variant)
 
@@ -601,6 +630,85 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
                                       -forces.reshape(-1),
                                       delta=config.sd_step)
             fire_new = lb_new
+        elif config.optimizer == "rfo":
+            # blended FIRE + per-image quasi-Newton RFO (ref:
+            # Optimizer/rfo_neb.py:95 RFOOptimizer): the band-projected
+            # force drives FIRE, the RAW per-image gradient drives a
+            # vmapped RS-RFO with FSB (endpoints) / Bofill (interior)
+            # Hessians; interior move = (1-r) fire + r rfo, endpoints
+            # pure RFO, with the reference's per-image step limits
+            from multioptpy_tpu.hessian.updates import (bofill_delta,
+                                                        fsb_delta)
+            from multioptpy_tpu.steppers.rfo import rs_rfo_step
+            n_img = path.shape[0]
+            d = path.shape[1] * 3
+            x_flat = path.reshape(n_img, d)
+            g_raw = grads.reshape(n_img, d)
+            endpoint = (jnp.arange(n_img) == 0) | \
+                (jnp.arange(n_img) == n_img - 1)
+            # secant pairs use the RAW per-image gradients (a consistent
+            # gradient field — the reference also feeds total_force to its
+            # per-image RSIRFO, rfo_neb.py:137)
+            s_v = x_flat - fire_state.prev_x
+            y_v = g_raw - fire_state.prev_g
+
+            def upd(h, s_i, y_i, is_end):
+                dh = jnp.where(is_end, fsb_delta(h, s_i, y_i),
+                               bofill_delta(h, s_i, y_i))
+                # band moves can stall to |s| ~ 0 (FIRE resets), where
+                # secant updates degenerate — skip those, and reset any
+                # image whose Hessian went non-finite to identity
+                small = jnp.linalg.norm(s_i) < 1e-8
+                h2 = h + jnp.where(small, 0.0, dh)
+                ok = jnp.all(jnp.isfinite(h2))
+                return jnp.where(ok, h2, jnp.eye(d, dtype=h.dtype))
+
+            h_upd = jax.vmap(upd)(fire_state.hessians, s_v, y_v, endpoint)
+            h_new = jnp.where(fire_state.have_prev, h_upd,
+                              fire_state.hessians)
+            # interior images move PERPENDICULAR to the path (the
+            # reference's switch_NEB_mode / Ayala tangent handling,
+            # rfo_neb.py:124,138): the solve sees the projected Hessian
+            # P H P plus a stiff tangent penalty and the projected
+            # gradient, so the RFO step cannot slide images along the
+            # band into the minima
+            tan = jnp.roll(x_flat, -1, axis=0) - jnp.roll(x_flat, 1, axis=0)
+            tan = tan / (jnp.linalg.norm(tan, axis=1, keepdims=True)
+                         + 1e-30)
+            g_perp = g_raw - jnp.sum(g_raw * tan, axis=1,
+                                     keepdims=True) * tan
+            g_eff = jnp.where(endpoint[:, None], g_raw, g_perp)
+
+            def project_h(h, t, is_end):
+                p = jnp.eye(d, dtype=h.dtype) - jnp.outer(t, t)
+                h_perp = p @ h @ p + 1.0 * jnp.outer(t, t)
+                return jnp.where(is_end, h, h_perp)
+
+            h_eff = jax.vmap(project_h)(h_new, tan, endpoint)
+            # trust radii 0.5 endpoints / 0.2 interior (ref: rfo_neb.py:119)
+            tr = jnp.where(endpoint, 0.5, 0.2).astype(path.dtype)
+
+            def solve(g_i, h_i, tr_i):
+                st, _ = rs_rfo_step(g_i, h_i, tr_i, saddle_order=0)
+                return st
+
+            rfo_mv = jax.vmap(solve)(g_eff, h_eff, tr)
+            # per-image step limit 0.2 / 0.1 (ref: rfo_neb.py:81)
+            lim = jnp.where(endpoint, 0.2, 0.1).astype(path.dtype)
+            nrm = jnp.linalg.norm(rfo_mv, axis=1, keepdims=True)
+            rfo_mv = rfo_mv * jnp.minimum(
+                1.0, lim[:, None] / jnp.maximum(nrm, 1e-30))
+            mv_f, fire_inner = fire_step(fire_state.fire,
+                                         -forces.reshape(-1),
+                                         dt_max=config.dt_max)
+            mv_f = mv_f.reshape(n_img, d)
+            r = config.rfo_ratio
+            mv_all = jnp.where(endpoint[:, None], rfo_mv,
+                               (1.0 - r) * mv_f + r * rfo_mv)
+            move = mv_all.reshape(-1)
+            fire_new = RFONEBState(fire=fire_inner, hessians=h_new,
+                                   prev_x=x_flat, prev_g=g_raw,
+                                   have_prev=jnp.asarray(True))
         elif config.optimizer.startswith("cg"):
             # conjugate-gradient band clock
             # (ref: Optimizer/conjugate_gradient_neb.py:6)
@@ -650,6 +758,8 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     elif config.optimizer == "afire":
         fire_state = afire_init(path.shape[0], path.shape[1], path.dtype,
                                 dt0=config.dt0)
+    elif config.optimizer == "rfo":
+        fire_state = rfo_neb_init(path, dt0=config.dt0)
     else:
         fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
     e_hist = []

@@ -320,3 +320,25 @@ def test_neb_with_per_image_trust_runs():
                         per_image_trust=True))
     assert np.all(np.isfinite(np.asarray(res.path)))
     assert np.allclose(np.asarray(res.path[0]), np.asarray(path0[0]))
+
+
+def test_rfo_band_optimizer_muller_brown():
+    """Blended FIRE+RFO band clock (ref: Optimizer/rfo_neb.py RFOOptimizer):
+    converges the MB path and keeps the barrier-top image near the known
+    saddle."""
+    from multioptpy_tpu.calculators.model_surfaces import (
+        MB_MIN_A, MB_MIN_C, MB_TS_AB, MullerBrown)
+    from multioptpy_tpu.drivers.neb import (
+        NEBConfig, interpolate_linear, neb)
+
+    calc = MullerBrown()
+    z = jnp.array([1])
+    start = jnp.array([[MB_MIN_A[0], MB_MIN_A[1], 0.0]])
+    end = jnp.array([[MB_MIN_C[0], MB_MIN_C[1], 0.0]])
+    path0 = interpolate_linear(start, end, 14)
+    res = neb(calc, path0, z, NEBConfig(
+        variant="cineb", optimizer="rfo", n_steps=250, k_spring=5e-4,
+        climbing_start=40, dt0=0.05, dt_max=0.4, rfo_ratio=0.5))
+    e = np.asarray(res.energies)
+    ts = np.asarray(res.path[int(np.argmax(e))])
+    np.testing.assert_allclose(ts[0, :2], MB_TS_AB, atol=0.05)
