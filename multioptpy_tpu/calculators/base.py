@@ -130,3 +130,46 @@ class FragmentGradWrapper(Calculator):
 
     def hessian(self, coords, z):
         return self.inner.hessian(coords, z)
+
+
+class BondGradProjWrapper(Calculator):
+    """Zero the internal-coordinate gradient between atom pairs (ref:
+    -gfix/--gradient_fix_atoms, interface.py:90 'set the gradient of
+    internal coordinates between atoms to zero'): each listed pair's
+    bond-stretch direction is projected out of the gradient, so that bond
+    length feels no force while everything else relaxes. The projector is
+    rebuilt from the live geometry each call (pure JAX, jit/vmap-safe)."""
+
+    def __init__(self, inner, pairs):
+        self.inner = inner
+        self.on_device = inner.on_device
+        self.name = f"gfix({inner.name})"
+        self.charge = inner.charge
+        self.multiplicity = inner.multiplicity
+        self.options = inner.options
+        self.pairs = tuple((int(i) - 1, int(j) - 1) for i, j in pairs)
+
+    def energy(self, coords, z):
+        return self.inner.energy(coords, z)
+
+    def _b_rows(self, coords):
+        rows = []
+        n = coords.shape[0]
+        for i, j in self.pairs:
+            d = coords[i] - coords[j]
+            u = d / (jnp.linalg.norm(d) + 1e-30)
+            row = jnp.zeros((n, 3), coords.dtype)
+            row = row.at[i].set(u).at[j].set(-u)
+            rows.append(row.reshape(-1))
+        return jnp.stack(rows)
+
+    def energy_and_gradient(self, coords, z):
+        e, g = self.inner.energy_and_gradient(coords, z)
+        b = self._b_rows(coords)                      # (P, 3N)
+        gram = b @ b.T + 1e-12 * jnp.eye(b.shape[0], dtype=b.dtype)
+        coef = jnp.linalg.solve(gram, b @ g.reshape(-1))
+        g_proj = g.reshape(-1) - b.T @ coef
+        return e, g_proj.reshape(g.shape)
+
+    def hessian(self, coords, z):
+        return self.inner.hessian(coords, z)

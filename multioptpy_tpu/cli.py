@@ -715,6 +715,17 @@ def run_optmain(argv=None):
         calc = FragmentGradWrapper(
             calc, [num_parse(s) for s in args.opt_fragment],
             int(coords.shape[0]))
+    if getattr(args, "gradient_fix_atoms", None):
+        # -gfix: zero the bond-stretch gradient between each listed pair
+        # (ref: interface.py:90)
+        from multioptpy_tpu.calculators.base import BondGradProjWrapper
+        pairs = []
+        for s in args.gradient_fix_atoms:
+            a = num_parse(s)
+            if len(a) != 2:
+                raise SystemExit("-gfix expects atom pairs like 1,2")
+            pairs.append((a[0], a[1]))
+        calc = BondGradProjWrapper(calc, pairs)
     if args.oniom_flag:
         # 2-layer ONIOM wrapper (ref: Utils/oniom.py + ONIOMHandler,
         # optimization.py:597): high layer keeps `calc`, low layer defaults

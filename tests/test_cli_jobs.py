@@ -279,3 +279,23 @@ def test_opt_fragment_rigid_translation(ar3_xyz, tmp_path):
     assert d_after == pytest.approx(d_before, abs=1e-6)
     # but atom 3 relaxed relative to the fragment
     assert np.linalg.norm(after[2] - before[2]) > 1e-3
+
+
+def test_gfix_freezes_bond_gradient(ar3_xyz, tmp_path):
+    """-gfix i,j projects the bond-stretch direction out of the gradient:
+    that bond length stays put while the rest relaxes (ref:
+    interface.py:90 gradient_fix_atoms)."""
+    from multioptpy_tpu.cli import run_optmain
+    from multioptpy_tpu.io import read_xyz
+
+    out = str(tmp_path / "out_gfix")
+    run_optmain([ar3_xyz, "-calc", "lj", "-ns", "300", "-o", "sd",
+                 "-tight", "-gfix", "1,2", "-out", out])
+    _, before = read_xyz(ar3_xyz)
+    _, after = read_xyz(os.path.join(out, "optimized.xyz"))
+    d12b = np.linalg.norm(before[0] - before[1])
+    d12a = np.linalg.norm(after[0] - after[1])
+    d23b = np.linalg.norm(before[1] - before[2])
+    d23a = np.linalg.norm(after[1] - after[2])
+    assert d12a == pytest.approx(d12b, abs=1e-6)
+    assert abs(d23a - d23b) > 1e-3
