@@ -731,12 +731,19 @@ def run_optmain(argv=None):
         # optimization.py:597): high layer keeps `calc`, low layer defaults
         # to the lj model unless a calculator name is given
         from multioptpy_tpu.calculators import get_calculator as _getc
-        from multioptpy_tpu.calculators.oniom import ONIOM
+        from multioptpy_tpu.calculators.oniom import ONIOM, MicroiterONIOM
         high_atoms = num_parse(args.oniom_flag[0])
         low_name = (args.oniom_flag[1] if len(args.oniom_flag) > 1
                     else "lj")
-        calc = ONIOM(high_calc=calc, low_calc=_getc(low_name),
-                     high_atoms=high_atoms)
+        mi = int(getattr(args, "microiter", 0) or 0)
+        if mi > 0:
+            # -mi: low-layer microiterations per macro step (ref:
+            # optimization.py:716 ONIOMHandler)
+            calc = MicroiterONIOM(high_calc=calc, low_calc=_getc(low_name),
+                                  high_atoms=high_atoms, microiter=mi)
+        else:
+            calc = ONIOM(high_calc=calc, low_calc=_getc(low_name),
+                         high_atoms=high_atoms)
     if args.model_function:
         # 2-state model-function optimization (ref: interface.py:200 -mf;
         # ModelFunction/*.py seam/avoiding/conical/MESX/MECI): state 2 is

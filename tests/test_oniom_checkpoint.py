@@ -145,3 +145,36 @@ def test_o1numhess_full_reproduces_lj_hessian():
     scale = np.abs(h_exact).max()
     np.testing.assert_allclose(h_o1, h_exact, atol=3e-5 * max(scale, 1.0),
                                rtol=2e-3)
+
+
+def test_microiter_oniom_relaxes_environment():
+    """MicroiterONIOM (ref: optimization.py:716): the environment FIRE-
+    relaxes on the low-level surface with the high layer frozen, so the
+    effective energy at a strained environment is lower than plain ONIOM's
+    and high-layer rows keep exact positions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multioptpy_tpu.calculators import LennardJones
+    from multioptpy_tpu.calculators.oniom import MicroiterONIOM, ONIOM
+    from multioptpy_tpu.periodic import UFF_VDW_R
+
+    rmin = float(UFF_VDW_R[18])
+    # high layer = atoms 1,2 (dimer at equilibrium); environment atom 3
+    # starts compressed against them
+    coords = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [rmin, 0.0, 0.0], [rmin / 2, rmin * 0.55, 0.0]]))
+    z = jnp.array([18, 18, 18])
+    plain = ONIOM(high_calc=LennardJones(), low_calc=LennardJones(),
+                  high_atoms=[1, 2])
+    micro = MicroiterONIOM(high_calc=LennardJones(),
+                           low_calc=LennardJones(), high_atoms=[1, 2],
+                           microiter=60)
+    e0 = float(plain.energy(coords, z))
+    e1 = float(micro.energy(coords, z))
+    assert e1 < e0 - 1e-4
+    # gradient flows to the high layer only through its direct dependence
+    e, g = micro.energy_and_gradient(coords, z)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(e) == pytest.approx(e1, abs=1e-10)
