@@ -1728,6 +1728,15 @@ def run_ieipmain(argv=None):
             ikw["pull_strength"] = IEIPConfig().pull_strength * args.BETA
         if getattr(args, "dimer_separation", None) not in (None, 1e-4):
             ikw["dimer_separation"] = args.dimer_separation
+        if engine == "dimer":
+            # -dimer_maxiter caps the dimer loop; -dimer_trial_angle
+            # scales the rotation step relative to the reference's pi/32
+            # default (interface.py call_ieipparser)
+            if getattr(args, "dimer_max_iterations", None):
+                ikw["n_steps"] = int(args.dimer_max_iterations)
+            ta = getattr(args, "dimer_trial_angle", None)
+            if ta is not None:
+                ikw["dimer_rot_step"] = 0.5 * float(ta) / (np.pi / 32.0)
         res = ieip(calc, coords, end, z, IEIPConfig(**ikw))
         ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
 

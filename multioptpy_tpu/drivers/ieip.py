@@ -26,6 +26,10 @@ class IEIPConfig:
     pull_strength: float = 0.05    # image-pair attraction (eip/spring_pair)
     min_pair_distance: float = 0.3  # Bohr: stop when images meet
     dimer_separation: float = 0.01  # dimer half-length
+    dimer_rot_step: float = 0.5     # rotation mixing per iteration (the
+                                    # reference's -dimer_trial_angle scales
+                                    # its rotational line search; here it
+                                    # scales the fixed rotation step)
     fmax: float = 1e-4
 
 
@@ -122,7 +126,8 @@ def _dimer(energy_grad, x0, v0, config):
         df = (g1 - g0).reshape(-1)
         v_flat = v.reshape(-1)
         f_rot = -(df - jnp.dot(df, v_flat) * v_flat)
-        v_new = v_flat + 0.5 * f_rot / (jnp.linalg.norm(df) + 1e-10)
+        v_new = v_flat + config.dimer_rot_step * f_rot / (
+            jnp.linalg.norm(df) + 1e-10)
         v_new = v_new / (jnp.linalg.norm(v_new) + 1e-30)
         v_new = v_new.reshape(v.shape)
 
