@@ -101,16 +101,61 @@ D3_R4R2[71:87] = [14.5716, 15.8758, 13.8989, 12.4834, 11.4421, 10.2671,
                   10.0959, 9.7340, 8.8584, 8.0125]
 
 
-def d3_energy(coords, z, s6=1.0, s8=0.7875, a1=0.4289, a2=4.4407):
+# typical-valency reference coordination numbers, Z-indexed 0..54
+# (ref: ModelHessian/fischerd3.py:27 ref_cn_map; default 4)
+_D3_REF_CN = np.full(87, 4.0)
+for _z, _cn in {1: 1, 2: 0, 3: 4, 4: 4, 5: 3, 6: 4, 7: 3, 8: 2, 9: 1,
+                10: 0, 11: 6, 12: 6, 13: 6, 14: 4, 15: 5, 16: 6, 17: 1,
+                18: 0, 19: 8, 20: 6, 21: 12, 22: 12, 23: 12, 24: 6,
+                25: 6, 26: 6, 27: 6, 28: 4, 29: 4, 30: 4, 31: 4, 32: 4,
+                33: 3, 34: 2, 35: 1, 36: 0, 37: 8, 38: 6, 39: 12,
+                40: 12, 41: 12, 42: 6, 43: 6, 44: 6, 45: 6, 46: 4,
+                47: 4, 48: 4, 49: 6, 50: 4, 51: 3, 52: 2, 53: 1,
+                54: 0}.items():
+    _D3_REF_CN[_z] = float(_cn)
+
+
+def d3_coordination_numbers(coords, z, k1=16.0, k2=4.0 / 3.0):
+    """Fractional D3 coordination numbers (Grimme JCP 132, 154104 eq. 15):
+    CN_i = sum_j 1/(1+exp(-k1 (k2 rcov_ij / r_ij - 1))) — bonded pairs
+    count ~1, far pairs ~0.
+
+    NOTE: the reference's calc_coordination_numbers
+    (ModelHessian/fischerd3.py:45) accidentally inverts the ratio
+    (r/rcov), which makes every DISTANT atom count as coordinated; this
+    follows the published formula instead."""
+    from multioptpy_tpu.periodic import COVALENT_RADII_1
+    n = coords.shape[0]
+    rcov = jnp.asarray(np.asarray(COVALENT_RADII_1)[np.asarray(z)],
+                       coords.dtype)
+    diff = coords[:, None, :] - coords[None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1)
+                 + jnp.eye(n, dtype=coords.dtype))
+    rcov_sum = rcov[:, None] + rcov[None, :]
+    term = jnp.clip(-k1 * (k2 * (rcov_sum / r) - 1.0), -100.0, 100.0)
+    f = 1.0 / (1.0 + jnp.exp(term))
+    f = f * (1.0 - jnp.eye(n, dtype=coords.dtype))
+    return jnp.sum(f, axis=1)
+
+
+def d3_energy(coords, z, s6=1.0, s8=0.7875, a1=0.4289, a2=4.4407,
+              dynamic_cn=False):
     """D3(BJ)-style dispersion with the reference's construction
     (ref: ModelHessian/lindh2007d3.py:109-166 + Parameters/d3.py PBE0
     defaults): C6 from the D2 table (sqrt combination), C8 = 3 C6
     sqrt(r4r2_i r4r2_j), Becke-Johnson damping with R0 = sqrt(C8/C6).
-    NOT the full CN-interpolated D3 — the reference itself uses the D2 C6
-    values here, and this matches it."""
+    With `dynamic_cn` the per-atom C6 are scaled by the coordination-
+    number deviation from typical valency,
+    clip(1 - 0.05 (CN_i - CN_ref_i), 0.75, 1.25) — the reference's
+    current fischerd3 flavor (fischerd3.py:235); without it this is the
+    static fischerd3old / lindh2007d3 form."""
     z = np.asarray(z)
     n = len(z)
     c6 = jnp.asarray(_C6_AU[z], coords.dtype)
+    if dynamic_cn:
+        cn = d3_coordination_numbers(coords, jnp.asarray(z))
+        ref_cn = jnp.asarray(_D3_REF_CN[z], coords.dtype)
+        c6 = c6 * jnp.clip(1.0 - 0.05 * (cn - ref_cn), 0.75, 1.25)
     r4r2 = jnp.asarray(D3_R4R2[z], coords.dtype)
     diff = coords[:, None, :] - coords[None, :, :]
     mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)

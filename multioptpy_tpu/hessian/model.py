@@ -369,10 +369,11 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
         # short-range erf correction (ref: ModelHessian/shortrange.py)
         add_sr = True
         base = base[: -len("_sr")]
+    # the reference's CURRENT fischerd3 scales C6 by coordination-number
+    # deviation (dynamic D3, fischerd3.py:235); fischerd3old and the
+    # lindh2007d3 family use the static D2-C6 form (fischerd3old.py)
+    d3_dynamic = base.startswith("fischer") and not base.endswith("old")
     if base.endswith("old"):
-        # "fischerd3old" (ref: ModelHessian/fischerd3old.py — the static
-        # D2-C6 BJ-damped D3 flavor): our d3 correction IS that static
-        # form (see dispersion.d3_energy), so the old name folds to d3
         base = base[: -len("old")]
     dispersion = None
     for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
@@ -402,7 +403,7 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
             h = h + d2_hessian(coords, z)
         elif dispersion == "d3":
             from multioptpy_tpu.hessian.dispersion import d3_hessian
-            h = h + d3_hessian(coords, z)
+            h = h + d3_hessian(coords, z, dynamic_cn=d3_dynamic)
         elif dispersion == "d4":
             from multioptpy_tpu.hessian.dispersion import d4_hessian
             h = h + d4_hessian(coords, z)

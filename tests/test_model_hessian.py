@@ -132,3 +132,32 @@ def test_gfn0_double_bond_stiffer_than_single():
         "gfn0", jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.51]]),  # 1.33 ang
         z, bonds, angles, tors, 2)
     assert float(k_double[0]) > float(k_single[0])
+
+
+def test_dynamic_d3_distinct_from_static():
+    """The reference's current fischerd3 scales C6 by coordination-number
+    deviation (fischerd3.py:235 clip(1-0.05(CN-CN_ref), .75, 1.25));
+    fischerd3old and lindh2007d3 keep the static D2-C6 form."""
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.hessian.dispersion import d3_coordination_numbers
+    from multioptpy_tpu.hessian.model import model_hessian
+
+    # methane-ish: C with 4 H at ~2.05 Bohr
+    d = 2.05
+    coords = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [d, d, d], [d, -d, -d], [-d, d, -d],
+         [-d, -d, d]]) / np.sqrt(3.0))
+    z = jnp.array([6, 1, 1, 1, 1])
+    cn = np.asarray(d3_coordination_numbers(coords, z))
+    # carbon sees ~4 neighbors, each H ~1
+    assert cn[0] == pytest.approx(4.0, abs=0.3)
+    assert cn[1] == pytest.approx(1.0, abs=0.3)
+
+    h_dyn = np.asarray(model_hessian(coords, z, kind="fischerd3"))
+    h_old = np.asarray(model_hessian(coords, z, kind="fischerd3old"))
+    assert np.all(np.isfinite(h_dyn))
+    assert np.abs(h_dyn - h_old).max() > 1e-12
+    # at typical valency (CN ~ CN_ref) the scaling is weak: the two stay
+    # close in relative terms
+    assert np.abs(h_dyn - h_old).max() < 0.05 * np.abs(h_old).max()
