@@ -221,3 +221,47 @@ def test_double_damping_live():
         y_ours = double_damping(jnp.asarray(s), jnp.asarray(yy))
         np.testing.assert_allclose(np.asarray(y_ours),
                                    np.ravel(y_ref), rtol=1e-9, atol=1e-12)
+
+
+def test_judge_shape_condition_live():
+    """Run the reference's own judge_shape_condition (pure numpy) against
+    ours on identical geometries and condition triples (ref:
+    Utils/bond_connectivity.py:137)."""
+    bc = _ref_module("multioptpy.Utils.bond_connectivity")
+    from multioptpy_tpu.geometry import judge_shape_condition
+
+    rng = np.random.default_rng(4)
+    for _ in range(6):
+        c = rng.standard_normal((5, 3)) * 2.5
+        for spec in (["1.5", "gt", "1,2"],
+                     ["1.5", "lt", "1,2"],
+                     ["95", "gt", "1,2,3"],
+                     ["95", "lt", "2,3,4"],
+                     ["1.0", "gt", "1,2", "2.0", "lt", "3,4"]):
+            with contextlib.redirect_stdout(io.StringIO()):
+                ref = bool(bc.judge_shape_condition(c.copy(), list(spec)))
+            ours = bool(judge_shape_condition(c, list(spec)))
+            assert ours == ref, (spec, c)
+
+
+def test_calc_fragment_grads_live():
+    """Reference calc_fragment_grads (optimization.py:1228) vs our
+    FragmentGradWrapper projection on the same gradient."""
+    opt_mod = _ref_module("multioptpy.optimization")
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.calculators.base import Calculator, \
+        FragmentGradWrapper
+
+    rng = np.random.default_rng(5)
+    g = rng.standard_normal((6, 3))
+    frags = [[1, 2, 3], [5, 6]]
+    ref = opt_mod.ConstraintManager.calc_fragment_grads(g.copy(), frags)
+
+    class _Fixed(Calculator):
+        def energy_and_gradient(self, coords, z):
+            return jnp.asarray(0.0), jnp.asarray(g)
+
+    wrapped = FragmentGradWrapper(_Fixed(), frags, 6)
+    _, ours = wrapped.energy_and_gradient(jnp.zeros((6, 3)), jnp.ones(6))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-12)
