@@ -265,3 +265,33 @@ def test_calc_fragment_grads_live():
     wrapped = FragmentGradWrapper(_Fixed(), frags, 6)
     _, ours = wrapped.energy_and_gradient(jnp.zeros((6, 3)), jnp.ones(6))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-12)
+
+
+def test_fischer_model_hessian_live():
+    """Execute the reference's FischerD3ApproxHessianOld end to end on the
+    Claisen fixture and compare with our fischerd3old model Hessian —
+    independently expressed (vmapped B-matrix assembly vs per-primitive
+    loops), same published force-constant formulas; agreement is at the
+    sub-percent level."""
+    m = _ref_module("multioptpy.ModelHessian.fischerd3old")
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.hessian.model import model_hessian
+    from multioptpy_tpu.io import read_xyz
+    from multioptpy_tpu.periodic import symbols_to_z
+    from multioptpy_tpu.units import ANGSTROM2BOHR
+
+    s, ca = read_xyz("/root/reference/test/claisen_rearrengment.xyz")
+    c = ca * ANGSTROM2BOHR
+    z = symbols_to_z(s)
+    obj = m.FischerD3ApproxHessianOld()
+    with contextlib.redirect_stdout(io.StringIO()):
+        h_ref = np.asarray(obj.main(c.copy(), list(s), np.zeros_like(c)))
+    h_ours = np.asarray(model_hessian(jnp.asarray(c), jnp.asarray(z),
+                                      kind="fischerd3old", project=False))
+    assert np.corrcoef(h_ref.ravel(), h_ours.ravel())[0, 1] > 0.995
+    assert np.linalg.norm(h_ours) == pytest.approx(
+        np.linalg.norm(h_ref), rel=0.02)
+    diag_rel = (np.max(np.abs(np.diag(h_ref) - np.diag(h_ours)))
+                / np.max(np.abs(np.diag(h_ref))))
+    assert diag_rel < 0.05
