@@ -1,7 +1,8 @@
 """Short on-device SQM2 optimizations of the reference's own molecule
 fixtures (test/README.md command recipes) — real-molecule robustness
 breadth beyond the flagship: Claisen (14 atoms C/H/O) and Swern (16 atoms
-with a sulfonium S, exercising the row-3 d shells)."""
+with a sulfonium S, exercising the row-3 d shells) and the Wittig system
+(26 atoms with phosphorus)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -17,7 +18,8 @@ FIXTURES = "/root/reference/test"
 
 
 @pytest.mark.parametrize("name", ["claisen_rearrengment",
-                                  "swarn_oxidation"])
+                                  "swarn_oxidation",
+                                  "witting_rxn"])
 def test_sqm2_short_optimization(name):
     symbols, coords_ang = read_xyz(f"{FIXTURES}/{name}.xyz")
     z = jnp.asarray(symbols_to_z(symbols))
