@@ -225,30 +225,51 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
                                     config.init_displacement)
     step = make_irc_step(calc, z, config, bias_engine)
 
+    # The trajectory runs as SEGMENTS of a few scan steps per device call
+    # instead of one scan over all n_steps: a single device execution
+    # covering the whole path (70 steps x 6N Hessian gradient evals x 2
+    # branches for the flagship) runs for minutes and gets killed by the
+    # TPU worker's execution watchdog ("TPU worker process crashed"),
+    # and segment boundaries give host-side early exit once both
+    # branches hit their minimum — the reference's convergence stop
+    # (ref: IRC/lqa.py:239) that a fixed-length scan cannot take.
+    seg = max(1, min(8, config.n_steps))
+
+    def body(carry, _):
+        coords, prev_e, done = carry
+        coords_new, e, g = step(coords)
+        gnorm = jnp.linalg.norm(g)
+        # stop at the minimum: small gradient, or energy rise means the
+        # fixed-length step crossed it (oscillation guard,
+        # ref: IRC/lqa.py:239)
+        done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
+        coords_out = jnp.where(done, coords, coords_new)
+        e_out = jnp.where(done, prev_e, e)
+        return (coords_out, e_out, done_new), (coords_out, e_out)
+
     @jax.jit
-    def run_branches(x0_pair):
-        def body(carry, _):
-            coords, prev_e, done = carry
-            coords_new, e, g = step(coords)
-            gnorm = jnp.linalg.norm(g)
-            # stop at the minimum: small gradient, or energy rise means the
-            # fixed-length step crossed it (oscillation guard,
-            # ref: IRC/lqa.py:239)
-            done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
-            coords_out = jnp.where(done, coords, coords_new)
-            e_out = jnp.where(done, prev_e, e)
-            return (coords_out, e_out, done_new), (coords_out, e_out)
+    def run_segment(carry_pair):
+        def one(carry):
+            return jax.lax.scan(body, carry, None, length=seg)
 
-        def one(x0):
-            big = jnp.asarray(jnp.inf, x0.dtype)
-            (xf, _, _), (path, es) = jax.lax.scan(
-                body, (x0, big, jnp.asarray(False)), None,
-                length=config.n_steps)
-            return path, es
+        return jax.vmap(one)(carry_pair)
 
-        return jax.vmap(one)(x0_pair)
-
-    paths, energies = run_branches(jnp.stack([x_f, x_b]))
+    x0_pair = jnp.stack([x_f, x_b])
+    big = jnp.full((2,), jnp.inf, x0_pair.dtype)
+    carry = (x0_pair, big, jnp.zeros(2, bool))
+    path_chunks, e_chunks = [], []
+    n_done = 0
+    while n_done < config.n_steps:
+        carry, (p_seg, e_seg) = run_segment(carry)
+        jax.block_until_ready(carry[0])
+        take = min(seg, config.n_steps - n_done)
+        path_chunks.append(np.asarray(p_seg[:, :take]))
+        e_chunks.append(np.asarray(e_seg[:, :take]))
+        n_done += take
+        if bool(jnp.all(carry[2])):
+            break
+    paths = np.concatenate(path_chunks, axis=1)
+    energies = np.concatenate(e_chunks, axis=1)
     return IRCResult(
         forward_path=np.asarray(paths[0]),
         backward_path=np.asarray(paths[1]),
@@ -278,10 +299,14 @@ def meta_irc(calc, coords, z, config=IRCConfig(), bias_engine=None):
     x0 = coords - config.init_displacement * kick
     step = make_irc_step(calc, z, config, bias_engine)
 
+    # segmented like irc() above: short device executions + host-side
+    # early exit at convergence
+    seg = max(1, min(8, config.n_steps))
+
     @jax.jit
-    def run(x0):
-        def body(carry, _):
-            xc, prev_e, done = carry
+    def run_segment(carry):
+        def body(c, _):
+            xc, prev_e, done = c
             x_new, e, g = step(xc)
             gnorm = jnp.linalg.norm(g)
             done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
@@ -289,12 +314,23 @@ def meta_irc(calc, coords, z, config=IRCConfig(), bias_engine=None):
             e_out = jnp.where(done, prev_e, e)
             return (x_out, e_out, done_new), (x_out, e_out)
 
-        big = jnp.asarray(jnp.inf, x0.dtype)
-        _, (path, es) = jax.lax.scan(body, (x0, big, jnp.asarray(False)),
-                                     None, length=config.n_steps)
-        return path, es
+        return jax.lax.scan(body, carry, None, length=seg)
 
-    path, es = run(x0)
+    big = jnp.asarray(jnp.inf, x0.dtype)
+    carry = (x0, big, jnp.asarray(False))
+    p_chunks, e_chunks = [], []
+    n_done = 0
+    while n_done < config.n_steps:
+        carry, (p_seg, e_seg) = run_segment(carry)
+        jax.block_until_ready(carry[0])
+        take = min(seg, config.n_steps - n_done)
+        p_chunks.append(np.asarray(p_seg[:take]))
+        e_chunks.append(np.asarray(e_seg[:take]))
+        n_done += take
+        if bool(carry[2]):
+            break
+    path = np.concatenate(p_chunks, axis=0)
+    es = np.concatenate(e_chunks, axis=0)
     return IRCResult(
         forward_path=np.asarray(path),
         backward_path=np.asarray(coords)[None],

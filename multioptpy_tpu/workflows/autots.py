@@ -97,12 +97,21 @@ def refine_saddle(calc, ts_guess, z, config=None, bias_engine=None):
 
 
 def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
-           bias_engine=None, afir_trajectory=None):
+           bias_engine=None, afir_trajectory=None, verbose=False):
     """Full AutoTS pipeline (ref: autots.py:477 run_workflow).
 
     `afir_trajectory`: optional (T,N,3) pre-computed step-1 trajectory
     (e.g. from the mapper's device-batched AFIR executor) — used as the
-    NEB initial path when `product_coords` is also given."""
+    NEB initial path when `product_coords` is also given.
+    `verbose`: stage banners + wall-clock to stdout, like the reference's
+    per-step workflow logging (ref: autots.py:81,110,193,237)."""
+    import time as _time
+    t0 = _time.perf_counter()
+
+    def _vlog(msg):
+        if verbose:
+            print(f"# autots [{_time.perf_counter() - t0:8.1f} s] {msg}",
+                  flush=True)
     reactant = jnp.asarray(reactant)
     z = jnp.asarray(z)
     afir_traj = (np.asarray(afir_trajectory)
@@ -124,12 +133,14 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         else:
             raise ValueError("give product_coords or AFIR fragments")
         afir = BiasEngine(pots)
+        _vlog("step1: AFIR-biased optimization")
         res1 = optimize(calc, reactant, z, bias_engine=afir,
                         config=config.afir_opt,
                         record_trajectory=True)
         product_coords = res1.coords
         afir_traj = res1.coords_history
         # relax the AFIR product on the unbiased surface
+        _vlog("step1: unbiased product relaxation")
         res1b = optimize(calc, product_coords, z,
                          config=config.endpoint_opt)
         product_coords = res1b.coords
@@ -163,6 +174,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         path0 = idpp_path(reactant, product_coords, n_images)
     else:
         path0 = interpolate_linear(reactant, product_coords, n_images)
+    _vlog(f"step2: NEB ({path0.shape[0]} images x {path0.shape[1]} atoms)")
     neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
 
     # ---- step 3: refine the top-N NEB local maxima (ref: autots.py:152
@@ -178,8 +190,10 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
 
     refined = []   # (coords, energy, n_imag, hessian, converged, neb_idx)
     for idx in candidates:
+        _vlog(f"step3: saddle refinement of NEB image {idx}")
         res3 = refine_saddle(calc, neb_res.path[idx], z, config.saddle,
                              bias_engine)
+        _vlog("step3: exact Hessian + normal modes")
         h = calc.hessian(res3.coords, z)
         nm = normal_modes(h, res3.coords, z)
         ni = count_imaginary(nm.frequencies_cm1)
@@ -207,11 +221,13 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         for r in refined)
 
     # ---- step 4: IRC + endpoint optimization (ref: autots.py:237) -------
+    _vlog("step4: IRC")
     irc_res = irc(calc, ts_coords, z, hessian=h_ts, config=config.irc,
                   bias_engine=bias_engine)
     end_f = jnp.asarray(irc_res.forward_path[-1])
     end_b = jnp.asarray(irc_res.backward_path[-1])
     if config.optimize_endpoints:
+        _vlog("step4: endpoint optimizations")
         end_f = optimize(calc, end_f, z, config=config.endpoint_opt).coords
         end_b = optimize(calc, end_b, z, config=config.endpoint_opt).coords
     e_f = float(calc.energy(end_f, z))
