@@ -61,6 +61,113 @@ def count_imaginary(freqs_cm1, thresh=-5.0):
     return int(jnp.sum(freqs_cm1 < thresh))
 
 
+class ModeMetadata(NamedTuple):
+    indices: np.ndarray          # into NormalModes arrays, sorted ascending
+    frequencies_cm1: np.ndarray  # imaginary negative
+    reduced_mass: np.ndarray     # amu
+    force_const_dyne: np.ndarray # ref display units (normal_mode_analyzer:245)
+    vib_temperature: np.ndarray  # K (|freq|; sign carried by frequency)
+
+
+def mode_metadata(nm, cutoff_freq=10.0, include_imag=True):
+    """Per-mode display quantities, filtered and sorted like the reference
+    (ref: normal_mode_analyzer.py:236-245 metadata, :456-466 filtering:
+    drop |freq| <= cutoff TR/rot residue, sort ascending so imaginary
+    modes lead)."""
+    freqs = np.asarray(nm.frequencies_cm1)
+    if include_imag:
+        keep = np.abs(freqs) > cutoff_freq
+    else:
+        keep = freqs > cutoff_freq
+    idx = np.where(keep)[0][np.argsort(freqs[keep])]
+    modes = np.asarray(nm.modes)[idx]          # (M, N, 3) cartesian
+    red_mass = 1.0 / np.sum(modes * modes, axis=(1, 2))
+    evals = np.asarray(nm.eigenvalues)[idx]
+    dyne = 1e-2 * HARTREE2J / BOHR2M ** 2
+    kb_j = KB_HARTREE * HARTREE2J
+    vib_t = (np.abs(freqs[idx]) * 100.0 * LIGHT_SPEED_M_S *
+             PLANCK_J_S / kb_j)
+    return ModeMetadata(indices=idx, frequencies_cm1=freqs[idx],
+                        reduced_mass=red_mass,
+                        force_const_dyne=red_mass * evals * dyne,
+                        vib_temperature=vib_t)
+
+
+def write_normal_modes(nm, z, path, cutoff_freq=10.0, include_imag=True):
+    """normal_modes.txt in the reference's chunked table layout
+    (ref: normal_mode_analyzer.py:434-519 print_normal_modes): per chunk
+    of 3 modes, rows Freq / Reduced mass / Force const / Char temp then
+    per-atom x y z displacement columns."""
+    from multioptpy_tpu.periodic import z_to_symbol
+
+    meta = mode_metadata(nm, cutoff_freq, include_imag)
+    modes = np.asarray(nm.modes)[meta.indices]
+    syms = [z_to_symbol(int(zi)) for zi in np.asarray(z)]
+    nfreq = len(meta.indices)
+    lines = []
+    for col0 in range(0, nfreq, 3):
+        col1 = min(col0 + 3, nfreq)
+        lines.append("Mode              " + "".join(
+            "%20d" % i for i in range(col0, col1)))
+        lines.append("Freq [cm^-1]          " + "".join(
+            f"{meta.frequencies_cm1[i]:20.4f}" for i in range(col0, col1)))
+        lines.append("Reduced mass [au]     " + "".join(
+            f"{meta.reduced_mass[i]:20.4f}" for i in range(col0, col1)))
+        lines.append("Force const [Dyne/A]  " + "".join(
+            f"{meta.force_const_dyne[i]:20.4f}" for i in range(col0, col1)))
+        lines.append("Char temp [K]         " + "".join(
+            f"{meta.vib_temperature[i]:20.4f}" for i in range(col0, col1)))
+        lines.append("Normal mode            " +
+                     "       x         y         z     " * (col1 - col0))
+        for j, sym in enumerate(syms):
+            row = f"    {sym:>4s}               "
+            for i in range(col0, col1):
+                x, y, zz = modes[i, j]
+                row += f"{x:10.5f}{y:10.5f}{zz:10.5f}    "
+            lines.append(row)
+        lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def write_mode_animations(nm, coords, z, output_dir, n_frames=20,
+                          amplitude=0.5, cutoff_freq=10.0,
+                          include_imag=True):
+    """Per-mode vibration animation xyz files, reference naming and frame
+    rule (ref: normal_mode_analyzer.py:688-737 create_animation,
+    :739-769 create_all_animations): mode_{k}_{freq}_wave_number.xyz,
+    sinusoidal displacement over n_frames, coordinates written in
+    Angstrom. Imaginary modes get the '<mag>i' frequency tag."""
+    import os
+
+    from multioptpy_tpu.periodic import z_to_symbol
+    from multioptpy_tpu.units import BOHR2ANGSTROM
+
+    os.makedirs(output_dir, exist_ok=True)
+    meta = mode_metadata(nm, cutoff_freq, include_imag)
+    modes = np.asarray(nm.modes)[meta.indices]
+    coords = np.asarray(coords)
+    syms = [z_to_symbol(int(zi)) for zi in np.asarray(z)]
+    paths = []
+    for k, freq in enumerate(meta.frequencies_cm1):
+        freq_str = (f"{abs(freq):.0f}i" if freq < 0.0 else f"{freq:.0f}")
+        path = os.path.join(
+            output_dir, f"mode_{k + 1}_{freq_str}_wave_number.xyz")
+        vec = modes[k]
+        with open(path, "w") as f:
+            for frame in range(n_frames):
+                phase = 2.0 * np.pi * frame / (n_frames - 1)
+                disp = coords + amplitude * np.sin(phase) * vec
+                f.write(f"{len(syms)}\n")
+                f.write(f"Mode {k + 1}, Freq: {freq_str} cm-1, "
+                        f"Frame: {frame + 1}/{n_frames}\n")
+                for sym, (x, y, zz) in zip(syms, disp * BOHR2ANGSTROM):
+                    f.write(f"{sym} {x:.6f} {y:.6f} {zz:.6f}\n")
+        paths.append(path)
+    return paths
+
+
 def rotational_constants(coords, z):
     """Principal moments of inertia -> rotational constants (cm^-1)
     (ref: normal_mode_analyzer.py:357)."""

@@ -833,7 +833,8 @@ def run_optmain(argv=None):
     if args.frequency_analysis or args.force_frequency_analysis:
         if bool(res.converged) or args.force_frequency_analysis:
             from multioptpy_tpu.analysis.vibrations import (
-                count_imaginary, normal_modes, rrho_thermochemistry)
+                count_imaginary, normal_modes, rrho_thermochemistry,
+                write_mode_animations, write_normal_modes)
             h = calc.hessian(res.coords, z)
             nm = normal_modes(h, res.coords, z)
             freqs = np.asarray(nm.frequencies_cm1)
@@ -842,6 +843,11 @@ def run_optmain(argv=None):
                 pressure=args.pressure)
             np.savetxt(os.path.join(out, "frequencies_cm1.csv"), freqs,
                        header="frequency_cm1")
+            # ref optimization.py:2311-2316: normal_modes.txt + per-mode
+            # animation xyz files next to thermochemistry.txt
+            write_normal_modes(nm, z, os.path.join(out, "normal_modes.txt"))
+            write_mode_animations(nm, res.coords, z,
+                                  os.path.join(out, "vibration_animation"))
             with open(os.path.join(out, "thermochemistry.txt"), "w") as f:
                 for k in ("zpe", "e_thermal", "enthalpy", "entropy",
                           "gibbs"):
@@ -1014,10 +1020,11 @@ def run_nebmain(argv=None):
     p.add_argument("-dmfn", "--dmf_nsegs", type=int, default=4,
                    help="MaxFlux action-quadrature subdivision per segment")
     args = p.parse_args(argv)
+    import jax
     import jax.numpy as jnp
 
     from multioptpy_tpu.drivers.neb import (
-        NEBConfig, idpp_path, interpolate_linear, neb)
+        NEBConfig, idpp_path, interpolate_linear, neb, neb_forces)
     from multioptpy_tpu.io import read_trajectory, read_xyz, write_trajectory
     from multioptpy_tpu.periodic import symbols_to_z
     from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
@@ -1157,9 +1164,42 @@ def run_nebmain(argv=None):
                     redistribute=redist, redistribute_every=redist_every,
                     savgol_window=sg_window, savgol_order=sg_order)
 
-    def cb(it, path, energies, fmax):
+    out = _outdir(args, "_neb")
+    # per-iteration diagnostics, reference file-for-file (ref: neb.py:865
+    # _save_analysis_data; path lengths per Utils/calc_tools.py:853):
+    # band force via the same force law the step uses, jitted once
+    _base_variant = "neb" if cfg.variant == "cineb" else cfg.variant
+    _force_fn = jax.jit(lambda p_, e_, g_, c_: neb_forces(
+        p_, e_, g_, cfg.k_spring, _base_variant, c_,
+        cfg.optimize_endpoints, cfg.dmf_beta, cfg.dmf_nsegs))
+
+    def cb(it, path, energies, grads, fmax):
         print(f"# neb iter {it:4d}  max|F| = {float(fmax):.3e}  "
               f"E_max = {float(energies.max()):+.8f}")
+        climbing = (cfg.variant == "cineb") and it >= cfg.climbing_start
+        n_img = path.shape[0]
+        forces = np.asarray(_force_fn(path, energies, grads,
+                                      jnp.asarray(climbing)))
+        f2 = forces.reshape(n_img, -1)
+        g2 = np.asarray(grads).reshape(n_img, -1)
+        centered = np.asarray(path) - np.asarray(path).mean(
+            axis=1, keepdims=True)
+        seg = np.linalg.norm(
+            np.diff(centered, axis=0).reshape(n_img - 1, -1), axis=1)
+        pl = np.concatenate([[0.0], np.cumsum(seg)]) * BOHR2ANGSTROM
+        fn, gn = np.linalg.norm(f2, axis=1), np.linalg.norm(g2, axis=1)
+        cos = np.where((fn > 1e-10) & (gn > 1e-10),
+                       np.sum(f2 * g2, axis=1) / np.maximum(fn * gn, 1e-30),
+                       0.0)
+        rows = {"path_length.csv": pl,
+                "energy_plot.csv": np.asarray(energies),
+                "bias_force_rms.csv": np.sqrt(np.mean(g2 ** 2, axis=1)),
+                "orthogonality.csv": cos,
+                "perp_rms_gradient.csv": np.sqrt(np.mean(f2 ** 2, axis=1)),
+                "perp_max_gradient.csv": np.max(np.abs(f2), axis=1)}
+        for name, vals in rows.items():
+            with open(os.path.join(out, name), "a") as f:
+                f.write(",".join(str(float(v)) for v in vals) + "\n")
 
     if args.adaptive_neb is not None:
         # reference -aneb semantics: [interpolation_num frequency] ->
@@ -1173,12 +1213,13 @@ def run_nebmain(argv=None):
         res = aneb(calc, path0, z, cfg, bias_engine=bias, **aneb_kw)
     else:
         res = neb(calc, path0, z, cfg, bias_engine=bias, callback=cb)
-    out = _outdir(args, "_neb")
     write_trajectory(os.path.join(out, "neb_path.xyz"), symbols,
                      np.asarray(res.path) * BOHR2ANGSTROM,
                      [f"E = {e:.10f}" for e in np.asarray(res.energies)])
-    np.savetxt(os.path.join(out, "energy_plot.csv"),
-               np.asarray(res.energies), header="energy_hartree")
+    if not os.path.exists(os.path.join(out, "energy_plot.csv")):
+        # aneb path runs without the per-iteration callback
+        np.savetxt(os.path.join(out, "energy_plot.csv"),
+                   np.asarray(res.energies), header="energy_hartree")
     if args.save_pict:
         from multioptpy_tpu.analysis.visualization import plot_energy_profile
         plot_energy_profile(np.asarray(res.energies),

@@ -767,6 +767,7 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     it = 0
     energies = None
     for it in range(1, config.n_steps + 1):
+        path_pre = path  # band the returned energies/grads belong to
         path, fire_state, energies, grads, fmax = step(
             path, fire_state, jnp.asarray(it))
         if (config.redistribute and config.redistribute_every
@@ -782,7 +783,10 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
                 savgol_order=config.savgol_order)
         e_hist.append(np.asarray(energies))
         if callback is not None:
-            callback(it, path, energies, fmax)
+            # pre-step band + its matching energies/gradients so callers
+            # can derive the reference's per-iteration diagnostics
+            # (ref: neb.py:865 _save_analysis_data)
+            callback(it, path_pre, energies, grads, fmax)
         if float(fmax) < config.fmax:
             converged = True
             break

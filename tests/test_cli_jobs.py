@@ -172,6 +172,18 @@ def test_nebmain_reference_variant_flags(tmp_path):
                       "-out", str(out)])
     assert rc == 0
     assert (out / "neb_path.xyz").exists()
+    # per-iteration diagnostic CSVs, reference file-for-file
+    # (ref: neb.py:865 _save_analysis_data): one appended row per
+    # iteration, one column per image
+    for name in ("path_length.csv", "energy_plot.csv",
+                 "bias_force_rms.csv", "orthogonality.csv",
+                 "perp_rms_gradient.csv", "perp_max_gradient.csv"):
+        rows = (out / name).read_text().strip().split("\n")
+        assert len(rows) == 5, name          # -ns 5 iterations
+        assert len(rows[0].split(",")) == 6, name  # 6 images
+    pl = [float(v) for v in
+          (out / "path_length.csv").read_text().split("\n")[0].split(",")]
+    assert pl[0] == 0.0 and all(b >= a for a, b in zip(pl, pl[1:]))
 
     # -aneb [interpolation_num frequency]: reference in-run densification
     # semantics (interface.py:263 -> drivers.neb.aneb)

@@ -70,6 +70,55 @@ class TestNormalModes:
         assert m[1] == pytest.approx(mu * RMIN ** 2, rel=1e-10)
 
 
+class TestModeArtifacts:
+    """normal_modes.txt + per-mode animation xyz (ref
+    normal_mode_analyzer.py:434 print_normal_modes, :688 animations)."""
+
+    def test_mode_metadata_ar2(self, ar2):
+        from multioptpy_tpu.analysis.vibrations import (
+            mode_metadata, normal_modes)
+        calc, coords, z, h = ar2
+        nm = normal_modes(h, coords, z)
+        meta = mode_metadata(nm)
+        # TR/rot filtered: only the stretch survives
+        assert len(meta.indices) == 1
+        # the reference's convention mu = 1/sum|l_cart|^2
+        # (normal_mode_analyzer.py:236) gives m (not the physical m/2)
+        # for a homonuclear diatomic stretch
+        assert meta.reduced_mass[0] == pytest.approx(
+            MASS_AMU[18], rel=1e-6)
+        assert meta.vib_temperature[0] > 0.0
+        assert meta.force_const_dyne[0] > 0.0
+
+    def test_write_artifacts(self, ar2, tmp_path):
+        from multioptpy_tpu.analysis.vibrations import (
+            normal_modes, write_mode_animations, write_normal_modes)
+        calc, coords, z, h = ar2
+        nm = normal_modes(h, coords, z)
+        txt = write_normal_modes(nm, z, tmp_path / "normal_modes.txt")
+        body = open(txt).read()
+        assert "Freq [cm^-1]" in body and "Reduced mass [au]" in body
+        assert body.count("Ar") == 2
+        paths = write_mode_animations(nm, coords, z,
+                                      tmp_path / "anim", n_frames=5)
+        assert len(paths) == 1
+        assert "_wave_number.xyz" in paths[0]
+        frames = open(paths[0]).read().strip().split("\n")
+        assert len(frames) == 5 * 4  # natoms line + comment + 2 atoms
+        # first frame is the undisplaced geometry (sin 0 = 0)
+        x0 = [float(v) for v in frames[2].split()[1:]]
+        assert x0 == pytest.approx([0.0, 0.0, 0.0], abs=1e-9)
+
+    def test_imaginary_mode_animation_named_i(self, ar2, tmp_path):
+        from multioptpy_tpu.analysis.vibrations import (
+            normal_modes, write_mode_animations)
+        calc, coords, z, h = ar2
+        nm = normal_modes(-h, coords, z)
+        paths = write_mode_animations(nm, coords, z, tmp_path / "anim",
+                                      n_frames=3)
+        assert any("i_wave_number.xyz" in p for p in paths)
+
+
 class TestThermochemistry:
     def test_argon_atom_sackur_tetrode(self):
         coords = jnp.zeros((1, 3))
