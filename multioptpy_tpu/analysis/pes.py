@@ -68,6 +68,71 @@ def koopman_convergence_analysis(series):
                          converging=bool(np.all(np.abs(w) < 1.0 + 1e-9)))
 
 
+def irc_curvature_properties(grad_mw, prev_grad_mw, hessian_mw, step_size):
+    """Per-point IRC curvature properties, exactly the quantities the
+    reference computes each euler/rk4 IRC step (ref: PESAnalyzer/
+    calc_irc_curvature.py:80-104, invoked at IRC/euler.py:411 and
+    IRC/rk4.py:544):
+
+      unit tangent        t = g/|g| (mass-weighted gradient direction)
+      curvature vector    k = (g - g_prev)/ds
+      scalar curvature    |k|
+      curvature coupling  projections of k onto the POSITIVE-eigenvalue
+                          normal modes of the mass-weighted Hessian
+                          (eigval > 1e-8, ref :73-76) — the Miller-type
+                          coupling of path bending into bath modes
+
+    Returns (unit_tangent, curvature_vector, scalar_curvature,
+    curvature_coupling)."""
+    g = np.asarray(grad_mw, dtype=np.float64).ravel()
+    gp = np.asarray(prev_grad_mw, dtype=np.float64).ravel()
+    tangent = g / (np.linalg.norm(g) + 1e-300)
+    curv = (g - gp) / float(step_size)
+    scalar = float(np.linalg.norm(curv))
+    w, v = np.linalg.eigh(np.asarray(hessian_mw, dtype=np.float64))
+    coupling = v[:, w > 1e-8].T @ curv
+    return tangent, curv, scalar, coupling
+
+
+def irc_branch_curvature_table(grads, masses, hessian, step_size):
+    """Curvature-properties table for one IRC branch: rows of
+    (scalar_curvature, coupling...) for steps 1..S-1, from the branch's
+    per-step Cartesian gradients, the atomic masses, and the (Cartesian)
+    TS Hessian. Mass-weighting matches the reference's convention
+    (g_mw = g/sqrt(m), H_mw = M^-1/2 H M^-1/2; ref: IRC/euler.py:178,327).
+    Feed `IRCResult.forward_gradients` / `.backward_gradients`."""
+    g = np.asarray(grads, dtype=np.float64)
+    s = g.shape[0]
+    sm = np.repeat(np.sqrt(np.asarray(masses, dtype=np.float64)), 3)
+    g_mw = g.reshape(s, -1) / sm[None, :]
+    h_mw = np.asarray(hessian, dtype=np.float64) / sm[:, None] / sm[None, :]
+    rows = []
+    for i in range(1, s):
+        _, _, scalar, coupling = irc_curvature_properties(
+            g_mw[i], g_mw[i - 1], h_mw, step_size)
+        rows.append(np.concatenate([[scalar], coupling]))
+    return np.asarray(rows)
+
+
+def path_bending_angles(mw_path):
+    """Bending angle (degrees) at each interior point of a mass-weighted
+    path: the angle between the backward and forward displacement vectors
+    (ref: IRC/euler.py:367-373 via Utils/calc_tools.py
+    calc_multi_dim_vec_angle — printed per step as 'Path bending angle')."""
+    p = np.asarray(mw_path, dtype=np.float64).reshape(len(mw_path), -1)
+    angles = []
+    for i in range(1, len(p) - 1):
+        u = p[i - 1] - p[i]
+        v = p[i + 1] - p[i]
+        denom = np.linalg.norm(u) * np.linalg.norm(v)
+        if denom < 1e-300:
+            angles.append(0.0)
+            continue
+        c = np.clip(np.dot(u, v) / denom, -1.0, 1.0)
+        angles.append(float(np.degrees(np.arccos(c))))
+    return np.asarray(angles)
+
+
 def irc_curvature(path):
     """Discrete curvature along an IRC path (ref: PESAnalyzer/
     calc_irc_curvature.py): |x''(s)| with central differences on the

@@ -907,8 +907,40 @@ def run_optmain(argv=None):
                                  np.asarray(irc_res.forward_energies)])
         np.savetxt(os.path.join(out, "irc_energies.csv"), e_both,
                    header="energy_hartree")
+        _write_irc_curvature(out, irc_res, z, irc_cfg.step_size)
         print(f"IRC: {len(both)} points -> {out}/irc_path.xyz")
     return 0 if bool(res.converged) else 1
+
+
+def _write_irc_curvature(out, irc_res, z, step_size):
+    """Per-step IRC curvature properties + path bending angles, the
+    artifacts the reference's euler/rk4 integrators write/print per step
+    (ref: IRC/euler.py:367-373,411-425 -> irc_curvature_properties.csv
+    via PESAnalyzer/calc_irc_curvature.py:107)."""
+    if irc_res.forward_gradients is None or irc_res.ts_hessian is None:
+        return
+    from multioptpy_tpu.analysis.pes import (irc_branch_curvature_table,
+                                             path_bending_angles)
+    from multioptpy_tpu.geometry import masses_from_z
+    masses = np.asarray(masses_from_z(np.asarray(z)))
+    for name, grads, path in (
+            ("forward", irc_res.forward_gradients, irc_res.forward_path),
+            ("backward", irc_res.backward_gradients, irc_res.backward_path)):
+        if grads is None or len(grads) < 2:
+            continue
+        table = irc_branch_curvature_table(grads, masses,
+                                           irc_res.ts_hessian, step_size)
+        header = ",".join(["Scalar_Curvature"] +
+                          [f"Curvature_Coupling_{i + 1}"
+                           for i in range(table.shape[1] - 1)])
+        np.savetxt(os.path.join(
+            out, f"irc_curvature_properties_{name}.csv"),
+            table, delimiter=",", header=header, comments="")
+        mw_path = np.asarray(path) * np.sqrt(masses)[None, :, None]
+        bends = path_bending_angles(mw_path)
+        if len(bends):
+            np.savetxt(os.path.join(out, f"path_bending_angle_{name}.csv"),
+                       bends, header="bending_angle_deg")
 
 
 def run_nebmain(argv=None):
@@ -1372,6 +1404,7 @@ def run_ircmain(argv=None):
     np.savetxt(os.path.join(out, "irc_energies.csv"),
                np.stack([res.forward_energies, res.backward_energies], 1),
                header="forward backward")
+    _write_irc_curvature(out, res, z, args.irc_step)
     print(f"IRC done; TS E = {res.ts_energy:.8f} -> {out}/")
     return 0
 

@@ -20,7 +20,7 @@ All steps operate on mass-weighted coordinates q = sqrt(m) x (amu^1/2 Bohr).
 """
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -205,6 +205,13 @@ class IRCResult(NamedTuple):
     backward_energies: np.ndarray
     ts_coords: jnp.ndarray
     ts_energy: float
+    # per-step Cartesian gradients along each branch (S,N,3) and the TS
+    # (mass-unweighted) Hessian — inputs for the per-step curvature
+    # properties the reference writes during euler/rk4 IRC runs
+    # (ref: IRC/euler.py:411-425 -> PESAnalyzer/calc_irc_curvature.py:80)
+    forward_gradients: Optional[np.ndarray] = None
+    backward_gradients: Optional[np.ndarray] = None
+    ts_hessian: Optional[np.ndarray] = None
 
 
 def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
@@ -245,7 +252,7 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
         done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
         coords_out = jnp.where(done, coords, coords_new)
         e_out = jnp.where(done, prev_e, e)
-        return (coords_out, e_out, done_new), (coords_out, e_out)
+        return (coords_out, e_out, done_new), (coords_out, e_out, g)
 
     @jax.jit
     def run_segment(carry_pair):
@@ -257,19 +264,21 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
     x0_pair = jnp.stack([x_f, x_b])
     big = jnp.full((2,), jnp.inf, x0_pair.dtype)
     carry = (x0_pair, big, jnp.zeros(2, bool))
-    path_chunks, e_chunks = [], []
+    path_chunks, e_chunks, g_chunks = [], [], []
     n_done = 0
     while n_done < config.n_steps:
-        carry, (p_seg, e_seg) = run_segment(carry)
+        carry, (p_seg, e_seg, g_seg) = run_segment(carry)
         jax.block_until_ready(carry[0])
         take = min(seg, config.n_steps - n_done)
         path_chunks.append(np.asarray(p_seg[:, :take]))
         e_chunks.append(np.asarray(e_seg[:, :take]))
+        g_chunks.append(np.asarray(g_seg[:, :take]))
         n_done += take
         if bool(jnp.all(carry[2])):
             break
     paths = np.concatenate(path_chunks, axis=1)
     energies = np.concatenate(e_chunks, axis=1)
+    grads = np.concatenate(g_chunks, axis=1)
     return IRCResult(
         forward_path=np.asarray(paths[0]),
         backward_path=np.asarray(paths[1]),
@@ -277,6 +286,9 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
         backward_energies=np.asarray(energies[1]),
         ts_coords=ts_coords,
         ts_energy=float(e_ts),
+        forward_gradients=np.asarray(grads[0]),
+        backward_gradients=np.asarray(grads[1]),
+        ts_hessian=np.asarray(hessian),
     )
 
 
