@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multioptpy_tpu.calculators.base import Calculator, register_calculator
-from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
+from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM, HARTREE2EV
 
 # Z -> (E0 [eV], s0 [bohr], V0 [eV], eta2 [1/bohr], kappa [1/bohr],
 #        lambda [1/bohr], n0 [1/bohr^3])   (ASE EMT defaults)
@@ -32,6 +32,12 @@ _EMT_PARAMS = {
 }
 
 _BETA = 1.809  # (16 pi/3)^(1/3) / sqrt(2)
+
+# ASE's default (asap_cutoff=False) derives the cutoff from the LARGEST s0
+# in the whole parameter table — a global constant, not a property of the
+# atoms present (ref: emt_calculation_tools.py:103-110 _calc_cutoff with
+# relevant_pars = PARAMETERS). Ag's s0 = 3.01 bohr is the max.
+_S0_MAX_BOHR = max(p[1] for p in _EMT_PARAMS.values())
 
 
 def _param_arrays(dtype=np.float64):
@@ -64,9 +70,11 @@ class EMT(Calculator):
         kappa_a = kappa * ANGSTROM2BOHR
         lam_a = lam * ANGSTROM2BOHR
 
-        # cutoff: rc midway between 3rd and 4th fcc shell, smoothing width set
-        # so theta(r4nn) = 1e-4 (ref: emt_calculation_tools.py:100-117)
-        r1nn = _BETA * jnp.max(s0_a)
+        # cutoff: rc midway between 3rd and 4th fcc shell of the table-wide
+        # largest s0 (ASE/reference convention — constant, NOT the max over
+        # atoms present), smoothing width set so theta(r4nn) = 1e-4
+        # (ref: emt_calculation_tools.py:100-117)
+        r1nn = _BETA * _S0_MAX_BOHR * BOHR2ANGSTROM
         rc = r1nn * 0.5 * (jnp.sqrt(3.0) + 2.0)
         r4nn = r1nn * 2.0
         acut = jnp.log(9999.0) / (r4nn - rc)
@@ -86,7 +94,9 @@ class EMT(Calculator):
         shell_d = jnp.stack([_BETA * s0_a,
                              _BETA * s0_a * jnp.sqrt(2.0),
                              _BETA * s0_a * jnp.sqrt(3.0)])  # (3,N)
-        shell_n = jnp.array([12.0, 6.0, 24.0], dtype=dtype)[:, None]
+        # shell occupations are normalized by the first-shell count
+        # (x = n w / 12, ref: emt_calculation_tools.py:122 _calc_gammas)
+        shell_n = jnp.array([12.0, 6.0, 24.0], dtype=dtype)[:, None] / 12.0
         tw = jax.nn.sigmoid(-acut * (shell_d - rc))
         gamma1 = jnp.sum(shell_n * tw * jnp.exp(-eta2_a[None, :] * (shell_d - _BETA * s0_a[None, :])), axis=0)
         gamma2 = jnp.sum(shell_n * tw * jnp.exp(-kappa_a[None, :] / _BETA * (shell_d - _BETA * s0_a[None, :])), axis=0)
@@ -107,4 +117,4 @@ class EMT(Calculator):
         e_as = 6.0 * v0 * jnp.exp(-kappa_a * ds) - 0.5 * v0 * sigma2 / gamma2
 
         e_ev = jnp.sum(e_c + e_as)
-        return e_ev / 27.211386245988  # eV -> Hartree
+        return e_ev / HARTREE2EV  # eV -> Hartree

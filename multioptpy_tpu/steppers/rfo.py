@@ -145,7 +145,26 @@ def _eigh(h, impl):
         # than both the matmul Jacobi (which also drifts, ops/jacobi.py
         # guard) and the seeded f32+polish solver at production shapes —
         # see ops/eigh64.eigh_fast for the A/B numbers.
-        return jnp.linalg.eigh(h)
+        #
+        # NaN rescue: the float-float emulation inside the QR solver is
+        # not inf-safe and returns all-NaN for some perfectly finite,
+        # well-conditioned inputs (observed on the flagship Diels-Alder
+        # refinement: a 54x54 TR/rot-projected Hessian NaN'd while the
+        # same matrix, re-rounded through numpy, solved fine). Without the
+        # rescue, rs_rfo_step's NaN guard silently degraded those steps to
+        # identity-Hessian moves and the refinement random-walked uphill
+        # on TPU while CPU converged (round-3 session-4 diagnosis). The
+        # fixed-sweep seeded solver (f32 Pallas seed + f64 polish) handles
+        # those matrices (residual ~2e-10); lax.cond executes it only on
+        # failure in the unbatched hot path.
+        d0, v0 = jnp.linalg.eigh(h)
+        bad = ~(jnp.all(jnp.isfinite(d0)) & jnp.all(jnp.isfinite(v0)))
+
+        def _rescue(_):
+            from multioptpy_tpu.ops.eigh64 import seeded_eigh
+            return seeded_eigh(h)
+
+        return jax.lax.cond(bad, _rescue, lambda _: (d0, v0), None)
     if impl == "pallas":
         if h.dtype == jnp.float32 and jax.default_backend() == "tpu":
             from multioptpy_tpu.ops.jacobi_pallas import (

@@ -96,6 +96,23 @@ def refine_saddle(calc, ts_guess, z, config=None, bias_engine=None):
     return optimize(calc, ts_guess, z, bias_engine=bias_engine, config=config)
 
 
+def _select_candidate(refined):
+    """Tiered TS pick over refined candidates
+    (coords, energy, n_imag, hessian, converged, neb_idx), kept in
+    descending NEB-energy order: converged first-order saddle, else ANY
+    first-order saddle (an unconverged one still beats a wrong-curvature
+    stationary point — the reference keys its selection on the
+    imaginary-mode count, ref: autots.py:193,:935), else any converged
+    point, else the rate-limiting candidate."""
+    for cond in (lambda r: r[4] and r[2] == 1,
+                 lambda r: r[2] == 1,
+                 lambda r: r[4]):
+        tier = [r for r in refined if cond(r)]
+        if tier:
+            return tier[0]
+    return refined[0]
+
+
 def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
            bias_engine=None, afir_trajectory=None, verbose=False):
     """Full AutoTS pipeline (ref: autots.py:477 run_workflow).
@@ -210,9 +227,11 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     # first, the reference's descending-energy ordering, autots.py:185);
     # pick the first that refined to a CONVERGED first-order saddle, so a
     # false global maximum (wrong curvature / no convergence) falls through
-    # to the next candidate instead of poisoning the run
-    valid = [r for r in refined if r[4] and r[2] == 1]
-    pick = valid[0] if valid else refined[0]
+    # to the next candidate instead of poisoning the run. Tiered fallback
+    # when nothing fully qualifies: an unconverged first-order saddle
+    # still beats a wrong-curvature stationary point (the reference's own
+    # selection keys on the imaginary-mode count, autots.py:193,:935).
+    pick = _select_candidate(refined)
     ts_coords, ts_energy, n_imag, h_ts = pick[:4]
     cand_info = tuple(
         {"index": r[5], "neb_energy": float(e_path[r[5]]),

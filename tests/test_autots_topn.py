@@ -77,3 +77,26 @@ def test_topn_finds_true_ts_where_single_guess_fails():
     assert res3.n_imaginary == 1
     assert r12_3 == pytest.approx(7.5, abs=0.4)
     assert res3.ts_energy < res1.ts_energy - 0.05
+
+
+def test_select_candidate_tiers():
+    """Tiered TS selection (ref: autots.py:193,:935 keys on the
+    imaginary-mode count): converged+1-imag > any 1-imag (even
+    unconverged) > any converged > rate-limiting first entry."""
+    from multioptpy_tpu.workflows.autots import _select_candidate
+
+    def r(n_imag, converged, tag):
+        return (tag, 0.0, n_imag, None, converged, 0)
+
+    # an unconverged 1-imag candidate beats a wrong-curvature one
+    refined = [r(2, False, "bad"), r(1, False, "ts_uncv")]
+    assert _select_candidate(refined)[0] == "ts_uncv"
+    # a converged 1-imag wins outright, regardless of order
+    refined = [r(1, False, "ts_uncv"), r(1, True, "ts_conv")]
+    assert _select_candidate(refined)[0] == "ts_conv"
+    # no 1-imag anywhere: prefer a converged stationary point
+    refined = [r(2, False, "bad"), r(0, True, "min_conv")]
+    assert _select_candidate(refined)[0] == "min_conv"
+    # nothing qualifies: rate-limiting (first) candidate
+    refined = [r(2, False, "first"), r(3, False, "second")]
+    assert _select_candidate(refined)[0] == "first"
