@@ -1156,10 +1156,16 @@ def run_nebmain(argv=None):
     ci_start = args.ci_start
     if args.apply_CI_NEB is not None:
         ci_start = args.apply_CI_NEB
-    elif args.climbing_image:
-        ci_start = int(args.climbing_image[0])
     if args.not_ts_optimization:
         ci_start = 10 ** 9
+    # reference -ci [start interval]: periodic spline-maximum insertion
+    # (interface.py:320 -> calc_tools.py:865 apply_climbing_image) —
+    # distinct from the -cineb climbing-image FORCE
+    sci_start, sci_interval = 0, 0
+    if args.climbing_image:
+        sci_start = int(args.climbing_image[0])
+        sci_interval = (int(args.climbing_image[1])
+                        if len(args.climbing_image) > 1 else 1)
     # redistribution flags -> (scheme, interval); last one given wins
     redist, redist_every = "", 0
     for name, scheme in (("align_distances", "linear"),
@@ -1194,7 +1200,8 @@ def run_nebmain(argv=None):
                     dmf_beta=args.dmf_beta, dmf_nsegs=args.dmf_nsegs,
                     rfo_ratio=args.ratio_of_rfo_step,
                     redistribute=redist, redistribute_every=redist_every,
-                    savgol_window=sg_window, savgol_order=sg_order)
+                    savgol_window=sg_window, savgol_order=sg_order,
+                    spline_ci_start=sci_start, spline_ci_interval=sci_interval)
 
     out = _outdir(args, "_neb")
     # per-iteration diagnostics, reference file-for-file (ref: neb.py:865

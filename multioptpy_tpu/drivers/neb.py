@@ -405,6 +405,98 @@ def idpp_path(start, end, n_images, n_steps=300, dt_scale=0.05):
     return path
 
 
+def _idpp_refine_middle(a, m, b, n_steps=200, dt_scale=0.05):
+    """Relax the middle geometry of a 3-image path on the IDPP objective
+    with endpoints fixed, target = mean of the endpoint distance matrices
+    (ref: Potential/idpp.py opt_path as used by
+    Utils/calc_tools.py:880-881)."""
+    n = a.shape[0]
+    mask = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+
+    def dists(x):
+        d = x[:, None, :] - x[None, :, :]
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    d_tgt = 0.5 * (dists(a) + dists(b))
+
+    def idpp_energy(x):
+        d = dists(x)
+        w = jnp.where(mask, 1.0 / (d ** 4), 0.0)
+        return 0.5 * jnp.sum(jnp.where(mask, w * (d - d_tgt) ** 2, 0.0))
+
+    grad = jax.grad(idpp_energy)
+
+    def body(carry, _):
+        x, v = carry
+        g = grad(x)
+        power = jnp.sum(-g * v)
+        v = jnp.where(power > 0, 0.9 * v - dt_scale * g, -dt_scale * g)
+        return (x + dt_scale * v, v), None
+
+    (m_out, _), _ = jax.lax.scan(body, (m, jnp.zeros_like(m)), None,
+                                 length=n_steps)
+    return m_out
+
+
+def spline_climbing_insert(path, energies):
+    """The reference's '-ci' climbing image: fit a natural cubic spline to
+    the energy profile over the COM-aligned arc length, locate its local
+    MAXIMA analytically (roots of the per-segment derivative), and for
+    each maximum inside segment (i, i+1) with 2 <= i < I-2 replace image i
+    by the IDPP-refined linear interpolation at the maximum
+    (ref: interface.py:320 -ci -> neb.py:562-564 ->
+    Utils/calc_tools.py:865 apply_climbing_image; the reference's
+    spline-extrema finder is Interpolation/interpolation.py:111).
+    Host-side numpy + a small jitted IDPP relax; returns the new path."""
+    p = np.asarray(path)
+    e = np.asarray(energies, dtype=np.float64)
+    n_img = p.shape[0]
+    if n_img < 5:
+        return path
+    # COM-aligned arc length (ref: calc_tools.py:853 calc_path_length_list)
+    centered = p - p.mean(axis=1, keepdims=True)
+    seg = np.sqrt(((centered[1:] - centered[:-1]) ** 2).sum(axis=(1, 2)))
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    h = np.diff(s)
+    if np.any(h < 1e-12):
+        return path
+    # natural cubic spline coefficients for e(s)
+    n = n_img
+    a_mat = np.zeros((n, n))
+    rhs = np.zeros(n)
+    a_mat[0, 0] = a_mat[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        a_mat[i, i - 1] = h[i - 1]
+        a_mat[i, i] = 2.0 * (h[i - 1] + h[i])
+        a_mat[i, i + 1] = h[i]
+        rhs[i] = 3.0 * ((e[i + 1] - e[i]) / h[i]
+                        - (e[i] - e[i - 1]) / h[i - 1])
+    c = np.linalg.solve(a_mat, rhs)
+    b = np.diff(e) / h - h * (2.0 * c[:-1] + c[1:]) / 3.0
+    d = np.diff(c) / (3.0 * h)
+    # local maxima: roots of b + 2c dx + 3d dx^2 in (0, h_i) with S'' < 0
+    maxima = []
+    for i in range(n - 1):
+        roots = np.roots([3.0 * d[i], 2.0 * c[i], b[i]]) if abs(d[i]) > 1e-30 \
+            else (np.array([-b[i] / (2.0 * c[i])]) if abs(c[i]) > 1e-30
+                  else np.array([]))
+        for r in np.real(roots[np.abs(np.imag(roots)) < 1e-12]):
+            if 0.0 < r < h[i] and (2.0 * c[i] + 6.0 * d[i] * r) < 0.0:
+                maxima.append(s[i] + r)
+    new_p = p.copy()
+    for dist in maxima:
+        for i in range(2, n - 2):
+            if s[i] >= dist or dist >= s[i + 1]:
+                continue
+            t = (dist - s[i]) / (s[i + 1] - s[i])
+            interp = p[i] + (p[i + 1] - p[i]) * t
+            refined = _idpp_refine_middle(jnp.asarray(path[i]),
+                                          jnp.asarray(interp),
+                                          jnp.asarray(path[i + 1]))
+            new_p[i] = np.asarray(refined)
+    return jnp.asarray(new_p, dtype=path.dtype)
+
+
 # --------------------------------------------------------------------------
 # per-image trust radii + adaptive per-image FIRE
 # --------------------------------------------------------------------------
@@ -542,6 +634,14 @@ class NEBConfig:
     redistribute_every: int = 0
     savgol_window: int = 5
     savgol_order: int = 3
+    # reference '-ci [start interval]' (interface.py:320 -> neb.py:562 ->
+    # calc_tools.py:865 apply_climbing_image): every `spline_ci_interval`
+    # iterations after `spline_ci_start`, replace the image below each
+    # spline-located energy maximum with an IDPP-refined interpolation at
+    # the maximum. Distinct from `climbing_start` (the CI-NEB force,
+    # ref -cineb). 0 = off.
+    spline_ci_start: int = 0
+    spline_ci_interval: int = 0
 
 
 class NEBResult(NamedTuple):
@@ -781,6 +881,13 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
                 gradients=np.asarray(grads), z=np.asarray(z),
                 savgol_window=config.savgol_window,
                 savgol_order=config.savgol_order)
+        if (config.spline_ci_interval and it > config.spline_ci_start
+                and (it - config.spline_ci_start)
+                % config.spline_ci_interval == 0
+                and it < config.n_steps):
+            # reference '-ci': spline-located maximum insertion
+            # (ref: neb.py:562-564 -> calc_tools.py:865)
+            path = spline_climbing_insert(path, energies)
         e_hist.append(np.asarray(energies))
         if callback is not None:
             # pre-step band + its matching energies/gradients so callers

@@ -342,3 +342,76 @@ def test_rfo_band_optimizer_muller_brown():
     e = np.asarray(res.energies)
     ts = np.asarray(res.path[int(np.argmax(e))])
     np.testing.assert_allclose(ts[0, :2], MB_TS_AB, atol=0.05)
+
+
+class TestSplineClimbingInsert:
+    """Reference '-ci' climbing image: spline-located maximum insertion
+    (ref: interface.py:320 -> neb.py:562-564 -> calc_tools.py:865)."""
+
+    def _band(self):
+        # 8-image band of an Ar2 stretch with an asymmetric energy peak
+        # placed INSIDE segment (3,4) so the spline maximum falls there
+        import numpy as np
+        r = np.linspace(6.0, 9.5, 8)
+        path = np.zeros((8, 2, 3))
+        path[:, 1, 2] = r
+        e = np.array([0.0, 0.1, 0.35, 0.8, 0.75, 0.3, 0.1, 0.0])
+        return jnp.asarray(path), e
+
+    def test_insertion_moves_pre_peak_image(self):
+        from multioptpy_tpu.drivers.neb import spline_climbing_insert
+        path, e = self._band()
+        out = spline_climbing_insert(path, e)
+        out = np.asarray(out)
+        p = np.asarray(path)
+        # endpoints and far-from-peak images untouched
+        np.testing.assert_array_equal(out[0], p[0])
+        np.testing.assert_array_equal(out[-1], p[-1])
+        np.testing.assert_array_equal(out[1], p[1])
+        # image 3 was replaced by the refined interpolation at the maximum:
+        # moved toward image 4, stays between its old neighbors
+        assert not np.allclose(out[3], p[3])
+        z3 = out[3, 1, 2]
+        assert p[3, 1, 2] < z3 < p[4, 1, 2]
+
+    def test_no_interior_maximum_is_a_noop(self):
+        from multioptpy_tpu.drivers.neb import spline_climbing_insert
+        path, _ = self._band()
+        e_mono = np.linspace(0.0, 1.0, 8)   # monotone: no local maximum
+        out = spline_climbing_insert(path, e_mono)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(path))
+
+    def test_cli_ci_flag_maps_to_spline_ci(self):
+        """-ci start interval -> NEBConfig.spline_ci_*; -cineb stays the
+        CI-force start (the reference keeps them distinct)."""
+        import multioptpy_tpu.cli as cli
+        import multioptpy_tpu.drivers.neb as nebmod
+        captured = {}
+        orig = nebmod.neb
+
+        def fake_neb(calc, path0, z, config, **kw):
+            captured["cfg"] = config
+            raise SystemExit(0)
+
+        nebmod.neb = fake_neb
+        try:
+            import tempfile, os
+            with tempfile.TemporaryDirectory() as td:
+                xyz = os.path.join(td, "a.xyz")
+                with open(xyz, "w") as f:
+                    f.write("2\n\nAr 0 0 0\nAr 0 0 3.8\n")
+                xyz2 = os.path.join(td, "b.xyz")
+                with open(xyz2, "w") as f:
+                    f.write("2\n\nAr 0 0 0\nAr 0 0 5.0\n")
+                try:
+                    cli.run_nebmain([xyz, "-i2", xyz2, "-nimg", "6",
+                                     "-calc", "lj", "-ns", "3",
+                                     "-ci", "5", "2", "-cineb", "7"])
+                except SystemExit:
+                    pass
+        finally:
+            nebmod.neb = orig
+        cfg = captured["cfg"]
+        assert cfg.spline_ci_start == 5
+        assert cfg.spline_ci_interval == 2
+        assert cfg.climbing_start == 7
