@@ -259,6 +259,68 @@ def bench_reference_sqm2_ab():
             "value": round(ms, 3), "unit": "ms/structure/gradient"}
 
 
+def bench_reference_optmain_e2e_ab():
+    """Full-DRIVER A/B (extends the gradient-only A/B above): the
+    reference's complete Optimize loop — optmain via its own
+    Wrapper/optimize_wrapper.py:5 OptimizationJob, torch SQM2 backend,
+    per-step file round-trips, bias engine, RSIRFO step, convergence
+    checks (optimization.py:1862 main loop) — runs end-to-end in-image on
+    the same water fixture the f64 row optimizes on-device. Per-iteration
+    wall-clock of the whole reference stack; main() pairs it with
+    sqm_f64_rfo_64xwater as vs_reference_e2e (their full step / our full
+    step). Nothing is copied: the reference is imported as an external
+    library and executed as a user would."""
+    import contextlib
+    import io
+    import os
+    import sys
+    import tempfile
+    import types
+
+    if not os.path.isdir("/root/reference/multioptpy"):
+        raise RuntimeError("reference tree not mounted")
+    if "multioptpy" not in sys.modules:
+        pkg = types.ModuleType("multioptpy")
+        pkg.__path__ = ["/root/reference/multioptpy"]
+        sys.modules["multioptpy"] = pkg
+    import multioptpy.interface    # noqa: F401  (wrapper expects these)
+    import multioptpy.optimization  # noqa: F401
+    sys.path.insert(0, "/root/reference")
+    try:
+        from multioptpy.Wrapper.optimize_wrapper import OptimizationJob
+    finally:
+        sys.path.remove("/root/reference")
+
+    NSTEP = 15
+    xyz = ("3\nwater (perturbed)\n"
+           "O 0.02 -0.01 0.1473\n"
+           "H 0.01 0.8072 -0.4992\n"
+           "H -0.02 -0.7872 -0.4392\n")
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "water.xyz")
+        with open(path, "w") as fh:
+            fh.write(xyz)
+        os.chdir(tmp)  # the reference writes work dirs relative to cwd
+        try:
+            job = OptimizationJob(path)
+            job.set_options(sqm2=True, NSTEP=NSTEP)
+            with contextlib.redirect_stdout(io.StringIO()):
+                t0 = time.perf_counter()
+                job.run()
+                wall = time.perf_counter() - t0
+        finally:
+            os.chdir(cwd)
+        # count per-iteration sample dirs to get the true step count
+        n_iter = 0
+        for root, dirs, _files in os.walk(tmp):
+            n_iter += sum(d.startswith("samples_water_") for d in dirs)
+    n_iter = max(n_iter, 1)
+    return {"metric": "reference_optmain_sqm2_water_e2e_torchcpu",
+            "value": round(wall / n_iter * 1e3, 3), "unit": "ms/step",
+            "n_steps": n_iter, "wall_s": round(wall, 2)}
+
+
 def bench_autots_flagship():
     """End-to-end flagship wall-clock (VERDICT r2 item 1): the full 4-step
     AutoTS pipeline (2x pairwise AFIR -> 16-image CI-NEB with in-loop
@@ -334,7 +396,8 @@ def main():
     extras = []
     for fn in (bench_sqm_neb32, bench_aldol_neb_fixture,
                bench_sqm_f64_tight,
-               bench_reference_sqm2_ab, bench_autots_flagship):
+               bench_reference_sqm2_ab, bench_reference_optmain_e2e_ab,
+               bench_autots_flagship):
         try:
             extras.append(fn())
         except Exception as exc:  # never lose the headline to a sub-bench
@@ -346,6 +409,10 @@ def main():
         # reference-relative: its CPU gradient vs our full on-device f64
         # step (gradient + RFO + convergence bookkeeping) per structure
         ours["vs_reference"] = round(ref["value"] / ours["value"], 1)
+    ref_e2e = by_metric.get("reference_optmain_sqm2_water_e2e_torchcpu")
+    if ours and ref_e2e and "value" in ours and "value" in ref_e2e:
+        # full-driver A/B: the reference's whole per-step stack vs ours
+        ours["vs_reference_e2e"] = round(ref_e2e["value"] / ours["value"], 1)
     headline["extras"] = extras
     print(json.dumps(headline))
 
