@@ -321,6 +321,80 @@ def bench_reference_optmain_e2e_ab():
             "n_steps": n_iter, "wall_s": round(wall, 2)}
 
 
+def bench_sqm2_scale_ab():
+    """Molecule-size scale A/B: f64 SQM2 energy+gradient on (a) the
+    reference's LARGEST basis-representable fixture
+    (test/autots_v2_test.xyz — 32 atoms C9H21OP, row-3 P so the d-shell
+    basis path is live) and (b) a procedural 98-atom C32H66 alkane —
+    our on-device jitted path vs the reference's own torch SQM2 on CPU
+    (imported as an external library, nothing copied; its calculator is
+    rebuilt per step by its driver, so construct+gradient is its true
+    per-step cost). This is the 'bigger than toy molecules' scale
+    evidence: per-molecule ms for both frameworks at 3N = 96 and 294."""
+    import contextlib
+    import io
+    import os
+    import sys
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from multioptpy_tpu.calculators.sqm import SQM2
+    from multioptpy_tpu.io import read_xyz
+    from multioptpy_tpu.io.fixtures import alkane_chain
+    from multioptpy_tpu.periodic import symbols_to_z
+    from multioptpy_tpu.units import ANGSTROM2BOHR, BOHR2ANGSTROM
+
+    if "multioptpy" not in sys.modules:
+        pkg = types.ModuleType("multioptpy")
+        pkg.__path__ = ["/root/reference/multioptpy"]
+        sys.modules["multioptpy"] = pkg
+    from multioptpy.SQM.sqm2.sqm2_core import SQM2Calculator
+
+    symbols, c_ang = read_xyz("/root/reference/test/autots_v2_test.xyz")
+    fixtures = {
+        "autots_v2_32atom": (c_ang * ANGSTROM2BOHR,
+                             np.asarray(symbols_to_z(symbols))),
+        "alkane_c32h66_98atom": alkane_chain(32),
+    }
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rows = []
+        for name, (coords_bohr, z) in fixtures.items():
+            calc = SQM2()
+            zj = jnp.asarray(z)
+            grad_fn = jax.jit(lambda c, zz=zj: calc.energy_and_gradient(
+                c, zz))
+            cj = jnp.asarray(coords_bohr, jnp.float64)
+            dt = _timeit(lambda: jax.block_until_ready(grad_fn(cj)))
+            ours_ms = dt * 1e3
+
+            c_np = np.asarray(coords_bohr) * BOHR2ANGSTROM
+            z_np = np.asarray(z)
+
+            def ref_one():
+                rc = SQM2Calculator(xyz=c_np, element_list=z_np,
+                                    charge=0, spin=0)
+                return rc.total_gradient(c_np)
+
+            with contextlib.redirect_stdout(io.StringIO()):
+                ref_one()  # warm torch
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    ref_one()
+                ref_ms = (time.perf_counter() - t0) / 2 * 1e3
+            rows.append({"metric": f"sqm2_grad_{name}",
+                         "value": round(ours_ms, 4),
+                         "unit": "ms/gradient (ours, TPU f64)",
+                         "reference_ms": round(ref_ms, 2),
+                         "vs_reference": round(ref_ms / ours_ms, 1)})
+        return {"metric": "sqm2_scale_ab", "value": rows[-1]["value"],
+                "unit": rows[-1]["unit"], "rows": rows}
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def bench_autots_flagship():
     """End-to-end flagship wall-clock (VERDICT r2 item 1): the full 4-step
     AutoTS pipeline (2x pairwise AFIR -> 16-image CI-NEB with in-loop
@@ -397,7 +471,7 @@ def main():
     for fn in (bench_sqm_neb32, bench_aldol_neb_fixture,
                bench_sqm_f64_tight,
                bench_reference_sqm2_ab, bench_reference_optmain_e2e_ab,
-               bench_autots_flagship):
+               bench_sqm2_scale_ab, bench_autots_flagship):
         try:
             extras.append(fn())
         except Exception as exc:  # never lose the headline to a sub-bench
