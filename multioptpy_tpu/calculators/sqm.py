@@ -791,6 +791,26 @@ class SQM(Calculator):
         # uniform shift (eV) of the tabulated d VSIPs — calibration knob
         # for how strongly the virtual d shells mix (traced values OK)
         self.h_d_shift = kw.pop("h_d_shift", 0.0)
+        # tensor-parallel hook: when a (mesh, axis) is set, the O(N^2)
+        # pairwise builds (geometry differences, overlap blocks — and by
+        # GSPMD propagation the EEQ/repulsion/dispersion pair matrices and
+        # their gradient transposes) are row-sharded over that mesh axis;
+        # the dense eigensolve stays replicated (it is O((nob N)^3) but
+        # tiny next to the contracted integral work until N ~ 10^3). The
+        # reference is single-process (SURVEY §2.7) — this axis is new
+        # TPU-native capability, set via parallel.mesh.tp_energy_and_gradient.
+        self.tp_mesh = kw.pop("tp_mesh", None)
+        self.tp_axis = str(kw.pop("tp_axis", "tp"))
+
+    def _tp_shard_rows(self, x):
+        """Constrain `x` to be sharded over its leading (atom-row) axis on
+        the tensor-parallel mesh axis; identity when TP is off."""
+        if self.tp_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(self.tp_axis, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.tp_mesh, spec))
 
     def energy(self, coords, z):
         t = self.energy_terms(coords, z)
@@ -846,7 +866,7 @@ class SQM(Calculator):
 
         # ---- EEQ electrostatics (computed FIRST: the charges also shift
         # the EHT levels below, ref: sqm2_qm.py:275) ---------------------
-        rij_v = coords[:, None, :] - coords[None, :, :]
+        rij_v = self._tp_shard_rows(coords[:, None, :] - coords[None, :, :])
         r = jnp.sqrt(jnp.sum(rij_v * rij_v, axis=-1)
                      + jnp.eye(n, dtype=dtype))
         chi = jnp.asarray(_T["chi"][z_np], dtype)
@@ -873,7 +893,8 @@ class SQM(Calculator):
         e_eeq = jnp.dot(chi, q) + 0.5 * jnp.dot(q, a_mat @ q)
 
         # ---- overlap & Hamiltonian -----------------------------------
-        s_blocks = _overlap_full(coords, bp, nob)          # (N,N,nob,nob)
+        s_blocks = self._tp_shard_rows(
+            _overlap_full(coords, bp, nob))                # (N,N,nob,nob)
         h_cols = [_T["h_s"][z_np]] + [_T["h_p"][z_np]] * 3
         if nob == 9:
             h_cols += [_T["h_d"][z_np]] * 5

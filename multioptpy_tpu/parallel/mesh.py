@@ -73,3 +73,32 @@ def sharded_optimize_batch(calc, coords_batch, z, mesh=None, bias_engine=None,
 
     final = run(state0)
     return final
+
+
+def tp_energy_and_gradient(calc, coords, z, mesh=None, axis="tp"):
+    """Tensor-parallel SQM energy+gradient for ONE large molecule.
+
+    Complementary scaling axis to the ensemble batch: the calculator's
+    O(N^2) pairwise builds (geometry differences, Gaussian overlap-block
+    contractions, and by GSPMD propagation the EEQ / repulsion / dispersion
+    pair matrices and their gradient transposes) are row-sharded over the
+    mesh's `axis`; the dense (nob N)^2 eigensolve stays replicated. XLA
+    inserts the all-gather at the eigh boundary and the psum in the
+    gradient transpose automatically from the two internal
+    `with_sharding_constraint`s (calculators/sqm.py `_tp_shard_rows`).
+    The reference evaluates everything in one process (SURVEY §2.7), so
+    this axis is new TPU-native capability, not a port.
+
+    Returns (energy, gradient) computed under the mesh; the calculator's
+    TP hook is reset afterwards so `calc` stays usable unsharded.
+    """
+    mesh = mesh or ensemble_mesh(axis=axis)
+    zj = jnp.asarray(z)
+    prev = (getattr(calc, "tp_mesh", None), getattr(calc, "tp_axis", "tp"))
+    calc.tp_mesh, calc.tp_axis = mesh, axis
+    try:
+        fn = jax.jit(lambda c: calc.energy_and_gradient(c, zj))
+        e, g = fn(jnp.asarray(coords))
+        return jax.block_until_ready(e), jax.block_until_ready(g)
+    finally:
+        calc.tp_mesh, calc.tp_axis = prev

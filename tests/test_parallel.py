@@ -125,3 +125,25 @@ def test_mapper_batched_matches_sequential_network():
     assert len(net_bat.nodes) >= 1
     # both runs must agree on the seed node energy and find some network
     assert abs(net_bat.nodes[0].energy - net_seq.nodes[0].energy) < 1e-8
+
+
+def test_tp_sqm_gradient_matches_unsharded():
+    """Tensor-parallel (atom-row-sharded) SQM2 gradient on one molecule
+    equals the single-device result to machine precision — the GSPMD
+    partitioning from the two internal sharding constraints must not
+    change the math (eigh replicated, pairwise builds row-sharded)."""
+    from multioptpy_tpu.calculators.sqm import SQM2
+    from multioptpy_tpu.io.fixtures import alkane_chain
+    from multioptpy_tpu.parallel import ensemble_mesh, tp_energy_and_gradient
+
+    coords, z = alkane_chain(2)  # ethane: 8 atoms, divisible by the mesh
+    coords = jnp.asarray(coords, jnp.float64)
+    calc = SQM2()
+    zj = jnp.asarray(z)
+    e0, g0 = jax.jit(lambda c: calc.energy_and_gradient(c, zj))(coords)
+
+    mesh = ensemble_mesh(axis="tp")
+    e1, g1 = tp_energy_and_gradient(calc, coords, z, mesh=mesh)
+    assert calc.tp_mesh is None  # hook reset afterwards
+    np.testing.assert_allclose(float(e1), float(e0), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-12)
