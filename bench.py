@@ -423,7 +423,7 @@ def bench_autots_flagship():
         cfg = AutoTSConfig(
             afir_list=[(300.0, [1], [11]), (300.0, [4], [12])],
             afir_opt=OptimizeConfig(method="rfo_fsb", nsteps=300,
-                                    init_hessian="model:lindh2007d3",
+                                    init_hessian="model:lindh2007d3_raw",
                                     fc_count=-1, mfc_count=30),
             n_images=16,
             neb=NEBConfig(variant="cineb", n_steps=250, k_spring=0.01,
@@ -436,7 +436,7 @@ def bench_autots_flagship():
                                   init_hessian="exact"),
             irc=IRCConfig(method="lqa", step_size=0.1, n_steps=70),
             endpoint_opt=OptimizeConfig(method="rfo_fsb", nsteps=150,
-                                        init_hessian="model:lindh2007d3"),
+                                        init_hessian="model:lindh2007d3_raw"),
         )
         calc = SQM2()
         t0 = time.perf_counter()

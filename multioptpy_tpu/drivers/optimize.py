@@ -242,7 +242,8 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
             # model guess Hessian (ref: ModelHessian/approx_hessian.py:30)
             from multioptpy_tpu.hessian.model import model_hessian
             hessian0 = model_hessian(coords, np.asarray(z),
-                                     kind=config.init_hessian.split(":", 1)[1])
+                                     kind=config.init_hessian.split(":", 1)[1],
+                                     gradient=raw_g)
         elif use_exact:
             # cheap for on-device backends; spares quasi-Newton the many
             # steps needed to learn a wide curvature spectrum from identity
@@ -452,7 +453,11 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         if config.mfc_count > 0 and model_hessian_fn is not None:
             # periodic model-Hessian rebuild (ref: optimization.py:1884)
             rebuild = (state.iteration % config.mfc_count) == 0
-            h = jnp.where(rebuild, model_hessian_fn(state.coords), h)
+            # ref passes raw_gradient into ApproxHessian.main
+            # (optimization.py:1903) — the lindh2007d* damp factor reads it
+            h = jnp.where(rebuild,
+                          model_hessian_fn(state.coords, state.raw_gradient),
+                          h)
 
         # effective Hessian: TR/rot projected (ref: rsirfo.py:353)
         if config.project_tr_rot and state.coords.shape[0] > 1:

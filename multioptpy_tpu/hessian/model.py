@@ -354,6 +354,12 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     z = np.asarray(z)
     n_atoms = len(z)
     base = kind.lower()
+    damp_raw = False
+    if base.endswith("_raw"):
+        # escape hatch: the bonded+dispersion guess WITHOUT the
+        # reference's |lambda|-rescale output transform (see `damp`)
+        damp_raw = True
+        base = base[: -len("_raw")]
     if base != "lindh2007" and not base.startswith("lindh2007d"):
         # "fischerd3"-style names fold to their parent; lindh2007 is a
         # DISTINCT kind (all-pairs screening + its own alpha/d tables,
@@ -375,6 +381,14 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     d3_dynamic = base.startswith("fischer") and not base.endswith("old")
     if base.endswith("old"):
         base = base[: -len("old")]
+    # the reference's lindh2007d{2,3,4} mains do NOT return the assembled
+    # guess: they eigendecompose the projected Hessian and rebuild it as
+    # V diag(|lambda| * 0.1 * exp(-|g|^2)) V^T — an always-PSD, gradient-
+    # damped guess (ref: lindh2007d2.py:684-705, lindh2007d3.py:793-819,
+    # lindh2007d4.py:993-1017). Faithful by default for those kind names;
+    # append "_raw" for the undamped assembly.
+    damp = base.startswith("lindh2007") and base != "lindh2007" \
+        and not damp_raw
     dispersion = None
     for suffix in ("_d2", "_d3", "_d4", "d2", "d3", "d4"):
         if base.endswith(suffix):
@@ -390,7 +404,7 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     angles = ic.angles
     torsions = ic.torsions
 
-    def fn(coords):
+    def fn(coords, gradient=None):
         if base == "morse":
             h = morse_hessian(coords, z)
         else:
@@ -412,6 +426,13 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
         h = 0.5 * (h + h.T)
         if project:
             h = project_hessian_tr_rot(h, coords)
+        if damp:
+            # reference output transform (lindh2007d2.py:685-705): scale
+            # the |eigenvalue| spectrum by 0.1*exp(-|raw_gradient|^2)
+            ng2 = (jnp.sum(jnp.asarray(gradient) ** 2)
+                   if gradient is not None else 0.0)
+            w, v = _eigh_fast(h)
+            h = (v * (jnp.abs(w) * 0.1 * jnp.exp(-ng2))[None, :]) @ v.T
         if make_ts:
             h = ts_model_hessian(h)
         return h
@@ -419,7 +440,8 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
     return fn
 
 
-def model_hessian(coords, z, kind="lindh", project=True, primitives=None):
+def model_hessian(coords, z, kind="lindh", project=True, primitives=None,
+                  gradient=None):
     """One-shot model Hessian; detects primitives host-side."""
     coords = jnp.asarray(coords)
     if primitives is None:
@@ -429,7 +451,7 @@ def model_hessian(coords, z, kind="lindh", project=True, primitives=None):
             primitives = detect_primitives(np.asarray(coords), z)
     bonds, angles, torsions = primitives
     fn = make_model_hessian_fn(z, bonds, angles, torsions, kind, project)
-    return fn(coords)
+    return fn(coords, gradient)
 
 
 def morse_hessian(coords, z, de=0.10, a=0.20):

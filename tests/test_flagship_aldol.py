@@ -44,7 +44,7 @@ def test_flagship_aldol_autots():
     zj = jnp.asarray(z)
 
     relax = OptimizeConfig(method="rfo_fsb", nsteps=250,
-                           init_hessian="model:lindh2007d3")
+                           init_hessian="model:lindh2007d3_raw")
     r0 = optimize(calc, jnp.asarray(rc), zj, config=relax)
     r1 = optimize(calc, jnp.asarray(pc), zj, config=relax)
 
@@ -67,7 +67,7 @@ def test_flagship_aldol_autots():
                               init_hessian="exact"),
         irc=IRCConfig(method="lqa", step_size=0.1, n_steps=70),
         endpoint_opt=OptimizeConfig(method="rfo_fsb", nsteps=150,
-                                    init_hessian="model:lindh2007d3"),
+                                    init_hessian="model:lindh2007d3_raw"),
     )
     res = autots(calc, r0.coords, zj, cfg, product_coords=r1.coords)
 
