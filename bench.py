@@ -445,6 +445,7 @@ def bench_autots_flagship():
         wall_s = time.perf_counter() - t0
         return {"metric": "autots_flagship_diels_alder_18atom_sqm2_f64",
                 "value": round(wall_s, 1), "unit": "s end-to-end",
+                "stage_seconds": res.stage_seconds,
                 "n_imaginary": int(res.n_imaginary),
                 "barrier_fwd_hartree": round(float(res.barrier_forward), 5),
                 "barrier_bwd_hartree": round(float(res.barrier_backward), 5),

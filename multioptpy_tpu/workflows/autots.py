@@ -85,6 +85,10 @@ class AutoTSResult(NamedTuple):
     # autots.py:193): [{index, neb_energy, energy, n_imaginary, converged,
     # selected}]
     candidates: tuple = ()
+    # wall-clock per pipeline stage: {"step1_afir", "step2_neb",
+    # "step3_refine", "step4_irc"} in seconds (includes any jit compiles
+    # that stage triggered)
+    stage_seconds: dict = {}
 
 
 def refine_saddle(calc, ts_guess, z, config=None, bias_engine=None):
@@ -133,6 +137,13 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     z = jnp.asarray(z)
     afir_traj = (np.asarray(afir_trajectory)
                  if afir_trajectory is not None else None)
+    stage_seconds = {}
+    _mark = [t0]
+
+    def _stage_done(name):
+        now = _time.perf_counter()
+        stage_seconds[name] = round(now - _mark[0], 2)
+        _mark[0] = now
 
     # ---- step 1: product generation via AFIR (ref: autots.py:81) --------
     if product_coords is None:
@@ -162,6 +173,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
                          config=config.endpoint_opt)
         product_coords = res1b.coords
     product_coords = jnp.asarray(product_coords)
+    _stage_done("step1_afir")
 
     # ---- step 2: NEB (ref: autots.py:110 — the reference runs NEB ON THE
     # AFIR TRAJECTORY, not on an endpoint interpolation; a straight-line /
@@ -193,6 +205,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         path0 = interpolate_linear(reactant, product_coords, n_images)
     _vlog(f"step2: NEB ({path0.shape[0]} images x {path0.shape[1]} atoms)")
     neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
+    _stage_done("step2_neb")
 
     # ---- step 3: refine the top-N NEB local maxima (ref: autots.py:152
     # _filter_candidates_by_energy + :193 per-candidate refinement; v2
@@ -233,6 +246,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     # selection keys on the imaginary-mode count, autots.py:193,:935).
     pick = _select_candidate(refined)
     ts_coords, ts_energy, n_imag, h_ts = pick[:4]
+    _stage_done("step3_refine")
     cand_info = tuple(
         {"index": r[5], "neb_energy": float(e_path[r[5]]),
          "energy": r[1], "n_imaginary": r[2], "converged": r[4],
@@ -251,6 +265,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         end_b = optimize(calc, end_b, z, config=config.endpoint_opt).coords
     e_f = float(calc.energy(end_f, z))
     e_b = float(calc.energy(end_b, z))
+    _stage_done("step4_irc")
 
     return AutoTSResult(
         ts_coords=ts_coords, ts_energy=ts_energy, n_imaginary=n_imag,
@@ -260,6 +275,7 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         reactant_energy=e_f, product_energy=e_b,
         neb_path=neb_res.path, neb_energies=np.asarray(neb_res.energies),
         afir_trajectory=afir_traj, candidates=cand_info,
+        stage_seconds=stage_seconds,
     )
 
 
