@@ -21,6 +21,12 @@ Model functions (state energies E1(x), E2(x)):
              penalty form converges to the same MECI)
   mesx       0.5 (E1+E2) + kappa dE^2 (quadratic seam penalty;
              ref: opt_mesx.py gradient-projection equivalent)
+  mesx2      gradient-projection MESX (ref: opt_mesx_2.py, the corrected
+             GP of Theor Chem Acc 99, 95 (1998) / JACS 137, 3433 (2015)):
+             energy = 0.5 (E1+E2); the FORCE is composed, not a gradient
+             of any scalar — 2(E1-E2) v + (I - v v^T) g_mean with
+             v = (g1-g2)/|g1-g2| — so energy_and_gradient/hessian are
+             overridden instead of autodiffed
 
 BITSS (binary-image TS search, ref: binary_image_ts_search_model_function.py)
 couples TWO geometries: `BITSSCalculator` acts on a 2N-atom super-system
@@ -67,7 +73,45 @@ class TwoStateModelFunction(Calculator):
             return mean + self.sigma * de ** 2 / (jnp.abs(de) + self.alpha)
         if self.kind == "mesx":
             return mean + self.kappa * de ** 2
+        if self.kind == "mesx2":
+            # GP method: the objective tracked is the mean energy; descent
+            # comes from the composed force below (ref: opt_mesx_2.py:11)
+            return mean
         raise ValueError(f"unknown model function '{self.kind}'")
+
+    @staticmethod
+    def _gp_vector(g1, g2):
+        dg = (g1 - g2).reshape(-1)
+        nrm = jnp.linalg.norm(dg)
+        return jnp.where(nrm > 1e-8, dg / jnp.maximum(nrm, 1e-30),
+                         jnp.zeros_like(dg))
+
+    def energy_and_gradient(self, coords, z):
+        if self.kind != "mesx2":
+            return super().energy_and_gradient(coords, z)
+        # composed GP force (ref: opt_mesx_2.py:18-45): gap restoration
+        # along the difference-gradient vector + seam force in its
+        # orthogonal complement
+        e1, g1 = self.calc_1.energy_and_gradient(coords, z)
+        e2, g2 = self.calc_2.energy_and_gradient(coords, z)
+        v = self._gp_vector(g1, g2)
+        g_mean = (0.5 * (g1 + g2)).reshape(-1)
+        gp = 2.0 * (e1 - e2) * v + (g_mean - v * (v @ g_mean))
+        return 0.5 * (e1 + e2), gp.reshape(coords.shape)
+
+    def hessian(self, coords, z):
+        if self.kind != "mesx2":
+            return super().hessian(coords, z)
+        # P H_mean P + 2 v v^T (ref: opt_mesx_2.py:47-65)
+        g1 = self.calc_1.gradient(coords, z)
+        g2 = self.calc_2.gradient(coords, z)
+        v = self._gp_vector(g1, g2)
+        h_mean = 0.5 * (self.calc_1.hessian(coords, z)
+                        + self.calc_2.hessian(coords, z))
+        hv = h_mean @ v
+        p_h_p = (h_mean - jnp.outer(v, hv) - jnp.outer(hv, v)
+                 + jnp.outer(v, v) * (v @ hv))
+        return p_h_p + 2.0 * jnp.outer(v, v)
 
     def gap(self, coords, z):
         return self.calc_1.energy(coords, z) - self.calc_2.energy(coords, z)

@@ -248,7 +248,7 @@ def _base_parser(description):
                    help="force scale for optimization (ref -beta)")
     p.add_argument("-mf", "--model_function", nargs="*", default=[],
                    help="2-state model function: [kind charge2 mult2], kind "
-                        "in seam/avoiding/conical/mesx/meci (ref -mf)")
+                        "in seam/avoiding/conical/mesx/mesx2/meci (ref -mf)")
     return p
 
 
