@@ -313,6 +313,19 @@ def setup_ase_calculator(software_type, charge=0, multiplicity=1,
         from fairchem.core import FAIRChemCalculator
         path = software_path_dict.get(st)
         return FAIRChemCalculator(checkpoint_path=path, **kw)
+    if st == "gfn0-xtb":
+        # standalone GFN0 library (ref: ase_tools/pygfn0.py ASE_GFN0)
+        import pygfn0
+        return pygfn0.GFN0(charge=charge, **kw)
+    if st == "gfn-ff":
+        # standalone GFN-FF library (ref: ase_tools/pygfnff.py ASE_GFNFF;
+        # the upstream wrapper ignores charge for the force field too)
+        import pygfnff
+        return pygfnff.GFNFF(**kw)
+    if st == "gxtb_dev":
+        # preliminary g-xTB (ref: ase_tools/gxtb_dev.py ASE_gxTB_Dev)
+        from pygxtb import PygxTB
+        return PygxTB(charge=charge, **kw)
     raise ValueError(f"unsupported software type: {software_type}")
 
 

@@ -240,6 +240,53 @@ def test_ase_factory_resolves_software_type(cleanup_modules, tmp_path):
     assert "wb97x" in captured["simple"] and "def2-TZVP" in captured["simple"]
 
 
+def test_ase_factory_standalone_xtb_family(cleanup_modules, tmp_path):
+    """The GFN0-xTB / GFN-FF / gxtb_dev branches resolve to the standalone
+    pip libraries the reference's ase_tools adapters import
+    (ref: ase_tools/pygfn0.py:17, pygfnff.py:20, gxtb_dev.py:13) with the
+    charge passthrough the upstream wrappers apply."""
+    import types
+
+    captured = {}
+
+    gfn0_mod = types.ModuleType("pygfn0")
+
+    class FakeGFN0:
+        def __init__(self, charge=0):
+            captured["gfn0_charge"] = charge
+    gfn0_mod.GFN0 = FakeGFN0
+
+    gfnff_mod = types.ModuleType("pygfnff")
+
+    class FakeGFNFF:
+        def __init__(self):
+            captured["gfnff"] = True
+    gfnff_mod.GFNFF = FakeGFNFF
+
+    gxtb_mod = types.ModuleType("pygxtb")
+
+    class FakePygxTB:
+        def __init__(self, charge=0):
+            captured["gxtb_charge"] = charge
+    gxtb_mod.PygxTB = FakePygxTB
+
+    _install(cleanup_modules, "pygfn0", gfn0_mod)
+    _install(cleanup_modules, "pygfnff", gfnff_mod)
+    _install(cleanup_modules, "pygxtb", gxtb_mod)
+
+    conf = tmp_path / "software_path.conf"
+    conf.write_text("")
+
+    from multioptpy_tpu.calculators.host import setup_ase_calculator
+
+    c0 = setup_ase_calculator("GFN0-xTB", charge=-1, conf_path=str(conf))
+    assert isinstance(c0, FakeGFN0) and captured["gfn0_charge"] == -1
+    cff = setup_ase_calculator("GFN-FF", conf_path=str(conf))
+    assert isinstance(cff, FakeGFNFF)
+    cg = setup_ase_calculator("gxtb_dev", charge=1, conf_path=str(conf))
+    assert isinstance(cg, FakePygxTB) and captured["gxtb_charge"] == 1
+
+
 def test_read_software_path_reference_format(tmp_path):
     from multioptpy_tpu.calculators.host import read_software_path
     conf = tmp_path / "software_path.conf"
