@@ -34,7 +34,7 @@ def cmds_path_analysis(trajectory):
 
 def pca_path_analysis(trajectory):
     """PCA of the trajectory displacement covariance
-    (ref: PESAnalyzer PCAPathAnalysis)."""
+    (ref: PESAnalyzer/pca_analysis.py PCAPathAnalysis)."""
     frames = np.asarray(trajectory).reshape(len(trajectory), -1)
     centered = frames - frames.mean(axis=0)
     u, s, vt = np.linalg.svd(centered, full_matrices=False)
@@ -52,7 +52,7 @@ class KoopmanResult(NamedTuple):
 def koopman_convergence_analysis(series):
     """DMD/Koopman spectrum of a convergence time series (gradient norms,
     energies) — eigenvalues inside the unit circle mean contraction
-    (ref: PESAnalyzer KoopmanAnalyzer)."""
+    (ref: PESAnalyzer/koopman_analysis.py KoopmanAnalyzer)."""
     x = np.asarray(series, dtype=np.float64)
     if x.ndim == 1:
         # delay-embed a scalar series

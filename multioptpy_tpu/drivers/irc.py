@@ -60,7 +60,10 @@ class IRCConfig:
     method: str = "lqa"
     step_size: float = 0.05        # mass-weighted step length (amu^1/2 Bohr)
     n_steps: int = 200
-    grad_threshold: float = 1e-4   # stop when |g| below (reached a minimum)
+    grad_threshold: float = 1e-4   # stop when |g| below (reached a
+                                   # minimum; the reference tests a
+                                   # max/RMS force pair instead, ref:
+                                   # IRC/converge_criteria.py:4)
     init_displacement: float = 0.1
 
 

@@ -14,15 +14,18 @@ Force laws (selected by `variant`):
   "cineb" + climbing image after `climbing_start` iterations, JCP 113
           (2000) 9901 (ref: neb.py:562)
   "dneb"  doubly nudged, Trygubenko & Wales, JCP 120 (2004) 2082
-          (ref: MEP/pathopt_bneb_force.py CaluculationDNEB)
+          (ref: MEP/pathopt_dneb_force.py:20 CaluculationDNEB)
   "lup"   locally-updated-planes: perpendicular gradient only
-          (ref: MEP/ CaluculationLUP)
-  "om"    Onsager-Machlup action-based force (ref: MEP/ CaluculationOM)
+          (ref: MEP/pathopt_lup_force.py:20 CaluculationLUP)
+  "om"    Onsager-Machlup action-based force
+          (ref: MEP/pathopt_om_force.py:18 CaluculationOM)
           — implemented as NEB with energy-weighted springs.
   "ewbneb" per-atom Wilson-B tangents + energy-weighted spring constants,
           Asgeirsson 2021 (ref: MEP/pathopt_ewbneb_force.py:21)
   "qsm2"  Ayala-Schlegel propagated tangents, perpendicular force only
           (ref: MEP/pathopt_qsmv2_force.py:19)
+  "nesb"  node-equilibrated string band (ref: MEP/pathopt_nesb_force.py:21
+          CaluculationNESB)
 
 IDPP initial paths: Smidstrup et al., JCP 140 (2014) 214106
 (ref: Potential/idpp.py:10).

@@ -239,7 +239,7 @@ def _primitive_constants(kind, coords, z, bonds, angles, torsions, n_atoms):
         # compression ratio r/r0 against the GFN0 single-bond radii sum
         # (the reference's thresholds follow its triple/double reference
         # lengths ~0.78/0.85 of single). "gfnff" adds the GFN-FF-style
-        # electronegativity strengthening (ref: gfnff.py EN-dependent
+        # electronegativity strengthening (ref: ModelHessian/gfnff.py + Parameters/gfnff_param.py EN-dependent
         # stretch constants).
         rad = _GFN0_RAD[np.asarray(z)]
         en = _GFN0_EN[np.asarray(z)]

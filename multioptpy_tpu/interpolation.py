@@ -24,7 +24,7 @@ def _arc_lengths(path):
 
 def linear_resample(path, n_out):
     """Piecewise-linear resample to n_out equally-spaced-by-arc-length
-    images (ref: Interpolation linear)."""
+    images (ref: Interpolation/linear_interpolation.py)."""
     s = _arc_lengths(path)
     t = jnp.linspace(0.0, 1.0, n_out)
     flat = path.reshape(path.shape[0], -1)
@@ -89,7 +89,7 @@ def bernstein_resample(path, n_out):
 
 def savitzky_golay_smooth(path, window=5, order=2):
     """Polynomial smoothing of the path, endpoints fixed
-    (ref: Interpolation savgol)."""
+    (ref: Interpolation/savitzky_golay_interpolation.py)."""
     from scipy.signal import savgol_filter
     p = np.asarray(path)
     if p.shape[0] < window:
