@@ -154,6 +154,10 @@ def check_convergence(gradient, displacement, criteria):
 
 def _parse_method(method):
     m = method.lower()
+    # "trim" anywhere in a quasi-Newton method name activates the TRIM
+    # step replacement (ref: optimizer.py:384 `"trim" in lower_m`); the
+    # flag itself is read off config.method by make_step_fn
+    m = m.replace("_trim", "")
     # reference method-string aliases (ref: optimizer.py:68-255
     # quasi_newton_mapping, e.g. "rsirfo_fsb", "rsprfo_bofill")
     if m.startswith("dic_rsirfo"):
@@ -520,6 +524,18 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
             step, aux = rs_rfo_step(g_flat, h_eff, trust_new,
                                     saddle_order=saddle_order,
                                     eigh_impl=config.eigh_impl)
+        if "trim" in config.method.lower() and kind in ("rfo", "prfo"):
+            # TRIM enhancement (ref: optimizer.py:384,680 + trim.py:233):
+            # a step within the trust radius is kept; a trust-limited one
+            # is replaced by Helgaker's level-shifted image step (the
+            # reference replaces its engine's raw over-long step — ours is
+            # already boundary-restricted, so the swap happens exactly
+            # when the RS solve lands on the boundary)
+            from multioptpy_tpu.steppers.enhancements import trim_step
+            so = max(saddle_order, 1) if kind == "prfo" else saddle_order
+            t_step = trim_step(g_flat, h_eff, trust_new, saddle_order=so)
+            on_boundary = jnp.linalg.norm(step) >= trust_new * (1.0 - 1e-9)
+            step = jnp.where(on_boundary, t_step, step)
         if is_mw:
             step = step * minv
         dv = config.effective_diis()

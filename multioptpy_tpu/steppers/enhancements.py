@@ -78,8 +78,10 @@ def trim_step(gradient, hessian, trust_radius, saddle_order=0):
     lo, hi = jax.lax.fori_loop(0, 60, bisect, (mu0, mu_hi))
     use_newton = jnp.linalg.norm(step_of(mu0)) <= trust_radius
     mu = jnp.where(use_newton, mu0, 0.5 * (lo + hi))
-    step_t = step_of(mu) * sign  # back to original mode signs
-    return v @ (step_of(mu))
+    # the image-function zetas are used as-is in the eigenvector basis —
+    # no sign un-flip, matching the reference (trim.py:195 step =
+    # eigvecs @ zetas with flipped eigvals_ AND gradient_)
+    return v @ step_of(mu)
 
 
 def componentwise_scaling(move, max_component):
