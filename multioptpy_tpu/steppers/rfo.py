@@ -120,6 +120,39 @@ def _rfo_step_grid(d_im, g_im, valid, trust_radius, alpha0=1.0,
     return step, lam
 
 
+@jax.custom_batching.custom_vmap
+def _eigh64_rescued(h):
+    """f64-on-TPU QR eigh with a NaN rescue through the seeded solver.
+
+    Unbatched: lax.cond executes the rescue only on failure. Batched (see
+    the def_vmap rule): the flag is reduced over the batch, so the common
+    all-finite case costs one batched QR eigh plus a scalar check."""
+    d0, v0 = jnp.linalg.eigh(h)
+    bad = ~(jnp.all(jnp.isfinite(d0)) & jnp.all(jnp.isfinite(v0)))
+
+    def _rescue(_):
+        from multioptpy_tpu.ops.eigh64 import seeded_eigh
+        return seeded_eigh(h)
+
+    return jax.lax.cond(bad, _rescue, lambda _: (d0, v0), None)
+
+
+@_eigh64_rescued.def_vmap
+def _eigh64_rescued_vmap(axis_size, in_batched, h):
+    d0, v0 = jnp.linalg.eigh(h)
+    bad_each = ~(jnp.all(jnp.isfinite(d0), axis=-1)
+                 & jnp.all(jnp.isfinite(v0), axis=(-2, -1)))
+
+    def _rescue(_):
+        from multioptpy_tpu.ops.eigh64 import seeded_eigh
+        w, v = seeded_eigh(h)
+        sel = bad_each[..., None]
+        return (jnp.where(sel, w, d0), jnp.where(sel[..., None], v, v0))
+
+    out = jax.lax.cond(jnp.any(bad_each), _rescue, lambda _: (d0, v0), None)
+    return out, (in_batched[0], in_batched[0])
+
+
 def _eigh(h, impl):
     """Symmetric eigendecomposition dispatch:
 
@@ -155,16 +188,13 @@ def _eigh(h, impl):
         # identity-Hessian moves and the refinement random-walked uphill
         # on TPU while CPU converged (round-3 session-4 diagnosis). The
         # fixed-sweep seeded solver (f32 Pallas seed + f64 polish) handles
-        # those matrices (residual ~2e-10); lax.cond executes it only on
-        # failure in the unbatched hot path.
-        d0, v0 = jnp.linalg.eigh(h)
-        bad = ~(jnp.all(jnp.isfinite(d0)) & jnp.all(jnp.isfinite(v0)))
-
-        def _rescue(_):
-            from multioptpy_tpu.ops.eigh64 import seeded_eigh
-            return seeded_eigh(h)
-
-        return jax.lax.cond(bad, _rescue, lambda _: (d0, v0), None)
+        # those matrices (residual ~2e-10). custom_vmap keeps the rescue
+        # conditional under vmap too: a batched lax.cond lowers to select
+        # (both branches run for the whole batch), which tripled the
+        # production 64-structure f64 step; the batch rule instead reduces
+        # the failure flag over the batch so the seeded solver only
+        # executes when some member actually NaN'd.
+        return _eigh64_rescued(h)
     if impl == "pallas":
         if h.dtype == jnp.float32 and jax.default_backend() == "tpu":
             from multioptpy_tpu.ops.jacobi_pallas import (

@@ -182,3 +182,49 @@ def test_seeded_eigh_overlap_like_equal_diagonal():
     y = inv_sqrt_psd(jnp.asarray(s))
     np.testing.assert_allclose(np.asarray(y), sla.inv(sla.sqrtm(s)).real,
                                atol=1e-10)
+
+
+class TestEigh64RescuedBatching:
+    """The f64-on-TPU QR eigh NaN rescue (steppers/rfo.py:_eigh64_rescued)
+    must stay CONDITIONAL under vmap. A plain lax.cond inside a vmapped
+    step lowers to select (both branches execute for the whole batch),
+    which made the production 64-structure f64 step run the seeded rescue
+    solver unconditionally — 0.098 -> 0.307 ms/structure/step measured on
+    v5e. custom_vmap's batch rule reduces the failure flag over the batch
+    instead."""
+
+    def test_unbatched_matches_eigh(self):
+        from multioptpy_tpu.steppers.rfo import _eigh64_rescued
+        rng = np.random.default_rng(3)
+        m = rng.standard_normal((7, 7))
+        h = jnp.asarray((m + m.T) / 2)
+        w, v = _eigh64_rescued(h)
+        w0, v0 = jnp.linalg.eigh(h)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w0), atol=1e-13)
+        np.testing.assert_allclose(np.abs(np.asarray(v)),
+                                   np.abs(np.asarray(v0)), atol=1e-12)
+
+    def test_vmap_matches_per_element(self):
+        from multioptpy_tpu.steppers.rfo import _eigh64_rescued
+        rng = np.random.default_rng(4)
+        m = rng.standard_normal((5, 6, 6))
+        h = jnp.asarray((m + np.swapaxes(m, -1, -2)) / 2)
+        w, v = jax.vmap(_eigh64_rescued)(h)
+        for i in range(5):
+            wi, vi = jnp.linalg.eigh(h[i])
+            np.testing.assert_allclose(np.asarray(w[i]), np.asarray(wi),
+                                       atol=1e-13)
+            np.testing.assert_allclose(np.abs(np.asarray(v[i])),
+                                       np.abs(np.asarray(vi)), atol=1e-12)
+        # reconstruction check: V diag(w) V^T == H
+        rec = jnp.einsum("bij,bj,bkj->bik", v, w, v)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(h),
+                                   atol=1e-12)
+
+    def test_vmap_keeps_rescue_conditional(self):
+        """The batched jaxpr must contain a real `cond` primitive (the
+        scalar any-over-batch gate), not an unconditional inlined rescue."""
+        from multioptpy_tpu.steppers.rfo import _eigh64_rescued
+        h = jnp.zeros((4, 6, 6), jnp.float64)
+        jaxpr = jax.make_jaxpr(jax.vmap(_eigh64_rescued))(h)
+        assert "cond" in str(jaxpr)
