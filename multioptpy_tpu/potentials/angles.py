@@ -140,7 +140,13 @@ class KeepDihedralPotentialCos(BiasPotential):
     def energy(self, coords, params):
         v, p0 = params[0], params[1] * DEG2RAD
         c = [_fragment_center(coords, f) for f in self.frags]
-        phi = _dihedral(*c)
+        # the reference's cos variant routes through
+        # Utils/calc_tools.torch_calc_dihedral_angle_from_vec, whose sign
+        # is the NEGATIVE of the IUPAC convention its own harmonic
+        # dihedral potential uses (internal inconsistency upstream,
+        # pinned live by tests/test_reference_live11.py) — mirror it so
+        # cos(n*phi - phi0) matches for asymmetric phi0
+        phi = -_dihedral(*c)
         return 0.5 * v * (1.0 - jnp.cos(self.n * phi - p0))
 
 

@@ -129,16 +129,19 @@ def _angle(p1, p2, p3, eps=1e-12):
 
 
 def _dihedral(p1, p2, p3, p4, eps=1e-12):
-    """Signed dihedral in radians, atan2 formulation."""
+    """Signed dihedral in radians, atan2 formulation, IUPAC sign
+    convention phi = atan2((n1 x n2) . b2_hat, n1 . n2) — the same as the
+    reference's (keep_dihedral_angle_potential.py:90-95; pinned live by
+    tests/test_reference_live11.py). The pre-round-3 form used
+    (n1 x b2_hat) . n2, which is exactly the NEGATIVE."""
     b1 = p2 - p1
     b2 = p3 - p2
     b3 = p4 - p3
     n1 = jnp.cross(b1, b2)
     n2 = jnp.cross(b2, b3)
     b2n = b2 / jnp.sqrt(jnp.sum(b2 * b2) + eps)
-    m1 = jnp.cross(n1, b2n)
     x = jnp.dot(n1, n2)
-    y = jnp.dot(m1, n2)
+    y = jnp.dot(jnp.cross(n1, n2), b2n)
     return jnp.arctan2(y, x)
 
 

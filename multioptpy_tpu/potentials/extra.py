@@ -42,9 +42,11 @@ class UniversalPotential(BiasPotential):
 
 @register_potential
 class FluxPotential(BiasPotential):
-    """Polynomial drift toward a target point: E = sum_i sum_k (c_k/p_k)
+    """Polynomial drift toward a target point: E = sum_i sum_k c_k
     (x_ik - d_k)^p_k with PER-AXIS constants/orders (ref:
-    flux_potential.py; the -fp flag passes x,y,z triples for both).
+    flux_potential.py:24 — NOTE the reference's -fp help string promises
+    k/p*(x-x_0)^p but its code applies NO 1/p factor; behavior parity
+    follows the code, pinned by tests/test_reference_live11.py).
     Scalars broadcast. Direction in Angstrom; params = [cx, cy, cz]."""
 
     name = "flux"
@@ -65,7 +67,7 @@ class FluxPotential(BiasPotential):
         d = jnp.asarray(self.direction, coords.dtype)
         p = jnp.asarray(self.order, coords.dtype)
         diff = coords[self.idx] - d[None, :]
-        return jnp.sum((params[None, :] / p[None, :]) * diff ** p[None, :])
+        return jnp.sum(params[None, :] * diff ** p[None, :])
 
 
 @register_potential

@@ -197,9 +197,14 @@ class ConePotential(BiasPotential):
         sa_n = jnp.sqrt(jnp.sum(sa * sa, axis=-1) + 1e-12)
         cosang = jnp.clip((sa @ ca) / (sa_n * ca_n), -1.0, 1.0)
         sub = jnp.arccos(cosang)
-        # distance to the cone surface; beyond pi/2 use the apex distance
+        # signed distance to the cone surface; NEGATIVE inside the cone
+        # (sub < half) — that sign drives the wall: length + a*r0 shrinks
+        # and the 12-6 term explodes, exactly the reference's in-cone
+        # repulsion (LJ_repulsive_potential.py:336-342, no clamp; pinned
+        # live by tests/test_reference_live11.py). An earlier max(.,0)
+        # clamp here silently zeroed the entire in-cone wall.
         length = jnp.where(sub - half <= jnp.pi / 2,
-                           sa_n * jnp.sin(jnp.maximum(sub - half, 0.0)),
+                           sa_n * jnp.sin(sub - half),
                            sa_n)
         eps = jnp.sqrt(well * jnp.asarray(self.t_eps, coords.dtype))
         r0 = jnp.sqrt(dist * jnp.asarray(self.t_rv, coords.dtype))
