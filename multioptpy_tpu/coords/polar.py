@@ -49,3 +49,15 @@ def polar_jacobian(polar, reference_point=None):
     """d cart / d polar, (n, n), via forward-mode autodiff (the reference
     derives it analytically, polar_coordinate.py:80+)."""
     return jax.jacfwd(lambda p: polar2cart(p, reference_point))(polar)
+
+
+def cart_grad_to_polar_grad(x, grad_x, reference_point=None):
+    """grad_p = J^T grad_x with J = d cart/d polar at p = cart2polar(x)
+    (ref: polar_coordinate.py:176 cart_grad_2_polar_grad — whose first
+    Jacobian column is broken upstream: compute_analytical_jacobian calls
+    cart2polar on a POLAR vector where polar2cart is meant, so its
+    dx/dr column is cart2polar(p)/r instead of x/r; pinned live by
+    tests/test_reference_live12.py)."""
+    p = cart2polar(x, reference_point)
+    jac = polar_jacobian(p, reference_point)
+    return jac.T @ grad_x
