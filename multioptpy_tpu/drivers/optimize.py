@@ -463,11 +463,24 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
                           model_hessian_fn(state.coords, state.raw_gradient),
                           h)
 
-        # effective Hessian: TR/rot projected (ref: rsirfo.py:353)
+        # effective Hessian: TR/rot projected (ref: rsirfo.py:353), with
+        # the projected-out subspace SHIFTED to +1e3 instead of left at 0.
+        # The step is unchanged — the projected gradient has machine-zero
+        # TR/rot components, so those modes contribute g~^2/(lambda-s) ~
+        # 1e-32 to the RS-RFO secular equation either way — but the
+        # 6-fold-degenerate ZERO block is exactly what breaks the TPU's
+        # float-float-emulated QR eigh (measured: the batched NaN rescue
+        # fired nearly every step on projected Hessians, 0.025 -> 0.25
+        # ms/structure; the same structure caused the round-3 flagship
+        # NaN diagnosis). Shifted to the top of the spectrum, TR/rot can
+        # also never be chosen as saddle modes (the reference instead
+        # filters small eigenvalues per-solve, rsirfo.py:265).
         if config.project_tr_rot and state.coords.shape[0] > 1:
             p = tr_rot_projector(state.coords)
             h_eff = p.T @ h @ p
             h_eff = 0.5 * (h_eff + h_eff.T)
+            eye = jnp.eye(h_eff.shape[0], dtype=h_eff.dtype)
+            h_eff = h_eff + 1e3 * (eye - p)
         else:
             h_eff = h
         if constraints is not None and constraints.has_any():

@@ -501,11 +501,19 @@ def short_range_hessian(coords, z, bonds=None, omega=0.2, cx_sr=0.78,
     """Short-range erf-screened Coulomb correction for NON-bonded pairs
     (ref: ModelHessian/shortrange.py:7 ShortRangeCorrectionHessian,
     wB97X-style (1-erf(w r))/r kernel): exact autodiff Hessian of
-    scale*cx_sr*sum_pairs (1-erf(w r))/r with bonded pairs and pairs beyond
-    `cutoff` Bohr excluded (static exclusion mask)."""
+    scale*cx_sr*sum_pairs q_i q_j (1-erf(w r))/r with bonded pairs and
+    pairs beyond `cutoff` Bohr excluded (static exclusion mask). The
+    charges are the reference's Pauling-EN estimate
+    q_i = 0.2 (mean(EN) - EN_i) (shortrange.py:190-199), so the pair
+    prefactor — and hence the sign of each block — matches its
+    calculate_pair_hessian (shortrange.py:213-227) exactly."""
     from multioptpy_tpu.geometry import bond_connectivity
+    from multioptpy_tpu.periodic import PAULING_EN
     z = np.asarray(z)
     n = coords.shape[0]
+    en = PAULING_EN[z]
+    q = 0.2 * (en.mean() - en)
+    qq = jnp.asarray(np.outer(q, q))
     if bonds is None:
         conn = np.asarray(bond_connectivity(np.asarray(coords), z))
     else:
@@ -519,7 +527,7 @@ def short_range_hessian(coords, z, bonds=None, omega=0.2, cx_sr=0.78,
         x = x_flat.reshape(n, 3)
         diff = x[:, None, :] - x[None, :, :]
         r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
-        v = (1.0 - jax.scipy.special.erf(omega * r)) / r
+        v = qq * (1.0 - jax.scipy.special.erf(omega * r)) / r
         keep = pair_mask & (r < cutoff)
         return scale * cx_sr * jnp.sum(jnp.where(keep, v, 0.0))
 

@@ -196,6 +196,19 @@ UFF_EFFECTIVE_CHARGE = np.array([
     2.068, 2.846, 2.470, 2.330, 2.240, 0.583,
 ], dtype=np.float64)
 
+# Pauling electronegativities H..Kr, Z-indexed; every element the
+# reference's short-range correction doesn't tabulate falls back to 2.0
+# and noble gases are 0.0 (ref: ModelHessian/shortrange.py:161-172
+# `electronegativity` dict + `.get(element, 2.0)`).
+PAULING_EN = np.full(MAX_Z + 1, 2.0, dtype=np.float64)
+PAULING_EN[1:37] = [
+    2.20, 0.00,
+    0.98, 1.57, 2.04, 2.55, 3.04, 3.44, 3.98, 0.00,
+    0.93, 1.31, 1.61, 1.90, 2.19, 2.58, 3.16, 0.00,
+    0.82, 1.00, 1.36, 1.54, 1.63, 1.66, 1.55, 1.83, 1.88, 1.91,
+    1.90, 1.65, 1.81, 2.01, 2.18, 2.55, 2.96, 0.00,
+]
+
 UFF_VDW_R = UFF_VDW_R_ANG * ANGSTROM2BOHR  # Bohr
 UFF_VDW_EPS = UFF_VDW_EPS_KCAL / HARTREE2KCALMOL  # Hartree
 

@@ -41,7 +41,10 @@ def test_short_range_hessian_excludes_bonded():
     # three atoms: 1-2 bonded (close), 3 far -> only 1-3, 2-3 contribute
     coords = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 2.0],
                           [0.0, 5.0, 1.0]])
-    z = np.array([6, 6, 6])
+    # heteroatoms: the reference's Pauling-EN charge estimate q_i =
+    # 0.2 (mean EN - EN_i) is identically zero for a homonuclear system,
+    # and the correction carries q_i q_j (shortrange.py:213-216)
+    z = np.array([8, 6, 1])
     h = np.asarray(short_range_hessian(coords, z, bonds=[(0, 1)]))
     assert h.shape == (9, 9)
     np.testing.assert_allclose(h, h.T, atol=1e-12)

@@ -253,8 +253,11 @@ def test_keep_dihedral():
     b3 = GEOM4[3] - GEOM4[2]
     n1 = np.cross(b1, b2)
     n2 = np.cross(b2, b3)
-    m = np.cross(n1, b2 / np.linalg.norm(b2))
-    phi = np.arctan2(np.dot(m, n2), np.dot(n1, n2))
+    # IUPAC sign phi = atan2((n1 x n2).b2_hat, n1.n2) — the convention the
+    # reference executes (keep_dihedral_angle_potential.py:90-95), pinned
+    # live in test_reference_live11.py::test_keep_dihedral_live.
+    phi = np.arctan2(np.dot(np.cross(n1, n2), b2 / np.linalg.norm(b2)),
+                     np.dot(n1, n2))
     dphi = phi - np.deg2rad(p0)
     dphi = np.arctan2(np.sin(dphi), np.cos(dphi))
     e_ref = 0.5 * k * dphi ** 2
