@@ -47,9 +47,17 @@ def normal_modes(hessian, coords, z):
     sm = jnp.repeat(jnp.sqrt(masses), 3)
     h_mw = hessian / sm[:, None] / sm[None, :]
     if coords.shape[0] > 1:
-        # single-particle model surfaces live in the translation subspace
+        # single-particle model surfaces live in the translation subspace;
+        # deflate the projected zero block via the shifted eigh (the
+        # 6-fold-degenerate block NaNs the TPU's emulated f64 QR —
+        # ops/eigh64.py eigh_deflated)
+        from multioptpy_tpu.geometry import tr_rot_projector
+        from multioptpy_tpu.ops.eigh64 import eigh_deflated
+        p = tr_rot_projector(coords, masses)
         h_mw = project_hessian_tr_rot(h_mw, coords, masses)
-    w, v = _eigh_fast(h_mw)
+        w, v = eigh_deflated(h_mw, p)
+    else:
+        w, v = _eigh_fast(h_mw)
     freq = jnp.sign(w) * jnp.sqrt(jnp.abs(w)) * (_OMEGA_SI * _TO_CM1)
     n = coords.shape[0]
     cart_modes = (v / sm[:, None]).T.reshape(3 * n, n, 3)

@@ -69,8 +69,13 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
     if bias_engine is not None and len(bias_engine):
         h = h + bias_engine.hessian(coords)
     if n > 1:
+        from multioptpy_tpu.geometry import tr_rot_projector
+        from multioptpy_tpu.ops.eigh64 import eigh_deflated
+        p = tr_rot_projector(coords)
         h = project_hessian_tr_rot(h, coords)
-    w, v = _eigh_fast(0.5 * (h + h.T))
+        w, v = eigh_deflated(0.5 * (h + h.T), p)
+    else:
+        w, v = _eigh_fast(0.5 * (h + h.T))
     scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
 
     x0_flat = coords.reshape(-1)

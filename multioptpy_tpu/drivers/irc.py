@@ -39,9 +39,16 @@ def mass_weighted_modes(hessian, coords, z):
     sm = jnp.repeat(jnp.sqrt(masses), 3)
     h_mw = hessian / sm[:, None] / sm[None, :]
     if coords.shape[0] > 1:
-        # single-particle model surfaces live IN the translation subspace
+        # single-particle model surfaces live IN the translation subspace;
+        # the projected zero block is deflated through the shifted eigh
+        # (it NaNs the TPU's emulated f64 QR otherwise — ops/eigh64.py)
+        from multioptpy_tpu.geometry import tr_rot_projector
+        from multioptpy_tpu.ops.eigh64 import eigh_deflated
+        p = tr_rot_projector(coords, masses)
         h_mw = project_hessian_tr_rot(h_mw, coords, masses)
-    w, v = _eigh_fast(h_mw)
+        w, v = eigh_deflated(h_mw, p)
+    else:
+        w, v = _eigh_fast(h_mw)
     return w, v, sm
 
 

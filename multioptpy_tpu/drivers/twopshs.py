@@ -62,8 +62,13 @@ def twopshs(calc, reactant, product, z, config=TwoPSHSConfig(),
     if bias_engine is not None and len(bias_engine):
         h = h + bias_engine.hessian(reactant)
     if n > 1:
+        from multioptpy_tpu.geometry import tr_rot_projector
+        from multioptpy_tpu.ops.eigh64 import eigh_deflated
+        p = tr_rot_projector(reactant)
         h = project_hessian_tr_rot(h, reactant)
-    w, v = _eigh_fast(0.5 * (h + h.T))
+        w, v = eigh_deflated(0.5 * (h + h.T), p)
+    else:
+        w, v = _eigh_fast(0.5 * (h + h.T))
     scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
 
     x0 = reactant.reshape(-1)

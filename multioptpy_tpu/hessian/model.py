@@ -424,17 +424,24 @@ def make_model_hessian_fn(z, bonds, angles, torsions, kind="lindh",
         if add_sr:
             h = h + short_range_hessian(coords, z, bonds=np.asarray(bonds))
         h = 0.5 * (h + h.T)
+        proj = None
         if project:
+            from multioptpy_tpu.geometry import tr_rot_projector
+            proj = tr_rot_projector(coords)
             h = project_hessian_tr_rot(h, coords)
         if damp:
             # reference output transform (lindh2007d2.py:685-705): scale
             # the |eigenvalue| spectrum by 0.1*exp(-|raw_gradient|^2)
             ng2 = (jnp.sum(jnp.asarray(gradient) ** 2)
                    if gradient is not None else 0.0)
-            w, v = _eigh_fast(h)
+            if proj is not None:
+                from multioptpy_tpu.ops.eigh64 import eigh_deflated
+                w, v = eigh_deflated(h, proj)
+            else:
+                w, v = _eigh_fast(h)
             h = (v * (jnp.abs(w) * 0.1 * jnp.exp(-ng2))[None, :]) @ v.T
         if make_ts:
-            h = ts_model_hessian(h)
+            h = ts_model_hessian(h, projector=proj)
         return h
 
     return fn
@@ -479,13 +486,19 @@ def morse_hessian(coords, z, de=0.10, a=0.20):
     return jax.hessian(energy)(coords.reshape(-1))
 
 
-def ts_model_hessian(h, thresh=1e-8):
+def ts_model_hessian(h, thresh=1e-8, projector=None):
     """Inject one negative direction into a positive-definite model Hessian
     for TS searches by a Householder reflection along the lowest
     non-singular mode: H_ts = sym((I - 2 v v^T) H)
     (ref: ModelHessian/tshess.py:3 TransitionStateHessian). Returns `h`
-    unchanged when a negative eigenvalue already exists. Branchless."""
-    w, v = _eigh_fast(0.5 * (h + h.T))
+    unchanged when a negative eigenvalue already exists. Branchless.
+    Pass `projector` when `h` is TR/rot-projected so the degenerate zero
+    block is deflated before the eigh (TPU f64 QR safety)."""
+    if projector is not None:
+        from multioptpy_tpu.ops.eigh64 import eigh_deflated
+        w, v = eigh_deflated(0.5 * (h + h.T), projector)
+    else:
+        w, v = _eigh_fast(0.5 * (h + h.T))
     has_neg = jnp.any(w < -thresh)
     # first non-(TR/rot-)singular mode
     idx = jnp.argmax(jnp.abs(w) > thresh)

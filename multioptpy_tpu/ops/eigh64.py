@@ -141,6 +141,36 @@ def eigh_fast(a, polish_sweeps=2):
     return jnp.linalg.eigh(a)
 
 
+def eigh_deflated(h_proj, p, shift=1e3):
+    """Eigendecomposition of a TR/rot-PROJECTED symmetric matrix that is
+    safe on the TPU's float-float-emulated f64 QR eigh.
+
+    `h_proj = P^T H P` has an exactly 6-fold-degenerate zero eigenvalue
+    block (the projected-out subspace), which is precisely the structure
+    that makes the emulated QR produce NaNs (measured on the flagship
+    Diels-Alder TS: `normal_modes` and IRC's `mass_weighted_modes` both
+    NaN'd on TPU while the raw unprojected eigh was clean). Adding
+    `shift * (I - P)` moves that block to an isolated eigenvalue far
+    above the physical spectrum WITHOUT touching the eigenvectors:
+    h_proj and (I - P) commute (complementary supports), so the shifted
+    operator has the same eigenbasis, with the projected-out modes at
+    `shift` instead of 0. After the solve, each eigenvalue is restored by
+    subtracting shift * (v_k^T (I-P) v_k) — exactly shift for TR/rot
+    modes, ~1e-14*shift for physical ones — and the pairs re-sorted.
+
+    Returns (w, v) ascending, with projected-out modes back at ~0.
+    """
+    eye = jnp.eye(h_proj.shape[-1], dtype=h_proj.dtype)
+    w, v = eigh_fast(h_proj + shift * (eye - p))
+    q = 1.0 - jnp.einsum("...ik,...ik->...k", v,
+                         jnp.matmul(p, v, precision=jax.lax.Precision.HIGHEST))
+    w = w - shift * q
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+    return w, v
+
+
 @jax.custom_jvp
 def eigh_solve(a, b):
     """Solve the symmetric (possibly indefinite) system a @ x = b through
