@@ -30,6 +30,11 @@ class IEIPConfig:
                                     # reference's -dimer_trial_angle scales
                                     # its rotational line search; here it
                                     # scales the fixed rotation step)
+    dimer_trans_rate: float = 0.5   # translation learning rate: the step
+                                    # is rate*F clipped to step_size; an
+                                    # undamped rate-1 explicit-Euler walk
+                                    # limit-cycles on modes with curvature
+                                    # > 2 instead of converging
     fmax: float = 1e-4
 
 
@@ -142,6 +147,7 @@ def _dimer(energy_grad, x0, v0, config):
             -(g_flat - 2.0 * jnp.dot(g_flat, v_new.reshape(-1))
               * v_new.reshape(-1)),
             -jnp.dot(g_flat, v_new.reshape(-1)) * v_new.reshape(-1))
+        f_trans = config.dimer_trans_rate * f_trans
         n = jnp.linalg.norm(f_trans)
         f_trans = jnp.where(n > ds, f_trans * ds / n, f_trans)
         return x + f_trans.reshape(x.shape), v_new, e0, jnp.max(jnp.abs(g0))
