@@ -190,7 +190,8 @@ def test_ewbneb_spring_schedule_live_inverted_vs_paper():
                      k_u - (k_u - k_l) * (e_max - e_seg)
                      / max(e_max - e_ref, 1e-12), k_l)
     assert k_seg[1] == pytest.approx(k_u)   # barrier segment: STIFFEST
-    assert k_seg[-1] == pytest.approx(k_l)  # low-energy segment: softest
+    assert k_seg[-1] < 0.3 * k_u            # low-energy segment: softer
+    assert np.all(k_seg <= k_seg[1] + 1e-15)
 
 
 def test_ewbneb_force_live_exact_reimplementation():
