@@ -96,15 +96,23 @@ def newton_trajectory(calc, coords, z, direction=None, product_coords=None,
         gnorms.append(float(gn))
         if float(gn) < config.grad_threshold:
             stationary.append(i)
+        # reference-style stationary passing on the energy profile
+        # (newton_traj.py:265-276): a local max triple marks a crossed
+        # TS — in single-ended mode stop there (check_convergence
+        # :317-323 stops the main loop at the first TS); in two-point
+        # mode keep growing toward the product. A local min is
+        # recorded only.
+        if len(energies) >= 3 and energies[-3] < energies[-2] > energies[-1]:
+            if i - 1 not in stationary:
+                stationary.append(i - 1)
+            if product_coords is None:
+                break
+        if len(energies) >= 3 and energies[-3] > energies[-2] < energies[-1]:
+            if i - 1 not in stationary:
+                stationary.append(i - 1)
         if product_coords is not None and float(jnp.dot(
                 (x - jnp.asarray(product_coords)).reshape(-1), r)) > 0:
             break  # walked past the product projection
-        # stop once past the barrier: energy decreasing and a stationary
-        # point was crossed
-        if stationary and len(energies) > 2 \
-                and energies[-1] < energies[-2] < energies[-3] \
-                and i > stationary[-1] + 2:
-            break
 
     energies = np.asarray(energies)
     ts_idx = int(np.argmax(energies))
