@@ -221,3 +221,12 @@ def test_apply_climbing_image_live_mutates_input_and_skips_edges():
                 if not np.allclose(band2[i], originals2[i])]
     assert changed2                            # monotonic path mutated
     assert all(2 <= i < n - 2 for i in changed2)
+
+    # ours solves the per-segment quadratic analytically and requires
+    # the root INSIDE the segment: a monotonic profile is untouched
+    from multioptpy_tpu.drivers.neb import spline_climbing_insert
+    import jax.numpy as jnp
+    path = jnp.asarray(np.array(originals2))
+    out_ours = spline_climbing_insert(path, np.linspace(1.0, 0.0, n))
+    np.testing.assert_allclose(np.asarray(out_ours),
+                               np.array(originals2), atol=1e-12)
