@@ -1,10 +1,18 @@
 """Point-group detection (Schoenflies symbol + rotational symmetry number).
 
 ref: multioptpy/Utils/symmetry_analyzer.py:403 analyze_symmetry (618 LoC).
-Pragmatic numpy implementation: principal-axis alignment, then tests for
-inversion, proper C_n axes (n up to 8) along candidate directions, mirror
-planes, and S_2n — enough to classify the common groups and provide the
-rotational symmetry number sigma for RRHO thermochemistry.
+Full operation-census design: build a candidate direction set (principal
+axes, atom rays, pair midpoints/differences/cross products, triple
+centroids), census every proper rotation C_n (n<=8), mirror plane, improper
+axis S_n and the inversion against it, then walk the standard group-theory
+decision tree (linear -> icosahedral -> octahedral -> tetrahedral ->
+axial families). The census is vectorized numpy (one (N,N) distance matrix
+per candidate operation) where the reference tests atoms in Python loops.
+
+Covers the cubic groups (T/Td/Th/O/Oh), icosahedral I/Ih, S2n groups and
+sigma_v/sigma_d counting — the breadth the reference's analyzer has
+(symmetry_analyzer.py:310-397) — and returns the rotational symmetry
+number sigma for RRHO thermochemistry.
 """
 
 from typing import NamedTuple
@@ -21,17 +29,35 @@ class SymmetryResult(NamedTuple):
     is_linear: bool
 
 
+# rotational symmetry numbers per group family (Herzberg conventions)
+_SIGMA = {"C1": 1, "Ci": 1, "Cs": 1, "T": 12, "Td": 12, "Th": 12,
+          "O": 24, "Oh": 24, "I": 60, "Ih": 60, "Kh": 1,
+          "C*v": 1, "D*h": 2}
+
+
+def _sigma_of(pg):
+    if pg in _SIGMA:
+        return _SIGMA[pg]
+    if pg.startswith("S"):
+        return int(pg[1:]) // 2
+    n = int("".join(ch for ch in pg[1:] if ch.isdigit()) or 1)
+    return 2 * n if pg.startswith("D") else n
+
+
 def _coincides(coords, z, transformed, tol):
-    """Does the transformed structure map onto the original (same-element
-    matching)?"""
-    n = len(coords)
-    used = np.zeros(n, dtype=bool)
-    for i in range(n):
-        d = np.linalg.norm(transformed[i] - coords, axis=1)
-        d[z != z[i]] = np.inf
-        d[used] = np.inf
-        j = np.argmin(d)
-        if d[j] > tol:
+    """Does the transformed structure map onto the original (same-element,
+    injective matching)? Vectorized distance matrix + greedy assignment."""
+    d = np.linalg.norm(transformed[:, None, :] - coords[None, :, :],
+                       axis=-1)
+    d[z[:, None] != z[None, :]] = np.inf
+    if np.any(d.min(axis=1) > tol):
+        return False
+    used = np.zeros(len(coords), dtype=bool)
+    for i in np.argsort(d.min(axis=1)):
+        row = d[i].copy()
+        row[used] = np.inf
+        j = int(np.argmin(row))
+        if row[j] > tol:
             return False
         used[j] = True
     return True
@@ -50,26 +76,61 @@ def _reflection_matrix(normal):
     return np.eye(3) - 2.0 * np.outer(nrm, nrm)
 
 
-def _candidate_axes(coords, principal_axes):
+def _unit(v):
+    n = np.linalg.norm(v)
+    return v / n if n > 1e-6 else None
+
+
+def _candidate_directions(coords, principal_axes, cap=600):
+    """Axis/normal candidates: principal axes, atom rays, pair midpoints,
+    pair differences (mirror normals / perpendicular C2s), pair cross
+    products (normals of planes through two atoms and the origin), and
+    same-element triple centroids (C3 axes through face centers)."""
     cands = [principal_axes[:, i] for i in range(3)]
-    # atom positions and midpoints as additional axis candidates
+    n = len(coords)
     for p in coords:
-        if np.linalg.norm(p) > 1e-6:
-            cands.append(p / np.linalg.norm(p))
-    for i in range(len(coords)):
-        for j in range(i + 1, len(coords)):
-            m = 0.5 * (coords[i] + coords[j])
-            if np.linalg.norm(m) > 1e-6:
-                cands.append(m / np.linalg.norm(m))
-    # dedupe
+        u = _unit(p)
+        if u is not None:
+            cands.append(u)
+    idx = np.arange(n)
+    for i in idx:
+        for j in idx[i + 1:]:
+            for vec in (coords[i] + coords[j],        # midpoint ray
+                        coords[i] - coords[j],        # bisecting normal
+                        np.cross(coords[i], coords[j])):
+                u = _unit(vec)
+                if u is not None:
+                    cands.append(u)
+            if len(cands) > 4 * cap:
+                break
+        if len(cands) > 4 * cap:
+            break
+    if n <= 30:
+        for i in idx:
+            for j in idx[i + 1:]:
+                for k in idx[j + 1:]:
+                    u = _unit(coords[i] + coords[j] + coords[k])
+                    if u is not None:
+                        cands.append(u)
+            if len(cands) > 8 * cap:
+                break
+    # dedupe by |dot| ~ 1 (sign-free: an axis and its negative coincide)
     uniq = []
+    arr = None
     for c in cands:
-        if not any(abs(abs(np.dot(c, u)) - 1.0) < 1e-6 for u in uniq):
+        if arr is None:
             uniq.append(c)
-    return uniq[:40]
+            arr = np.array([c])
+        else:
+            if np.max(np.abs(arr @ c)) < 1.0 - 1e-4:
+                uniq.append(c)
+                arr = np.vstack([arr, c])
+        if len(uniq) >= cap:
+            break
+    return uniq
 
 
-def analyze_symmetry(coords, z, tol=0.05):
+def analyze_symmetry(coords, z, tol=0.05, max_n_fold=8):
     """-> SymmetryResult (ref: symmetry_analyzer.py:403)."""
     coords = np.asarray(coords, dtype=np.float64)
     z = np.asarray(z)
@@ -78,92 +139,103 @@ def analyze_symmetry(coords, z, tol=0.05):
         return SymmetryResult("Kh", 1, False)
 
     masses = np.asarray(masses_from_z(jnp.asarray(z)))
-    com = np.asarray(center_of_mass(jnp.asarray(coords), jnp.asarray(masses)))
+    com = np.asarray(center_of_mass(jnp.asarray(coords),
+                                    jnp.asarray(masses)))
     x = coords - com
 
-    # inertia tensor & principal axes
     inertia = np.zeros((3, 3))
     for mi, p in zip(masses, x):
         inertia += mi * (np.dot(p, p) * np.eye(3) - np.outer(p, p))
     moments, axes = np.linalg.eigh(inertia)
 
-    # linear?
+    has_inversion = _coincides(x, z, -x, tol)
     if moments[0] < 1e-4 * max(moments[2], 1e-30):
-        has_inversion = _coincides(x, z, -x, tol)
         return (SymmetryResult("D*h", 2, True) if has_inversion
                 else SymmetryResult("C*v", 1, True))
 
-    has_inversion = _coincides(x, z, -x, tol)
+    cands = _candidate_directions(x, axes)
 
-    # find the highest-order proper axis
-    best_n, best_axis = 1, None
-    for axis in _candidate_axes(x, axes):
-        for order in (8, 7, 6, 5, 4, 3, 2):
+    # --- operation census -------------------------------------------------
+    cn_axes = {order: [] for order in range(2, max_n_fold + 1)}
+    for axis in cands:
+        for order in range(2, max_n_fold + 1):
             r = _rotation_matrix(axis, 2 * np.pi / order)
             if _coincides(x, z, x @ r.T, tol):
-                if order > best_n:
-                    best_n, best_axis = order, axis
-                break
+                cn_axes[order].append(axis)
+    mirrors = [axis for axis in cands
+               if _coincides(x, z, x @ _reflection_matrix(axis).T, tol)]
 
+    def has_s2n(axis, order2n):
+        s = (_rotation_matrix(axis, 2 * np.pi / order2n)
+             @ _reflection_matrix(axis))
+        return _coincides(x, z, x @ s.T, tol)
+
+    # --- decision tree (ref: symmetry_analyzer.py:310-397; standard
+    # group-theory flowchart) ---------------------------------------------
+    # cubic/icosahedral: count distinct high-order axes
+    if len(cn_axes[5]) >= 6 and len(cn_axes[3]) >= 10:
+        pg = "Ih" if has_inversion else "I"
+        return SymmetryResult(pg, _sigma_of(pg), False)
+    if len(cn_axes[4]) >= 3 and len(cn_axes[3]) >= 4:
+        pg = "Oh" if has_inversion else "O"
+        return SymmetryResult(pg, _sigma_of(pg), False)
+    if len(cn_axes[3]) >= 4 and len(cn_axes[2]) >= 3:
+        if has_inversion:
+            pg = "Th"
+        elif len(mirrors) >= 6:
+            pg = "Td"
+        else:
+            pg = "T"
+        return SymmetryResult(pg, _sigma_of(pg), False)
+
+    best_n = max((order for order in cn_axes if cn_axes[order]),
+                 default=1)
     if best_n == 1:
-        # Cs / Ci / C1
-        for axis in _candidate_axes(x, axes):
-            if _coincides(x, z, x @ _reflection_matrix(axis).T, tol):
-                return SymmetryResult("Cs", 1, False)
+        if mirrors:
+            return SymmetryResult("Cs", 1, False)
         if has_inversion:
             return SymmetryResult("Ci", 1, False)
+        # S2 = inversion (covered); no symmetry left
         return SymmetryResult("C1", 1, False)
 
-    # cubic groups: four or more C3 axes
-    if best_n >= 2 and _count_c3_axes(x, z, tol) >= 4:
-        if has_inversion:
-            return SymmetryResult("Oh" if best_n >= 4 else "Th",
-                                  24 if best_n >= 4 else 12, False)
-        return SymmetryResult("Td", 12, False)
+    principal = cn_axes[best_n][0]
 
-    # count perpendicular C2 axes
-    n_perp_c2 = 0
-    for axis in _candidate_axes(x, axes):
-        if abs(np.dot(axis, best_axis)) < 0.05:
-            r = _rotation_matrix(axis, np.pi)
-            if _coincides(x, z, x @ r.T, tol):
-                n_perp_c2 += 1
+    def is_perp(v):
+        return abs(np.dot(v, principal)) < 0.15
 
-    sigma_h = _coincides(x, z, x @ _reflection_matrix(best_axis).T, tol)
-    # vertical mirror?
-    sigma_v = False
-    for axis in _candidate_axes(x, axes):
-        if abs(np.dot(axis, best_axis)) < 0.05:
-            if _coincides(x, z, x @ _reflection_matrix(axis).T, tol):
-                sigma_v = True
-                break
+    def is_parallel(v):
+        return abs(np.dot(v, principal)) > 1.0 - 1e-3
 
-    nax = best_n
-    if n_perp_c2 >= nax:
-        # dihedral family
-        if sigma_h:
-            pg, sigma = f"D{nax}h", 2 * nax
-        elif sigma_v:
-            pg, sigma = f"D{nax}d", 2 * nax
+    # distinct perpendicular C2 axes
+    perp_c2 = []
+    for axis in cn_axes[2]:
+        if is_perp(axis) and not any(
+                abs(abs(np.dot(axis, u)) - 1.0) < 1e-3 for u in perp_c2):
+            perp_c2.append(axis)
+    has_perp_c2 = len(perp_c2) >= best_n
+
+    has_sigma_h = any(is_parallel(m) for m in mirrors)
+    # sigma_v / sigma_d: distinct mirror planes containing the principal
+    # axis (normal perpendicular to it)
+    sigma_v = []
+    for m in mirrors:
+        if is_perp(m) and not any(
+                abs(abs(np.dot(m, u)) - 1.0) < 1e-3 for u in sigma_v):
+            sigma_v.append(m)
+
+    if has_perp_c2:
+        if has_sigma_h:
+            pg = f"D{best_n}h"
+        elif len(sigma_v) >= best_n:
+            pg = f"D{best_n}d"
         else:
-            pg, sigma = f"D{nax}", 2 * nax
-        return SymmetryResult(pg, sigma, False)
-
-    if sigma_h:
-        return SymmetryResult(f"C{nax}h", nax, False)
-    if sigma_v:
-        return SymmetryResult(f"C{nax}v", nax, False)
-    # S_2n?
-    s2n = _rotation_matrix(best_axis, np.pi / nax) @ _reflection_matrix(best_axis)
-    if _coincides(x, z, x @ s2n.T, tol):
-        return SymmetryResult(f"S{2 * nax}", nax, False)
-    return SymmetryResult(f"C{nax}", nax, False)
-
-
-def _count_c3_axes(x, z, tol):
-    count = 0
-    for axis in _candidate_axes(x, np.eye(3)):
-        r = _rotation_matrix(axis, 2 * np.pi / 3)
-        if _coincides(x, z, x @ r.T, tol):
-            count += 1
-    return count
+            pg = f"D{best_n}"
+    elif has_sigma_h:
+        pg = f"C{best_n}h"
+    elif len(sigma_v) >= best_n:
+        pg = f"C{best_n}v"
+    elif has_s2n(principal, 2 * best_n):
+        pg = f"S{2 * best_n}"
+    else:
+        pg = f"C{best_n}"
+    return SymmetryResult(pg, _sigma_of(pg), False)

@@ -147,3 +147,65 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
             ts_guess=np.asarray(ts_guess), ts_energy=ts_energy,
             crossed_ts=crossed))
     return channels
+
+
+class ADDFTransitionState(NamedTuple):
+    coords: np.ndarray
+    energy: float
+    n_imaginary: int
+    converged: bool
+    channel: int                 # which ADD channel produced it
+
+
+def addf_explore(calc, coords, z, config=ADDFConfig(), saddle_config=None,
+                 bias_engine=None, dedupe_rmsd=0.2, refine_all=False):
+    """Reference-style ADDF driver: multi-channel ADD following with
+    per-channel TS refinement hand-off (ref: OtherMethod/addf.py:12 — the
+    reference follows each ADD outward, re-optimizes the crossing as a
+    saddle, and collects the distinct transition states; its 1150-LoC
+    driver interleaves these phases per channel, here they pipeline:
+    search all channels, refine each crossing, dedupe by aligned RMSD).
+
+    Returns (ts_list, channels): `ts_list` holds distinct refined
+    first-order saddles sorted by energy; `channels` is the raw
+    `addf_search` output for inspection."""
+    from multioptpy_tpu.analysis import normal_modes
+    from multioptpy_tpu.analysis.vibrations import count_imaginary
+    from multioptpy_tpu.geometry import align_to
+    from multioptpy_tpu.workflows.autots import refine_saddle
+
+    coords = jnp.asarray(coords)
+    z = jnp.asarray(z)
+    channels = addf_search(calc, coords, z, config=config,
+                           bias_engine=bias_engine)
+    ts_list = []
+    for idx, ch in enumerate(channels):
+        if not (ch.crossed_ts or refine_all):
+            continue
+        res = refine_saddle(calc, jnp.asarray(ch.ts_guess, coords.dtype),
+                            z, config=saddle_config,
+                            bias_engine=bias_engine)
+        h = calc.hessian(res.coords, z)
+        if bias_engine is not None and len(bias_engine):
+            h = h + bias_engine.hessian(res.coords)
+        n_imag = int(count_imaginary(
+            normal_modes(h, res.coords, z).frequencies_cm1))
+        cand = ADDFTransitionState(
+            coords=np.asarray(res.coords), energy=float(res.energy),
+            n_imaginary=n_imag, converged=bool(res.converged),
+            channel=idx)
+        # dedupe: aligned RMSD against the saddles already kept (the
+        # reference dedupes revisited channels by structure comparison)
+        dup = False
+        for kept in ts_list:
+            aligned = np.asarray(align_to(
+                jnp.asarray(cand.coords), jnp.asarray(kept.coords)))
+            rmsd = float(np.sqrt(np.mean(
+                np.sum((aligned - kept.coords) ** 2, axis=1))))
+            if rmsd < dedupe_rmsd and abs(cand.energy - kept.energy) < 1e-4:
+                dup = True
+                break
+        if not dup:
+            ts_list.append(cand)
+    ts_list.sort(key=lambda t: t.energy)
+    return ts_list, channels
