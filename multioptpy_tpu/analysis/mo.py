@@ -69,6 +69,68 @@ def density_matrix(orb):
     return c_occ @ orb.coefficients.T
 
 
+def host_orbitals(calc, coords, z):
+    """Orbitals from a host-bridge backend's wavefunction (ref: the
+    reference's NROAnalysis consumes SP.orbital_coefficients /
+    overlap_matrix / orbital_energies from its tblite/Psi4/PySCF
+    calculators, WFAnalyzer/MO_analysis.py:66-79). The bridge contract is
+    `_host_wavefunction(coords_bohr, z) -> (eps, C, S, occ)` numpy
+    arrays; see calculators/host.py."""
+    eps, c, s, occ = calc._host_wavefunction(np.asarray(coords),
+                                             np.asarray(z))
+    return Orbitals(energies=np.asarray(eps), coefficients=np.asarray(c),
+                    overlap=np.asarray(s), occupations=np.asarray(occ))
+
+
+def orbitals_of(calc, coords, z):
+    """Dispatch: host-bridge wavefunction when the backend provides one,
+    else the on-device SQM orbitals."""
+    if hasattr(calc, "_host_wavefunction"):
+        return host_orbitals(calc, coords, z)
+    return sqm_orbitals(calc, coords, z)
+
+
+class NROResponse(NamedTuple):
+    lambda_singular: np.ndarray   # singular values of the response matrix
+    lambda_sum: float             # the reference's per-step LAMBDA scalar
+    left: np.ndarray              # left natural reaction orbitals (columns)
+    right: np.ndarray             # right NROs (columns)
+    d_orbital_energy: np.ndarray   # d eps / d s along the direction
+    d2_orbital_energy: np.ndarray  # d2 eps / d s2
+
+
+def nro_response(orb_0, orb_plus, orb_minus, delta):
+    """Natural-reaction-orbital response analysis between displaced
+    wavefunctions (ref: MO_analysis.py:80-94, Ebisawa et al. PCCP 24,
+    3532 (2022)): the first response matrix M = C0^H S dC/ds (dC from the
+    +/-delta central difference) is SVD-decomposed; its singular values
+    measure how strongly each orbital rotates along the displacement, and
+    the left/right singular vectors are the NRO pairs. Also returns the
+    first/second orbital-energy derivatives the reference logs."""
+    dc = (orb_plus.coefficients - orb_minus.coefficients) / (2.0 * delta)
+    d_eps = (orb_plus.energies - orb_minus.energies) / (2.0 * delta)
+    d2_eps = (orb_plus.energies + orb_minus.energies
+              - 2.0 * orb_0.energies) / (delta ** 2)
+    m = (np.conjugate(orb_0.coefficients.T) @ orb_0.overlap @ dc)
+    left, lam, right_h = np.linalg.svd(m)
+    return NROResponse(lambda_singular=lam, lambda_sum=float(np.sum(lam)),
+                       left=left, right=np.conjugate(right_h.T),
+                       d_orbital_energy=d_eps, d2_orbital_energy=d2_eps)
+
+
+def nro_along(calc, coords, z, direction, delta=1e-4):
+    """NRO response at `coords` along `direction` (the reference displaces
+    +/- delta * unit(move_vector), MO_analysis.py:68): works on any
+    backend `orbitals_of` supports — host wavefunctions included."""
+    direction = np.asarray(direction, dtype=np.float64)
+    step = delta * direction / (np.linalg.norm(direction) + 1e-300)
+    coords = np.asarray(coords, dtype=np.float64)
+    orb_0 = orbitals_of(calc, coords, z)
+    orb_p = orbitals_of(calc, coords + step, z)
+    orb_m = orbitals_of(calc, coords - step, z)
+    return nro_response(orb_0, orb_p, orb_m, delta)
+
+
 def natural_reaction_orbitals(calc, coords_1, coords_2, z):
     """NROs: eigenvectors of the density-difference matrix between two
     points on a reaction path; large |eigenvalue| = orbitals most involved

@@ -143,6 +143,16 @@ class PySCF(HostCalculator):
             mf.xc = self.method
         return mf
 
+    def _host_wavefunction(self, coords, z):
+        """(eps, C, S, occ) for NRO analysis (ref: the reference's NRO
+        consumes consecutive Psi4/PySCF wavefunctions,
+        WFAnalyzer/MO_analysis.py:66-79); consumed by
+        analysis/mo.py host_orbitals."""
+        mf = self._build_mf(coords, z)
+        mf.kernel()
+        return (np.asarray(mf.mo_energy), np.asarray(mf.mo_coeff),
+                np.asarray(mf.get_ovlp()), np.asarray(mf.mo_occ))
+
     def _host_energy_gradient(self, coords, z):
         mf = self._build_mf(coords, z)
         e = mf.kernel()
@@ -187,6 +197,25 @@ class Psi4(HostCalculator):
         psi4.core.be_quiet()
         g, wfn = psi4.gradient(self.method, molecule=mol, return_wfn=True)
         return float(wfn.energy()), np.asarray(g)
+
+    def _host_wavefunction(self, coords, z):
+        """(eps, C, S, occ) for NRO analysis (ref:
+        WFAnalyzer/MO_analysis.py:66-79; consumed by analysis/mo.py)."""
+        import psi4
+        from multioptpy_tpu.periodic import z_to_symbol
+        lines = [f"{self.charge} {self.multiplicity}"]
+        for zi, c in zip(z, coords * BOHR2ANGSTROM):
+            lines.append(
+                f"{z_to_symbol(zi)} {c[0]:.12f} {c[1]:.12f} {c[2]:.12f}")
+        mol = psi4.geometry("\n".join(lines))
+        psi4.core.be_quiet()
+        _e, wfn = psi4.energy(self.method, molecule=mol, return_wfn=True)
+        s = psi4.core.MintsHelper(wfn.basisset()).ao_overlap()
+        occ = np.zeros(wfn.nmo())
+        occ[:wfn.nalpha()] += 1.0
+        occ[:wfn.nbeta()] += 1.0
+        return (np.asarray(wfn.epsilon_a()), np.asarray(wfn.Ca()),
+                np.asarray(s), occ)
 
 
 @register_calculator("ase")
