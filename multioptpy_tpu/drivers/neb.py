@@ -1034,9 +1034,20 @@ def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
     if mesh is None:
         from multioptpy_tpu.parallel.mesh import ensemble_mesh
         mesh = ensemble_mesh(axis=axis)
-    if config.variant not in ("neb", "cineb", "bneb", "nesb"):
+    # halo variants exchange only +-1 neighbours over the ring; the rest
+    # (whole-path force laws: qsm2's downhill-propagated tangents, dmf's
+    # path action, ewbneb/om energy-weighted springs, dneb/lup/bneb2/
+    # bneb3) all_gather the band and evaluate neb_forces replicated —
+    # the band is tiny (I*N*3 floats) next to the sharded QM gradients,
+    # and force-law parity with the single-device dispatch is exact by
+    # construction. qsm/string need spline respacing (a host-side step)
+    # and gpneb a GP fit; both stay single-device.
+    _HALO = ("neb", "cineb", "bneb", "nesb")
+    _GATHER = ("dneb", "lup", "om", "qsm2", "dmf", "ewbneb", "bneb2",
+               "bneb3")
+    if config.variant not in _HALO + _GATHER:
         raise ValueError("neb_sharded_step supports variants "
-                         "neb/cineb/bneb/nesb")
+                         f"{'/'.join(_HALO + _GATHER)}")
     if config.optimizer not in ("fire", "lbfgs"):
         raise ValueError("neb_sharded_step supports the fire and lbfgs "
                          "optimizers")
@@ -1072,58 +1083,78 @@ def neb_sharded_step(calc, z, config=NEBConfig(), mesh=None, axis="batch",
 
         e_l, g_l = jax.vmap(energy_grad_one)(coords_l)
 
-        # ±1 halo exchange over the ring (wraparound == jnp.roll semantics;
-        # the wrapped values only feed frozen endpoint rows).
-        x_from_next = lax.ppermute(coords_l[0], axis, perm_from_next)
-        x_from_prev = lax.ppermute(coords_l[-1], axis, perm_from_prev)
-        e_from_next = lax.ppermute(e_l[0], axis, perm_from_next)
-        e_from_prev = lax.ppermute(e_l[-1], axis, perm_from_prev)
-        x_prev = jnp.concatenate([x_from_prev[None], coords_l[:-1]], axis=0)
-        x_next = jnp.concatenate([coords_l[1:], x_from_next[None]], axis=0)
-        e_prev = jnp.concatenate([e_from_prev[None], e_l[:-1]])
-        e_next = jnp.concatenate([e_l[1:], e_from_next[None]])
-
-        tau = _tangents_from_halo(coords_l, x_prev, x_next,
-                                  e_l, e_prev, e_next)
-        g_par = _image_dot(g_l, tau) * tau
-        if config.variant in ("bneb", "nesb"):
-            # Wilson-B per-atom family (ref: MEP/pathopt_bneb_force.py:21):
-            # per-atom tangents from the same halos
-            t_atom = _per_atom_tangents_from_halo(
-                coords_l, x_prev, x_next, e_l, e_prev, e_next)
-            g_par_atom = jnp.sum(g_l * t_atom, axis=-1,
-                                 keepdims=True) * t_atom
-            force = -(g_l - g_par_atom)
-            if config.variant == "nesb":
-                dp_a = jnp.sqrt(jnp.sum((x_next - coords_l) ** 2, axis=-1,
-                                        keepdims=True) + 1e-14)
-                dm_a = jnp.sqrt(jnp.sum((coords_l - x_prev) ** 2, axis=-1,
-                                        keepdims=True) + 1e-14)
-                force = force + config.k_spring * (dp_a - dm_a) * t_atom
+        if config.variant in _GATHER:
+            # whole-path force law on the gathered (tiny) band, exact
+            # parity with the single-device neb_forces dispatch; the
+            # expensive QM gradients above stay sharded
+            x_full = lax.all_gather(coords_l, axis).reshape(
+                (n_images,) + coords_l.shape[1:])
+            e_full = lax.all_gather(e_l, axis).reshape(-1)
+            g_full = lax.all_gather(g_l, axis).reshape(x_full.shape)
+            force_full = neb_forces(
+                x_full, e_full, g_full, k_spring=config.k_spring,
+                variant=config.variant, climbing=False,
+                optimize_endpoints=config.optimize_endpoints)
+            force = lax.dynamic_slice_in_dim(force_full, dev * m, m, 0)
         else:
-            g_perp = g_l - g_par
-            d_plus_n = jnp.sqrt(
-                _image_dot(x_next - coords_l, x_next - coords_l) + 1e-14)
-            d_minus_n = jnp.sqrt(
-                _image_dot(coords_l - x_prev, coords_l - x_prev) + 1e-14)
-            force = (-g_perp
-                     + config.k_spring * (d_plus_n - d_minus_n) * tau)
+            # ±1 halo exchange over the ring (wraparound == jnp.roll
+            # semantics; the wrapped values only feed frozen endpoint rows).
+            x_from_next = lax.ppermute(coords_l[0], axis, perm_from_next)
+            x_from_prev = lax.ppermute(coords_l[-1], axis, perm_from_prev)
+            e_from_next = lax.ppermute(e_l[0], axis, perm_from_next)
+            e_from_prev = lax.ppermute(e_l[-1], axis, perm_from_prev)
+            x_prev = jnp.concatenate([x_from_prev[None], coords_l[:-1]],
+                                     axis=0)
+            x_next = jnp.concatenate([coords_l[1:], x_from_next[None]],
+                                     axis=0)
+            e_prev = jnp.concatenate([e_from_prev[None], e_l[:-1]])
+            e_next = jnp.concatenate([e_l[1:], e_from_next[None]])
 
-        # climbing image: global argmax of interior energies (all_gather of
-        # I floats — negligible traffic)
-        e_full = lax.all_gather(e_l, axis).reshape(-1)         # (I,)
-        interior_full = ((jnp.arange(n_images) > 0)
-                         & (jnp.arange(n_images) < n_images - 1))
-        ci_idx = jnp.argmax(jnp.where(interior_full, e_full, -jnp.inf))
-        climbing = jnp.asarray(
-            (config.variant == "cineb"), bool
-        ) & (state.iteration + 1 >= config.climbing_start)
-        is_ci = ((gidx == ci_idx)[:, None, None]) & climbing
-        force = jnp.where(is_ci, -g_l + 2.0 * g_par, force)
+            tau = _tangents_from_halo(coords_l, x_prev, x_next,
+                                      e_l, e_prev, e_next)
+            g_par = _image_dot(g_l, tau) * tau
+            if config.variant in ("bneb", "nesb"):
+                # Wilson-B per-atom family (ref:
+                # MEP/pathopt_bneb_force.py:21): per-atom tangents from
+                # the same halos
+                t_atom = _per_atom_tangents_from_halo(
+                    coords_l, x_prev, x_next, e_l, e_prev, e_next)
+                g_par_atom = jnp.sum(g_l * t_atom, axis=-1,
+                                     keepdims=True) * t_atom
+                force = -(g_l - g_par_atom)
+                if config.variant == "nesb":
+                    dp_a = jnp.sqrt(jnp.sum((x_next - coords_l) ** 2,
+                                            axis=-1, keepdims=True) + 1e-14)
+                    dm_a = jnp.sqrt(jnp.sum((coords_l - x_prev) ** 2,
+                                            axis=-1, keepdims=True) + 1e-14)
+                    force = force + config.k_spring * (dp_a - dm_a) * t_atom
+            else:
+                g_perp = g_l - g_par
+                d_plus_n = jnp.sqrt(
+                    _image_dot(x_next - coords_l, x_next - coords_l)
+                    + 1e-14)
+                d_minus_n = jnp.sqrt(
+                    _image_dot(coords_l - x_prev, coords_l - x_prev)
+                    + 1e-14)
+                force = (-g_perp
+                         + config.k_spring * (d_plus_n - d_minus_n) * tau)
 
-        is_end = ((gidx == 0) | (gidx == n_images - 1))[:, None, None]
-        end_force = -g_l if config.optimize_endpoints else jnp.zeros_like(g_l)
-        force = jnp.where(is_end, end_force, force)
+            # climbing image: global argmax of interior energies
+            # (all_gather of I floats — negligible traffic)
+            e_full = lax.all_gather(e_l, axis).reshape(-1)     # (I,)
+            interior_full = ((jnp.arange(n_images) > 0)
+                             & (jnp.arange(n_images) < n_images - 1))
+            ci_idx = jnp.argmax(jnp.where(interior_full, e_full, -jnp.inf))
+            climbing = jnp.asarray(
+                (config.variant == "cineb"), bool
+            ) & (state.iteration + 1 >= config.climbing_start)
+            is_ci = ((gidx == ci_idx)[:, None, None]) & climbing
+            force = jnp.where(is_ci, -g_l + 2.0 * g_par, force)
+
+            is_end = ((gidx == 0) | (gidx == n_images - 1))[:, None, None]
+            end_force = (-g_l if config.optimize_endpoints
+                         else jnp.zeros_like(g_l))
+            force = jnp.where(is_end, end_force, force)
 
         s_hist, y_hist, rho = state.s_hist, state.y_hist, state.rho
         hist_len = state.hist_len

@@ -118,14 +118,20 @@ def _select_candidate(refined):
 
 
 def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
-           bias_engine=None, afir_trajectory=None, verbose=False):
+           bias_engine=None, afir_trajectory=None, verbose=False,
+           mesh=None, mesh_axis="batch"):
     """Full AutoTS pipeline (ref: autots.py:477 run_workflow).
 
     `afir_trajectory`: optional (T,N,3) pre-computed step-1 trajectory
     (e.g. from the mapper's device-batched AFIR executor) — used as the
     NEB initial path when `product_coords` is also given.
     `verbose`: stage banners + wall-clock to stdout, like the reference's
-    per-step workflow logging (ref: autots.py:81,110,193,237)."""
+    per-step workflow logging (ref: autots.py:81,110,193,237).
+    `mesh`: optional jax.sharding.Mesh — step 2 runs the NEB band with its
+    image axis sharded over the mesh (drivers/neb.neb_sharded, ppermute
+    halos; image count rounded up to a mesh multiple), and step 3 refines
+    the top-N saddle candidates candidate-parallel through
+    sharded_optimize_batch instead of sequentially."""
     import time as _time
     t0 = _time.perf_counter()
 
@@ -194,6 +200,10 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         arc_ang = float(seg.sum()) * BOHR2ANGSTROM
         n_images = int(np.clip(round(arc_ang / config.node_distance_ang) + 1,
                                4, 64))
+    if mesh is not None:
+        # sharded band: image count must divide over the mesh axis
+        n_dev = int(mesh.shape[mesh_axis])
+        n_images = max(((n_images + n_dev - 1) // n_dev) * n_dev, n_dev)
     if afir_traj is not None and len(afir_traj) >= 3:
         from multioptpy_tpu.interpolation import linear_resample
         full = jnp.concatenate([jnp.asarray(afir_traj),
@@ -203,8 +213,15 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
         path0 = idpp_path(reactant, product_coords, n_images)
     else:
         path0 = interpolate_linear(reactant, product_coords, n_images)
-    _vlog(f"step2: NEB ({path0.shape[0]} images x {path0.shape[1]} atoms)")
-    neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
+    _vlog(f"step2: NEB ({path0.shape[0]} images x {path0.shape[1]} atoms)"
+          + (f" sharded over {mesh.shape[mesh_axis]} devices"
+             if mesh is not None else ""))
+    if mesh is not None:
+        from multioptpy_tpu.drivers.neb import neb_sharded
+        neb_res = neb_sharded(calc, path0, z, config.neb, mesh=mesh,
+                              axis=mesh_axis, bias_engine=bias_engine)
+    else:
+        neb_res = neb(calc, path0, z, config.neb, bias_engine=bias_engine)
     _stage_done("step2_neb")
 
     # ---- step 3: refine the top-N NEB local maxima (ref: autots.py:152
@@ -218,23 +235,47 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     maxima.sort(key=lambda i: e_path[i], reverse=True)
     candidates = maxima[:max(1, config.top_n_candidates)]
 
+    if mesh is not None and len(candidates) > 1:
+        # candidate-parallel refinement: every top-N saddle guess advances
+        # in lockstep, the candidate batch sharded over the mesh (the
+        # reference refines candidates sequentially, autots.py:193)
+        from multioptpy_tpu.parallel.mesh import sharded_optimize_batch
+        n_dev = int(mesh.shape[mesh_axis])
+        cand_pad = list(candidates)
+        while len(cand_pad) % n_dev:
+            cand_pad.append(candidates[-1])
+        guesses = jnp.stack([neb_res.path[i] for i in cand_pad])
+        _vlog(f"step3: candidate-parallel saddle refinement "
+              f"x{len(cand_pad)} over {n_dev} devices")
+        final = sharded_optimize_batch(
+            calc, guesses, z, mesh=mesh, bias_engine=bias_engine,
+            config=config.saddle, n_steps=config.saddle.nsteps,
+            axis=mesh_axis)
+        triples = [(final.coords[k], float(final.energy[k]),
+                    bool(final.converged[k]), int(idx))
+                   for k, idx in enumerate(candidates)]
+    else:
+        triples = []
+        for idx in candidates:
+            _vlog(f"step3: saddle refinement of NEB image {idx}")
+            res3 = refine_saddle(calc, neb_res.path[idx], z, config.saddle,
+                                 bias_engine)
+            triples.append((res3.coords, float(res3.energy),
+                            bool(res3.converged), int(idx)))
+
     refined = []   # (coords, energy, n_imag, hessian, converged, neb_idx)
-    for idx in candidates:
-        _vlog(f"step3: saddle refinement of NEB image {idx}")
-        res3 = refine_saddle(calc, neb_res.path[idx], z, config.saddle,
-                             bias_engine)
+    for coords3, e3, conv3, idx in triples:
         _vlog("step3: exact Hessian + normal modes")
-        h = calc.hessian(res3.coords, z)
-        nm = normal_modes(h, res3.coords, z)
+        h = calc.hessian(coords3, z)
+        nm = normal_modes(h, coords3, z)
         ni = count_imaginary(nm.frequencies_cm1)
         # consolidate duplicates: identical refined TSs collapse
         # (ref: autots.py:935 consolidate_ts / v2 dedup)
-        c_np = np.asarray(res3.coords)
+        c_np = np.asarray(coords3)
         if any(np.sqrt(np.mean((c_np - np.asarray(r[0])) ** 2)) < 1e-3
                for r in refined):
             continue
-        refined.append((res3.coords, float(res3.energy), ni, h,
-                        bool(res3.converged), int(idx)))
+        refined.append((coords3, e3, ni, h, conv3, idx))
 
     # candidates stay ordered by NEB-path energy (rate-limiting barrier
     # first, the reference's descending-energy ordering, autots.py:185);

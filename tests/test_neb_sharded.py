@@ -167,3 +167,33 @@ def test_sharded_lbfgs_matches_single_device():
                                np.asarray(path_ref), atol=1e-9)
     np.testing.assert_allclose(float(state.fmax), float(fmax_ref),
                                atol=1e-10)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["qsm2", "ewbneb", "dmf", "om"])
+def test_sharded_gather_variants_match_single_device(variant):
+    """Gather-path sharded variants (whole-path force laws evaluated on
+    the all_gathered band) must match the single-device step exactly —
+    parity is by construction (same neb_forces dispatch), this pins the
+    slicing/clock plumbing."""
+    path0, z = _setup()
+    calc = LennardJones()
+    config = NEBConfig(variant=variant, optimizer="fire", n_steps=10)
+
+    step1 = jax.jit(make_neb_step(calc, z, config))
+    fire = fire_init(path0.size, path0.dtype, dt0=config.dt0)
+    path_ref = path0
+    for it in range(1, 11):
+        path_ref, fire, _, _, _ = step1(path_ref, fire, jnp.asarray(it))
+
+    mesh = ensemble_mesh(8, axis="batch")
+    state = shard_batch(neb_init(path0, z, calc, config), mesh)
+    step8 = jax.jit(neb_sharded_step(calc, z, config, mesh))
+    for _ in range(10):
+        state = step8(state)
+        state.fmax.block_until_ready()
+
+    np.testing.assert_allclose(np.asarray(state.coords),
+                               np.asarray(path_ref), atol=1e-10)
