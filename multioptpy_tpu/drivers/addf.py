@@ -37,9 +37,11 @@ class ADDFConfig:
     r_start: float = 0.3         # initial hypersphere radius (scaled coords)
     r_step: float = 0.15
     n_spheres: int = 40
-    n_relax: int = 40            # on-sphere projected FIRE steps
+    n_relax: int = 60            # on-sphere projected FIRE steps
     relax_rate: float = 0.4
-    eig_floor: float = 1e-4      # scaling floor for soft/TR-rot modes
+    eig_floor: float = 1e-4      # vibrational-mode cutoff (TR/rot excluded)
+    max_rise: float = 0.8        # Hartree above the minimum: abandon the
+                                 # channel as a repulsive-wall escape
 
 
 class ADDFChannel(NamedTuple):
@@ -63,8 +65,12 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
             e = e + bias_engine.total_energy(x)
         return e
 
-    # scaled coordinates q = S (x - x0), S = diag(sqrt(max(w, floor))) in the
-    # harmonic eigenbasis (ref: addf.py scaled hypersphere construction)
+    # scaled coordinates q = S Vvib^T (x - x0), S = diag(sqrt(w_vib)),
+    # restricted to the VIBRATIONAL subspace (ref: addf.py scaled
+    # hypersphere construction — the reference's SHS works in the 3N-6
+    # normal coordinates; keeping TR/rot directions in the sphere lets the
+    # on-sphere minimizer spend the whole radius on zero-cost rigid
+    # motions amplified 1/sqrt(floor) in cartesians)
     h = calc.hessian(coords, z)
     if bias_engine is not None and len(bias_engine):
         h = h + bias_engine.hessian(coords)
@@ -76,12 +82,16 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
         w, v = eigh_deflated(0.5 * (h + h.T), p)
     else:
         w, v = _eigh_fast(0.5 * (h + h.T))
-    scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
+    w_np, v_np = np.asarray(w), np.asarray(v)
+    vib = w_np > config.eig_floor
+    v_vib = jnp.asarray(v_np[:, vib])              # (3N, m)
+    scale = jnp.sqrt(jnp.asarray(w_np[vib]))        # (m,)
+    w_vib = w_np[vib]
 
     x0_flat = coords.reshape(-1)
 
     def to_cart(q):
-        return (x0_flat + v @ (q / scale)).reshape(n, 3)
+        return (x0_flat + v_vib @ (q / scale)).reshape(n, 3)
 
     def energy_q(q):
         return energy(to_cart(q))
@@ -107,13 +117,14 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
             None, length=config.n_relax)
         return q, energy_q(q)
 
-    # seeds: softest vibrational modes, both signs
-    valid = w > config.eig_floor
-    order = jnp.argsort(jnp.where(valid, w, jnp.inf))
+    # seeds: softest vibrational modes, both signs (unit vectors in the
+    # m-dimensional scaled vibrational space)
+    order = np.argsort(w_vib)
     n_pairs = max(config.n_channels // 2, 1)
     seeds = []
-    for k in range(n_pairs):
-        e_k = jnp.zeros_like(x0_flat).at[order[k]].set(1.0)
+    for k in range(min(n_pairs, len(w_vib))):
+        e_k = jnp.zeros(len(w_vib), coords.dtype).at[
+            int(order[k])].set(1.0)
         seeds.extend([e_k, -e_k])
 
     channels = []
@@ -135,6 +146,9 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
                 ts_idx = int(np.argmax(energies))
                 ts_guess = path[ts_idx]
                 ts_energy = energies[ts_idx]
+                break
+            if energies[-1] > e0 + config.max_rise:
+                # repulsive-wall / dissociation escape, no TS this way
                 break
             # grow the sphere, carrying the channel direction outward
             r += config.r_step

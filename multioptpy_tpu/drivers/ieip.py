@@ -118,46 +118,61 @@ def _elastic_image_pair(energy_grad, a, b, config):
 
 def _dimer(energy_grad, x0, v0, config):
     """Dimer method (ref: OtherMethod/dimer.py:12): rotate the dimer into
-    the lowest-curvature mode using gradient differences, translate with the
-    force -g + 2(g.v)v. Gradient-only (no Hessian)."""
+    the lowest-curvature mode using gradient differences, then translate
+    on the mode-reversed force. Gradient-only (no Hessian). The rotation
+    iterates to convergence-ish per translation step (the reference runs a
+    rotational line search per step, dimer.py Henkelman & Jonsson JCP 111,
+    7010), and the translation is a FIRE walk on the effective force:
+    -g + 2(g.v)v in the concave region, +(g.v)v in the convex region
+    (climb OUT along the mode — the raw parallel force points back to the
+    minimum there)."""
     dr = config.dimer_separation
     ds = config.step_size
+    n_rot = 4
 
     @jax.jit
-    def step(x, v):
+    def step(x, v, vel, dt):
         e0, g0 = energy_grad(x)
-        _, g1 = energy_grad(x + dr * v)
-        # rotational force on the dimer orientation
-        df = (g1 - g0).reshape(-1)
-        v_flat = v.reshape(-1)
-        f_rot = -(df - jnp.dot(df, v_flat) * v_flat)
-        v_new = v_flat + config.dimer_rot_step * f_rot / (
-            jnp.linalg.norm(df) + 1e-10)
-        v_new = v_new / (jnp.linalg.norm(v_new) + 1e-30)
-        v_new = v_new.reshape(v.shape)
-
-        # curvature along the dimer
-        curv = jnp.dot(df, v_flat) / dr
-
-        # translation: reverse force along the mode (uphill) when curvature
-        # negative; otherwise climb out of the convex region along the mode
         g_flat = g0.reshape(-1)
-        f_trans = jnp.where(
+
+        def rot_body(carry, _):
+            v_flat, _curv = carry
+            _, g1 = energy_grad(x + dr * v_flat.reshape(x.shape))
+            df = (g1 - g0).reshape(-1)
+            curv = jnp.dot(df, v_flat) / dr
+            f_rot = -(df - jnp.dot(df, v_flat) * v_flat)
+            v_new = v_flat + config.dimer_rot_step * f_rot / (
+                jnp.linalg.norm(df) + 1e-10)
+            v_new = v_new / (jnp.linalg.norm(v_new) + 1e-30)
+            return (v_new, curv), None
+
+        (v_flat, curv), _ = jax.lax.scan(
+            rot_body, (v.reshape(-1), jnp.asarray(0.0, x.dtype)),
+            None, length=n_rot)
+
+        f_eff = jnp.where(
             curv < 0.0,
-            -(g_flat - 2.0 * jnp.dot(g_flat, v_new.reshape(-1))
-              * v_new.reshape(-1)),
-            -jnp.dot(g_flat, v_new.reshape(-1)) * v_new.reshape(-1))
-        f_trans = config.dimer_trans_rate * f_trans
-        n = jnp.linalg.norm(f_trans)
-        f_trans = jnp.where(n > ds, f_trans * ds / n, f_trans)
-        return x + f_trans.reshape(x.shape), v_new, e0, jnp.max(jnp.abs(g0))
+            -(g_flat - 2.0 * jnp.dot(g_flat, v_flat) * v_flat),
+            jnp.dot(g_flat, v_flat) * v_flat)
+
+        # FIRE mixing on the translation
+        power = jnp.dot(f_eff, vel)
+        vel = jnp.where(power > 0.0, 0.9 * vel + dt * f_eff, dt * f_eff)
+        dt = jnp.where(power > 0.0, jnp.minimum(dt * 1.1, 2.0),
+                       jnp.maximum(dt * 0.5, 0.02))
+        move = vel * config.dimer_trans_rate
+        mn = jnp.linalg.norm(move)
+        move = jnp.where(mn > ds, move * ds / mn, move)
+        return (x + move.reshape(x.shape), v_flat.reshape(v.shape), vel,
+                dt, e0, jnp.max(jnp.abs(g0)))
 
     x, v = x0, v0
+    vel = jnp.zeros(x.size, x.dtype)
+    dt = jnp.asarray(0.5, x.dtype)
     it = 0
-    e0 = 0.0
     converged = False
     for it in range(1, config.n_steps + 1):
-        x, v, e0, gmax = step(x, v)
+        x, v, vel, dt, e0, gmax = step(x, v, vel, dt)
         if float(gmax) < config.fmax:
             converged = True
             break

@@ -44,13 +44,31 @@ def newton_trajectory(calc, coords, z, direction=None, product_coords=None,
                       config=GNTConfig(), bias_engine=None):
     """Grow a Newton trajectory from `coords` along `direction` (or toward
     `product_coords`)."""
+    from multioptpy_tpu.geometry import align_to, project_gradient_tr_rot
+
     coords = jnp.asarray(coords)
     z = jnp.asarray(z)
+    n_atoms = coords.shape[0]
+    # single-particle model surfaces (Muller-Brown etc.) have no TR/rot
+    # modes worth removing — and projecting translations would annihilate
+    # the search direction entirely
+    internal = n_atoms >= 2
+    if product_coords is not None and internal:
+        # COM + Kabsch align so the search direction is purely internal
+        product_coords = jnp.asarray(align_to(jnp.asarray(product_coords),
+                                              coords))
     if direction is None:
         if product_coords is None:
             raise ValueError("give a direction vector or product_coords")
         direction = jnp.asarray(product_coords) - coords
-    r = jnp.asarray(direction, coords.dtype).reshape(-1)
+    # TR/rot-free direction: otherwise the corrector's perpendicular space
+    # contains rigid motions and the trajectory advances along r by
+    # drifting the whole molecule at constant energy (measured on HCN:
+    # 63 predictor steps, energy pinned at the reactant minimum)
+    r = jnp.asarray(direction, coords.dtype).reshape(coords.shape)
+    if internal:
+        r = project_gradient_tr_rot(r, coords)
+    r = r.reshape(-1)
     r = r / (jnp.linalg.norm(r) + 1e-30)
 
     def energy_grad(x):
@@ -65,10 +83,13 @@ def newton_trajectory(calc, coords, z, direction=None, product_coords=None,
         # predictor along r
         x = x + (config.step_size * r).reshape(x.shape)
 
-        # correctors: remove the gradient component perpendicular to r
+        # correctors: remove the gradient component perpendicular to r,
+        # restricted to internal motions (TR/rot projected out so the
+        # relaxation cannot rigid-shift the molecule along r)
         def corr(_, x):
             _, g = energy_grad(x)
-            g_flat = g.reshape(-1)
+            g_int = project_gradient_tr_rot(g, x) if internal else g
+            g_flat = g_int.reshape(-1)
             g_perp = g_flat - jnp.dot(g_flat, r) * r
             return x - (config.corrector_rate * g_perp).reshape(x.shape)
 

@@ -33,6 +33,16 @@ class TwoPSHSConfig:
     n_relax: int = 60
     relax_rate: float = 0.2
     eig_floor: float = 1e-4
+    product_bias: float = 0.02   # Ha/Bohr^2: harmonic pull toward the
+                                 # product during the on-sphere relaxation.
+                                 # The two-point method's defining feature
+                                 # is product-DIRECTED frontier growth;
+                                 # without it the on-sphere minimum slides
+                                 # into the lowest anharmonic channel
+                                 # (measured on HCN: the Morse-flattened
+                                 # C-H dissociation, not the isomerization
+                                 # ridge). The recorded energies/turnover
+                                 # test use the TRUE energy.
 
 
 class TwoPSHSResult(NamedTuple):
@@ -69,18 +79,39 @@ def twopshs(calc, reactant, product, z, config=TwoPSHSConfig(),
         w, v = eigh_deflated(0.5 * (h + h.T), p)
     else:
         w, v = _eigh_fast(0.5 * (h + h.T))
-    scale = jnp.sqrt(jnp.maximum(w, config.eig_floor))
+    # vibrational subspace only (see drivers/addf.py: TR/rot directions in
+    # the sphere are zero-cost and 1/sqrt(floor)-amplified in cartesians)
+    w_np, v_np = np.asarray(w), np.asarray(v)
+    vib = w_np > config.eig_floor
+    v_vib = jnp.asarray(v_np[:, vib])
+    scale = jnp.sqrt(jnp.asarray(w_np[vib]))
+
+    # align the product onto the reactant frame so the target direction is
+    # purely vibrational (COM shift + Kabsch rotation); single-particle
+    # model surfaces would be aligned ONTO the reactant, erasing the target
+    if n >= 2:
+        from multioptpy_tpu.geometry import align_to
+        product = jnp.asarray(align_to(product, reactant))
 
     x0 = reactant.reshape(-1)
 
     def to_cart(q):
-        return (x0 + v @ (q / scale)).reshape(n, 3)
+        return (x0 + v_vib @ (q / scale)).reshape(n, 3)
 
     def to_scaled(x):
-        return scale * (v.T @ (x.reshape(-1) - x0))
+        return scale * (v_vib.T @ (x.reshape(-1) - x0))
 
     energy_q = lambda q: energy(to_cart(q))
-    grad_q = jax.grad(energy_q)
+
+    prod_flat = product.reshape(-1)
+
+    def objective_q(q):
+        # true energy + product-directed pull (see TwoPSHSConfig)
+        x = to_cart(q).reshape(-1)
+        return (energy_q(q) + 0.5 * config.product_bias
+                * jnp.sum((x - prod_flat) ** 2))
+
+    grad_q = jax.grad(objective_q)
 
     @jax.jit
     def relax_on_sphere(q, r):
