@@ -1769,11 +1769,19 @@ def run_ieipmain(argv=None):
         end = jnp.asarray(end_ang * ANGSTROM2BOHR)
 
     if engine == "addf":
-        from multioptpy_tpu.drivers.addf import ADDFConfig, addf_search
-        res = addf_search(calc, coords, z, ADDFConfig(
+        # full reference-driver flow: multi-channel ADD following with
+        # per-channel saddle refinement + dedupe (ref: OtherMethod/
+        # addf.py:12); falls back to the best raw crossing when no
+        # channel refines
+        from multioptpy_tpu.drivers.addf import ADDFConfig, addf_explore
+        ts_list, channels = addf_explore(calc, coords, z, ADDFConfig(
             n_channels=args.number_of_add, r_step=args.addf_step_size,
             n_spheres=args.addf_step_num))
-        ts_guess, ts_e = res.ts_guess, float(res.ts_energy)
+        if ts_list:
+            ts_guess, ts_e = jnp.asarray(ts_list[0].coords), ts_list[0].energy
+        else:
+            best = max(channels, key=lambda c: c.ts_energy)
+            ts_guess, ts_e = jnp.asarray(best.ts_guess), float(best.ts_energy)
     elif engine == "gnt":
         from multioptpy_tpu.drivers.newton_traj import (GNTConfig,
                                                         newton_trajectory)

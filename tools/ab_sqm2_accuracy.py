@@ -92,13 +92,16 @@ def battery():
         return np.stack(rows)
 
     def ety(r=1.35):
+        # H-C-C angle 121.3 deg measured from the +z (C-C) axis: cos(a)
+        # is negative, so c0's hydrogens use +cos(a) (pointing away from
+        # c1) and c1's use -cos(a)
         ch, a = 1.086, np.radians(121.3)
         rows = [np.zeros(3), np.array([0, 0, r])]
         for sgn in (1, -1):
             rows.append(rows[0] + ch * np.array([0, sgn * np.sin(a),
-                                                 -np.cos(a)]))
-            rows.append(rows[1] + ch * np.array([0, sgn * np.sin(a),
                                                  np.cos(a)]))
+            rows.append(rows[1] + ch * np.array([0, sgn * np.sin(a),
+                                                 -np.cos(a)]))
         return np.stack(rows)
 
     return [
