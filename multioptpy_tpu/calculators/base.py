@@ -167,7 +167,8 @@ class BondGradProjWrapper(Calculator):
         e, g = self.inner.energy_and_gradient(coords, z)
         b = self._b_rows(coords)                      # (P, 3N)
         gram = b @ b.T + 1e-12 * jnp.eye(b.shape[0], dtype=b.dtype)
-        coef = jnp.linalg.solve(gram, b @ g.reshape(-1))
+        from multioptpy_tpu.ops.eigh64 import solve_f64safe
+        coef = solve_f64safe(gram, b @ g.reshape(-1), assume_sym=True)
         g_proj = g.reshape(-1) - b.T @ coef
         return e, g_proj.reshape(g.shape)
 

@@ -165,9 +165,10 @@ class Constraints:
         if self.n_constraints:
             b = self.jacobian(coords)
             bbt = b @ b.T
-            lam = jnp.linalg.solve(
+            from multioptpy_tpu.ops.eigh64 import solve_f64safe
+            lam = solve_f64safe(
                 bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype),
-                b @ vec_flat)
+                b @ vec_flat, assume_sym=True)
             vec_flat = vec_flat - b.T @ lam
         for v in self.projection_vectors:
             u = jnp.asarray(v, vec_flat.dtype)
@@ -204,8 +205,10 @@ class Constraints:
         if self.n_constraints:
             b = self.jacobian(coords)
             bbt = b @ b.T
-            binv = jnp.linalg.solve(
-                bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype), b)
+            from multioptpy_tpu.ops.eigh64 import solve_f64safe
+            binv = solve_f64safe(
+                bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype), b,
+                assume_sym=True)
             p = jnp.eye(b.shape[1], dtype=hessian.dtype) - b.T @ binv
             hessian = p.T @ hessian @ p
         m = self.mask(hessian.dtype).reshape(-1)
@@ -234,8 +237,10 @@ class Constraints:
             b = jax.jacfwd(lambda xx: self.values(xx.reshape(n, 3)))(x)
             b = b * mask_flat[None, :]  # frozen DOFs cannot move
             bbt = b @ b.T
-            lam = jnp.linalg.solve(
-                bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype), dc)
+            from multioptpy_tpu.ops.eigh64 import solve_f64safe
+            lam = solve_f64safe(
+                bbt + 1e-12 * jnp.eye(bbt.shape[0], dtype=bbt.dtype), dc,
+                assume_sym=True)
             return x + b.T @ lam
 
         x = jax.lax.fori_loop(0, n_iter, body, coords.reshape(-1))

@@ -57,7 +57,8 @@ def _reg_solve(a, b, eps=1e-10):
     """Solve a x = b with Tikhonov regularisation scaled to a's magnitude."""
     w = a.shape[0]
     scale = jnp.maximum(jnp.max(jnp.abs(a)), 1e-30)
-    return jnp.linalg.solve(a + eps * scale * jnp.eye(w, dtype=a.dtype), b)
+    from multioptpy_tpu.ops.eigh64 import solve_f64safe
+    return solve_f64safe(a + eps * scale * jnp.eye(w, dtype=a.dtype), b)
 
 
 def block_bfgs_delta(h, win):

@@ -231,3 +231,30 @@ def _inv_sqrt_psd_jvp(primals, tangents):
     y = (v * (w[..., None, :] ** -0.5)) @ vt
     dy = v @ (f_loewner * (vt @ ds @ v)) @ vt
     return y, dy
+
+
+def solve_f64safe(a, b, assume_sym=False):
+    """`jnp.linalg.solve` that lowers on TPU in float64.
+
+    The TPU backend implements LuDecomposition only for F32/C64, so any
+    f64 `jnp.linalg.solve`/`inv` inside a jitted on-device program fails
+    AOT compilation (observed: the rsirfo_block_* window solves,
+    hessian/block_updates.py). In that regime route through one seeded
+    symmetric eigendecomposition: directly for symmetric systems, via the
+    normal equations (A^T A) x = A^T b for general ones — the windows
+    these solves act on are small (DIIS/multisecant K x K) and Tikhonov-
+    regularized by their callers, so the squared condition number is
+    benign. CPU / f32 keep the LAPACK-path solve bit-for-bit.
+    """
+    if a.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        if assume_sym:
+            m, rhs = 0.5 * (a + jnp.swapaxes(a, -1, -2)), b
+        else:
+            at = jnp.swapaxes(a, -1, -2)
+            m, rhs = at @ a, at @ b
+        w, v = eigh_fast(m)
+        vb = jnp.swapaxes(v, -1, -2) @ rhs
+        if rhs.ndim == m.ndim:          # matrix right-hand side
+            return v @ (vb / w[..., :, None])
+        return v @ (vb / w)
+    return jnp.linalg.solve(a, b)

@@ -398,4 +398,5 @@ class SpacerModelPotential(BiasPotential):
         h_xp = h[:3 * n, 3 * n:]
         h_pp = h[3 * n:, 3 * n:]
         h_pp = h_pp + 1e-10 * jnp.eye(3 * m, dtype=h.dtype)
-        return -h_xp @ jnp.linalg.solve(h_pp, h_xp.T)
+        from multioptpy_tpu.ops.eigh64 import solve_f64safe
+        return -h_xp @ solve_f64safe(h_pp, h_xp.T, assume_sym=True)

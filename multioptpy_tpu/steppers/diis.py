@@ -46,7 +46,8 @@ def _bordered_diis_coefficients(e_hist, vmask):
     big = big.at[:m, m].set(vmask)
     big = big.at[m, :m].set(vmask)
     rhs = jnp.zeros((m + 1,), b.dtype).at[m].set(1.0)
-    sol = jnp.linalg.solve(big, rhs)
+    from multioptpy_tpu.ops.eigh64 import solve_f64safe
+    sol = solve_f64safe(big, rhs, assume_sym=True)
     return sol[:m] * vmask
 
 
@@ -221,14 +222,16 @@ def kdiis_step(state, x, grad, plain_step, reg=1e-8, max_step_ratio=3.0):
     a = dx @ v_basis.T                                  # (M-1, K)
     b_s = dg @ v_basis.T
     ata = a.T @ a + reg * jnp.eye(m, dtype=dtype)
-    h_proj = jnp.linalg.solve(ata, a.T @ b_s).T          # (K, K)
+    from multioptpy_tpu.ops.eigh64 import solve_f64safe
+    h_proj = solve_f64safe(ata, a.T @ b_s, assume_sym=True).T  # (K, K)
     h_proj = 0.5 * (h_proj + h_proj.T)
     # positive-definite shift, then Newton solve in the subspace
     w = jnp.linalg.eigvalsh(h_proj)
     shift = jnp.maximum(0.0, 1e-3 - jnp.min(w))
     g_proj = v_basis @ grad
-    s_proj = jnp.linalg.solve(
-        h_proj + shift * jnp.eye(m, dtype=dtype), -g_proj)
+    s_proj = solve_f64safe(
+        h_proj + shift * jnp.eye(m, dtype=dtype), -g_proj,
+        assume_sym=True)
     step_krylov = s_proj @ v_basis
 
     # geometry DIIS with raw gradients as error vectors

@@ -75,7 +75,8 @@ def gp_posterior_energy(x_query, state, lengthscale=1.0, noise=1e-8):
         jnp.maximum(jnp.sum(valid), 1)
     y = jnp.concatenate([jnp.where(valid, state.e_hist - e_mean, 0.0),
                          (state.g_hist * valid[:, None]).reshape(-1)])
-    alpha = jnp.linalg.solve(big, y)
+    from multioptpy_tpu.ops.eigh64 import solve_f64safe
+    alpha = solve_f64safe(big, y, assume_sym=True)
 
     k_q_v = jax.vmap(lambda b: k_fn(x_query, b))(state.x_hist)
     k_q_g = jax.vmap(lambda b: jax.grad(
@@ -117,9 +118,10 @@ def gp_step(state, x, energy, gradient, lengthscale=1.0, n_descent=30,
         obs_x = phi_fn(x)
         jac = jax.jacfwd(phi_fn)(x)                  # (P, D)
         jjt = jac @ jac.T
-        obs_g = jnp.linalg.solve(
+        from multioptpy_tpu.ops.eigh64 import solve_f64safe
+        obs_g = solve_f64safe(
             jjt + 1e-10 * jnp.eye(jjt.shape[0], dtype=x.dtype),
-            jac @ gradient)
+            jac @ gradient, assume_sym=True)
     m = state.x_hist.shape[0]
     slot = state.count % m
     state = GpState(
