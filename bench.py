@@ -9,7 +9,7 @@ baseline_ms / our_ms, >1 means faster).
 
 Un-losable by construction (round-3 bench timed out and captured NOTHING):
 each row's JSON is printed the moment it completes (flushed), rows run
-cheapest-first, a wall-clock budget (env BENCH_BUDGET_S, default 2400 s)
+cheapest-first, a wall-clock budget (env BENCH_BUDGET_S, default 3300 s)
 skips rows that would not fit — with the skip reason emitted as a row —
 and a SIGTERM/SIGINT handler prints the final aggregate before dying so
 even a driver-side `timeout` keeps everything measured so far. Per-row
@@ -393,11 +393,13 @@ def bench_sqm2_scale_ab():
                 return rc.total_gradient(c_np)
 
             with contextlib.redirect_stdout(io.StringIO()):
-                ref_one()  # warm torch
+                # ONE timed call: the reference reconstructs its
+                # calculator per call anyway (no warm-up state), and at
+                # 98 atoms each call costs ~445 s — repeats would burn
+                # the whole bench budget on the reference side
                 t0 = time.perf_counter()
-                for _ in range(2):
-                    ref_one()
-                ref_ms = (time.perf_counter() - t0) / 2 * 1e3
+                ref_one()
+                ref_ms = (time.perf_counter() - t0) * 1e3
             rows.append({"metric": f"sqm2_grad_{name}",
                          "value": round(ours_ms, 4),
                          "unit": "ms/gradient (ours, TPU f64)",
@@ -709,9 +711,11 @@ _ROWS = [
      bench_reference_nebmain_e2e_ab, 240),
     ("aldol_fixture_neb_sqm2_f64", bench_aldol_neb_sqm2_f64, 400),
     ("sqm2_scale_ab", bench_sqm2_scale_ab, 600),
-    ("autots_e2e_ab_hcn_sqm2", bench_autots_mini_ab, 900),
+    # flagship before the HCN mini A/B: if the budget only fits one of
+    # the two AutoTS rows, the 18-atom flagship is the one that matters
     ("autots_flagship_diels_alder_18atom_sqm2_f64",
-     bench_autots_flagship, 2400),
+     bench_autots_flagship, 900),
+    ("autots_e2e_ab_hcn_sqm2", bench_autots_mini_ab, 900),
 ]
 
 _HEADLINE_METRIC = "batched_rfo_step_overhead_256xAr8"
@@ -821,7 +825,7 @@ class _CompileCounter(__import__("logging").Handler):
 
 
 def main():
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 3300))
     bench = _Bench(budget_s)
 
     # Install the TERM/INT handlers BEFORE the slow jax import: a driver
@@ -841,7 +845,11 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # cache EVERYTHING including sub-second programs: compiles go through
+    # the axon tunnel at ~1 s round-trip each, and the AutoTS pipeline
+    # traces ~1000 tiny host-side programs — uncached they dominate its
+    # wall-clock (measured: 1222 s, ~85% tunnel latency)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import logging
     jax.config.update("jax_log_compiles", True)

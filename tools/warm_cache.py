@@ -24,7 +24,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
                   "/root/repo/.jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import bench  # noqa: E402
 
