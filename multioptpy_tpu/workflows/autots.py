@@ -302,8 +302,21 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     end_b = jnp.asarray(irc_res.backward_path[-1])
     if config.optimize_endpoints:
         _vlog("step4: endpoint optimizations")
-        end_f = optimize(calc, end_f, z, config=config.endpoint_opt).coords
-        end_b = optimize(calc, end_b, z, config=config.endpoint_opt).coords
+        # an endpoint optimization that hits the runaway guard leaves
+        # non-finite coordinates; fall back to the raw IRC endpoint so
+        # barriers stay reportable (observed once on the TPU flagship:
+        # one endpoint diverged, nan barriers in the bench artifact)
+        for which, start in (("f", end_f), ("b", end_b)):
+            cand = optimize(calc, start, z,
+                            config=config.endpoint_opt).coords
+            ok = bool(jnp.all(jnp.isfinite(cand)))
+            if which == "f":
+                end_f = cand if ok else start
+            else:
+                end_b = cand if ok else start
+            if not ok:
+                _vlog(f"step4: endpoint {which} diverged — keeping the "
+                      "raw IRC terminus")
     e_f = float(calc.energy(end_f, z))
     e_b = float(calc.energy(end_b, z))
     _stage_done("step4_irc")
