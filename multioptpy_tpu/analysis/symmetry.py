@@ -156,14 +156,30 @@ def analyze_symmetry(coords, z, tol=0.05, max_n_fold=8):
     cands = _candidate_directions(x, axes)
 
     # --- operation census -------------------------------------------------
+    # Each accepted-axis list is deduped by angular separation at the
+    # SAME 1e-3 |dot| threshold perp_c2/sigma_v use below: the candidate
+    # dedupe (1e-4, ~0.8 deg) is tighter than what the geometric
+    # tolerance tol=0.05 accepts (~1 deg misalignment on typical radii),
+    # so on slightly distorted structures one true axis could otherwise
+    # count multiple times and inflate the cubic/icosahedral thresholds
+    # toward a wrong (higher) group and wrong RRHO sigma.
+    def _dedupe_axes(axes_list):
+        kept = []
+        for a in axes_list:
+            if not any(abs(abs(np.dot(a, u)) - 1.0) < 1e-3 for u in kept):
+                kept.append(a)
+        return kept
+
     cn_axes = {order: [] for order in range(2, max_n_fold + 1)}
     for axis in cands:
         for order in range(2, max_n_fold + 1):
             r = _rotation_matrix(axis, 2 * np.pi / order)
             if _coincides(x, z, x @ r.T, tol):
                 cn_axes[order].append(axis)
-    mirrors = [axis for axis in cands
-               if _coincides(x, z, x @ _reflection_matrix(axis).T, tol)]
+    cn_axes = {order: _dedupe_axes(v) for order, v in cn_axes.items()}
+    mirrors = _dedupe_axes(
+        [axis for axis in cands
+         if _coincides(x, z, x @ _reflection_matrix(axis).T, tol)])
 
     def has_s2n(axis, order2n):
         s = (_rotation_matrix(axis, 2 * np.pi / order2n)

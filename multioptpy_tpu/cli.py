@@ -1779,8 +1779,19 @@ def run_ieipmain(argv=None):
             n_spheres=args.addf_step_num))
         if ts_list:
             ts_guess, ts_e = jnp.asarray(ts_list[0].coords), ts_list[0].energy
+        elif not channels:
+            raise SystemExit(
+                "addf: no ADD channels explored (check -na > 0 and that the "
+                "system has vibrational modes)")
         else:
-            best = max(channels, key=lambda c: c.ts_energy)
+            # Prefer genuine barrier crossings (lowest crossing energy)
+            # over abandoned repulsive-wall channels capped near
+            # e0 + max_rise, which would win a max-energy tie-break.
+            crossed = [c for c in channels if getattr(c, "crossed_ts", False)]
+            if crossed:
+                best = min(crossed, key=lambda c: c.ts_energy)
+            else:
+                best = max(channels, key=lambda c: c.ts_energy)
             ts_guess, ts_e = jnp.asarray(best.ts_guess), float(best.ts_energy)
     elif engine == "gnt":
         from multioptpy_tpu.drivers.newton_traj import (GNTConfig,

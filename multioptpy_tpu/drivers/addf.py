@@ -80,12 +80,24 @@ def addf_search(calc, coords, z, config=ADDFConfig(), bias_engine=None):
         p = tr_rot_projector(coords)
         h = project_hessian_tr_rot(h, coords)
         w, v = eigh_deflated(0.5 * (h + h.T), p)
+        # TR/rot removal is by MODE COUNT (rank of I - P: the deflated
+        # modes sit at ~0 after eigh_deflated), not by an eigenvalue
+        # cutoff — a cutoff would silently drop genuine soft vibrational
+        # modes (low-frequency torsions), and for floppy molecules the
+        # softest channels are often the reaction channels. eig_floor
+        # only floors the SCALE below so soft modes don't blow up the
+        # cartesian mapping.
+        n_trrot = int(round(float(np.trace(np.eye(3 * n) - np.asarray(p)))))
+        w_np, v_np = np.asarray(w), np.asarray(v)
+        vib = np.zeros(3 * n, dtype=bool)
+        vib[n_trrot:] = True                        # ascending order
     else:
         w, v = _eigh_fast(0.5 * (h + h.T))
-    w_np, v_np = np.asarray(w), np.asarray(v)
-    vib = w_np > config.eig_floor
+        w_np, v_np = np.asarray(w), np.asarray(v)
+        vib = w_np > config.eig_floor
     v_vib = jnp.asarray(v_np[:, vib])              # (3N, m)
-    scale = jnp.sqrt(jnp.asarray(w_np[vib]))        # (m,)
+    scale = jnp.sqrt(jnp.asarray(
+        np.maximum(w_np[vib], config.eig_floor)))   # (m,) floored scale
     w_vib = w_np[vib]
 
     x0_flat = coords.reshape(-1)

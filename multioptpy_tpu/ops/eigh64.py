@@ -253,6 +253,15 @@ def solve_f64safe(a, b, assume_sym=False):
             at = jnp.swapaxes(a, -1, -2)
             m, rhs = at @ a, at @ b
         w, v = eigh_fast(m)
+        # Pseudo-inverse guard: the seeded solver's eigenvalue error is
+        # ~1e-13 relative, so components at/below that scale can come back
+        # with the wrong sign or magnitude where LU pivoting degrades
+        # gracefully. Clamp |w| away from zero (sign preserved) at a
+        # relative floor before dividing.
+        wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+        floor = 1e-12 * jnp.maximum(wmax, 1e-300)
+        w = jnp.where(jnp.abs(w) < floor,
+                      jnp.where(w < 0, -floor, floor), w)
         vb = jnp.swapaxes(v, -1, -2) @ rhs
         if rhs.ndim == m.ndim:          # matrix right-hand side
             return v @ (vb / w[..., :, None])

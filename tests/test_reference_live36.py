@@ -66,7 +66,10 @@ def _ref_module(name):
     return importlib.import_module(name)
 
 
-def test_rl_reward_formula_live():
+def test_rl_reward_formula_live(tmp_path, monkeypatch):
+    # RLStepSizeOptimizer.__init__ mkdirs cwd/rl_models (rl_step.py:227) —
+    # run in a tmpdir so it doesn't litter the repo root.
+    monkeypatch.chdir(tmp_path)
     rl_mod = _ref_module("multioptpy.Optimizer.rl_step")
     rl = rl_mod.RLStepSizeOptimizer()
 
@@ -92,7 +95,8 @@ def test_rl_reward_formula_live():
         rl._calculate_reward(-1.0, None, 0.05, 0.08, 1.0)
 
 
-def test_rl_first_call_and_displacement_defect_live():
+def test_rl_first_call_and_displacement_defect_live(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # see test_rl_reward_formula_live
     import torch
     rl_mod = _ref_module("multioptpy.Optimizer.rl_step")
     torch.manual_seed(36)

@@ -50,9 +50,12 @@ def ref_optimize(coords_ang, z):
         with contextlib.redirect_stdout(io.StringIO()):
             calc = SQM2Calculator(xyz=xyz, element_list=z, charge=0, spin=0)
             e, g = calc.total_gradient(xyz)
-        # the reference returns the gradient in Ha/Angstrom units of its
-        # input frame (it feeds optimizers in Angstrom)
-        return float(e), np.asarray(g, dtype=np.float64).reshape(-1)
+        # the reference's sqm2_core returns the gradient in Hartree/Bohr;
+        # L-BFGS-B steps in the Angstrom input frame, so convert:
+        # dE/dAng = dE/dBohr * (Bohr per Angstrom)^-1... i.e. * ANG2BOHR
+        ang2bohr = 1.0 / 0.529177210903
+        g = np.asarray(g, dtype=np.float64).reshape(-1) * ang2bohr
+        return float(e), g
 
     res = minimize(eg, np.asarray(coords_ang, np.float64).reshape(-1),
                    jac=True, method="L-BFGS-B",
