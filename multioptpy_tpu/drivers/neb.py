@@ -645,6 +645,16 @@ class NEBConfig:
     # ref -cineb). 0 = off.
     spline_ci_start: int = 0
     spline_ci_interval: int = 0
+    scan_chunk: int = 0           # >1: run up to this many band steps per
+                                  # device dispatch via lax.scan inside
+                                  # neb() — host work (redistribution,
+                                  # spline-CI insertion, fmax early exit)
+                                  # still happens, at its own boundaries;
+                                  # segments are cut so those boundaries
+                                  # land exactly. 0/1 = per-step host
+                                  # loop. Chunking removes the ~1 s
+                                  # blocking round-trip the tunneled
+                                  # single-chip setup pays per dispatch.
 
 
 class NEBResult(NamedTuple):
@@ -844,6 +854,92 @@ def make_neb_step(calc, z, config=NEBConfig(), bias_engine=None):
     return step
 
 
+def _neb_chunked(calc, z, config, bias_engine, path, fire_state):
+    """Chunked-scan NEB driver: up to `config.scan_chunk` band steps per
+    device dispatch, with segment boundaries cut exactly at the host-work
+    iterations (in-loop redistribution, spline-CI insertion) so their
+    per-iteration semantics are preserved. fmax early exit is detected
+    from the per-step fmax history at chunk granularity. See
+    NEBConfig.scan_chunk for why (dispatch-bound small-system pipelines).
+    """
+    from functools import lru_cache
+
+    step_fn = make_neb_step(calc, z, config, bias_engine)
+    chunk_cap = int(config.scan_chunk)
+
+    @lru_cache(maxsize=None)
+    def seg_runner(length):
+        @jax.jit
+        def run(p0, f0, its):
+            def body(carry, it_):
+                p, f = carry
+                p, f, e, g, fm = step_fn(p, f, it_)
+                return (p, f), (e, fm, g)
+            (p, f), (e_h, fm_h, g_h) = jax.lax.scan(body, (p0, f0), its)
+            return p, f, e_h, fm_h, g_h[-1]
+        return run
+
+    def _next_host_event(it):
+        ends = [config.n_steps, it + chunk_cap]
+        if config.redistribute and config.redistribute_every:
+            ends.append(((it // config.redistribute_every) + 1)
+                        * config.redistribute_every)
+        if config.spline_ci_interval:
+            start, iv = config.spline_ci_start, config.spline_ci_interval
+            k = max(0, it - start) // iv + 1
+            ends.append(start + k * iv)
+        return min(e for e in ends if e > it)
+
+    e_hist = []
+    converged = False
+    it = 0
+    energies = grads = None
+    while it < config.n_steps and not converged:
+        seg_end = _next_host_event(it)
+        length = seg_end - it
+        its = jnp.arange(it + 1, seg_end + 1)
+        p0, f0 = path, fire_state
+        path, fire_state, e_h, fm_h, grads = seg_runner(length)(
+            path, fire_state, its)
+        fm_np = np.asarray(fm_h)          # blocks on the segment
+        hit = np.nonzero(fm_np < config.fmax)[0]
+        if hit.size and int(hit[0]) + 1 < length:
+            # converged mid-segment: rerun the exact prefix so the
+            # returned band is the same one the per-step loop stops on
+            length = int(hit[0]) + 1
+            path, fire_state, e_h, fm_h, grads = seg_runner(length)(
+                p0, f0, its[:length])
+        e_hist.extend(np.asarray(e_h))
+        energies = e_h[-1]
+        if hit.size:
+            converged = True
+            it += length
+            break
+        it = seg_end
+        if (config.redistribute and config.redistribute_every
+                and it % config.redistribute_every == 0
+                and it < config.n_steps):
+            from multioptpy_tpu.interpolation import redistribute_path
+            path = redistribute_path(
+                path, config.redistribute, energies=np.asarray(energies),
+                gradients=np.asarray(grads), z=np.asarray(z),
+                savgol_window=config.savgol_window,
+                savgol_order=config.savgol_order)
+        if (config.spline_ci_interval and it > config.spline_ci_start
+                and (it - config.spline_ci_start)
+                % config.spline_ci_interval == 0
+                and it < config.n_steps):
+            path = spline_climbing_insert(path, energies)
+
+    e_np = np.asarray(energies)
+    ts_index = int(np.argmax(e_np[1:-1])) + 1 if len(e_np) > 2 else 0
+    return NEBResult(
+        path=path, energies=energies, converged=jnp.asarray(converged),
+        n_iterations=it, energy_history=np.asarray(e_hist),
+        ts_index=ts_index,
+    )
+
+
 def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
     """Run NEB on an (I,N,3) initial path. Host loop with early exit; the
     heavy step is one compiled program (3.2-equivalent stack)."""
@@ -865,6 +961,9 @@ def neb(calc, path0, z, config=NEBConfig(), bias_engine=None, callback=None):
         fire_state = rfo_neb_init(path, dt0=config.dt0)
     else:
         fire_state = fire_init(n_dof, path.dtype, dt0=config.dt0)
+    if config.scan_chunk and config.scan_chunk > 1 and callback is None:
+        return _neb_chunked(calc, z, config, bias_engine, path, fire_state)
+
     e_hist = []
     converged = False
     it = 0

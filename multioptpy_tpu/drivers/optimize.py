@@ -92,6 +92,17 @@ class OptimizeConfig:
                                      # (ref: optimizer.py:582
                                      # switch_move_vector; CLI: -o m1 m2)
     project_tr_rot: bool = True
+    scan_chunk: int = 0              # >1: run this many steps per device
+                                     # dispatch via lax.scan (host-side
+                                     # early exit / guards checked at chunk
+                                     # boundaries). 0/1 = per-step host
+                                     # loop. On the tunneled single-chip
+                                     # setup each blocking per-step
+                                     # dispatch costs ~1 s round-trip —
+                                     # chunking is what makes small-system
+                                     # pipelines (AutoTS) latency-
+                                     # competitive with an in-process
+                                     # driver.
 
     def effective_diis(self):
         return self.diis_variant or ("gdiis" if self.use_gdiis else None)
@@ -756,6 +767,120 @@ def dissociation_detected(coords, limit=10.0):
     return bool(np.max(np.min(d, axis=1)) > limit)
 
 
+def _optimize_chunked(step_raw, state, config, record_trajectory=False,
+                      callback=None, stop_file="end.txt",
+                      dissociation_limit=None, shape_conditions=None,
+                      detect_negative_eigenvalues=False,
+                      checkpoint_path=None, checkpoint_every=0, timer=None):
+    """`config.scan_chunk` optimization steps per device dispatch.
+
+    The per-step host loop pays one blocking round-trip per iteration —
+    ~1 s each through the tunneled single-chip setup, which made small-
+    system pipelines dispatch-bound (the round-4 HCN AutoTS A/B measured
+    ~1000 host round-trips at 689 s vs the reference's 132 s in-process
+    driver). Here `lax.scan` runs K steps inside ONE compiled program;
+    the host sees control only at chunk boundaries, where early exit,
+    stop files, dissociation/shape guards, -negeigval, checkpoints and
+    callbacks all still fire (at chunk cadence instead of per step).
+
+    In-trace guards: converged members freeze inside the step itself;
+    a step that produces a non-finite or runaway (|E| > 1e8) energy is
+    REJECTED in-trace — the carry keeps the last good state and raises a
+    `stopped` flag the host turns into the runaway break. (The per-step
+    loop instead returns the post-runaway state; keeping the last finite
+    state is strictly more useful to callers like AutoTS's endpoint
+    optimization.)
+    """
+    import os
+
+    chunk = int(config.scan_chunk)
+
+    @jax.jit
+    def run_chunk(state):
+        def body(carry, _):
+            s, stopped = carry
+            new = step_raw(s)
+            # freeze past the step budget: the chunk count rounds nsteps
+            # up, and the final state must not overshoot it. A budget-
+            # frozen step's output is discarded entirely (including any
+            # NaN it produced), so it cannot raise the runaway flag.
+            active = (~stopped) & (s.iteration < config.nsteps)
+            bad = active & ((~jnp.isfinite(new.energy))
+                            | (jnp.abs(new.energy) > 1e8))
+            keep = (~active) | bad
+            new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, b, a), new, s)
+            return (new, stopped | bad), (new.energy, new.converged,
+                                          new.coords)
+        (final, stopped), (e_h, conv_h, c_h) = jax.lax.scan(
+            body, (state, jnp.asarray(False)), None, length=chunk)
+        return final, stopped, e_h, conv_h, c_h
+
+    from contextlib import nullcontext
+    stage = timer.stage if timer is not None else (
+        lambda name, block=None: nullcontext())
+
+    energies = [float(state.energy)]
+    traj = [np.asarray(state.coords)] if record_trajectory else None
+    it = 0
+    n_chunks = -(-config.nsteps // chunk)
+    for ci in range(n_chunks):
+        with stage("step"):
+            state, stopped, e_h, conv_h, c_h = run_chunk(state)
+            e_h = np.asarray(e_h)          # blocks on the chunk
+        # how many of this chunk's steps count toward the nsteps budget
+        take = min(chunk, config.nsteps - ci * chunk)
+        conv_np = np.asarray(conv_h)
+        if conv_np.any():
+            # report the iteration count where convergence latched
+            take = min(take, int(np.argmax(conv_np)) + 1)
+        it = ci * chunk + take
+        energies.extend(float(e) for e in e_h[:take])
+        with stage("host"):
+            if record_trajectory:
+                traj.extend(np.asarray(c) for c in np.asarray(c_h)[:take])
+            if callback is not None:
+                callback(it, state)
+            if (checkpoint_path and checkpoint_every
+                    and (it // checkpoint_every)
+                    > (max(it - chunk, 0) // checkpoint_every)):
+                from multioptpy_tpu.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state,
+                                meta={"iteration": it,
+                                      "method": config.method})
+        if bool(stopped):
+            print("# runaway detected (|E| > 1e8 or non-finite) - aborting")
+            break
+        if bool(state.converged):
+            break
+        if stop_file and os.path.exists(stop_file):
+            break
+        if dissociation_limit and dissociation_detected(
+                state.coords, dissociation_limit):
+            break
+        if shape_conditions:
+            from multioptpy_tpu.geometry import judge_shape_condition
+            if judge_shape_condition(np.asarray(state.coords),
+                                     shape_conditions):
+                break
+        if (detect_negative_eigenvalues and config.saddle_order > 0
+                and config.fc_count > 0):
+            from multioptpy_tpu.geometry import project_hessian_tr_rot
+            h_proj = np.asarray(project_hessian_tr_rot(
+                state.hessian, state.coords))
+            if not np.any(np.linalg.eigvalsh(h_proj) < -1e-10):
+                print("# no negative eigenvalues while saddle_order > 0 "
+                      "- stopping (ref -negeigval)")
+                break
+
+    return OptResult(
+        coords=state.coords, energy=state.energy, gradient=state.gradient,
+        converged=state.converged, n_iterations=it,
+        energy_history=np.asarray(energies),
+        coords_history=np.stack(traj) if record_trajectory else None,
+    )
+
+
 def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
              hessian0=None, record_trajectory=False, callback=None,
              constraints=None, stop_file="end.txt", dissociation_limit=None,
@@ -803,9 +928,19 @@ def optimize(calc, coords, z, bias_engine=None, config=OptimizeConfig(),
                 if config.init_hessian.startswith("model:") else "lindh")
         b, a, t = detect_primitives(np.asarray(coords), np.asarray(z))
         model_fn = make_model_hessian_fn(np.asarray(z), b, a, t, kind)
-    step = jax.jit(make_step_fn(calc, z, bias_engine, config, model_fn,
-                                constraints, constraint_targets,
-                                internals=internals))
+    step_raw = make_step_fn(calc, z, bias_engine, config, model_fn,
+                            constraints, constraint_targets,
+                            internals=internals)
+    if config.scan_chunk and config.scan_chunk > 1:
+        return _optimize_chunked(
+            step_raw, state, config,
+            record_trajectory=record_trajectory, callback=callback,
+            stop_file=stop_file, dissociation_limit=dissociation_limit,
+            shape_conditions=shape_conditions,
+            detect_negative_eigenvalues=detect_negative_eigenvalues,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, timer=timer)
+    step = jax.jit(step_raw)
 
     from contextlib import nullcontext
     stage = timer.stage if timer is not None else (

@@ -65,6 +65,12 @@ class AutoTSConfig:
     optimize_endpoints: bool = True
     endpoint_opt: OptimizeConfig = dataclasses.field(
         default_factory=lambda: OptimizeConfig(method="rfo_fsb", nsteps=200))
+    # steps per device dispatch for every optimization/NEB stage whose own
+    # config leaves scan_chunk unset (see OptimizeConfig.scan_chunk): the
+    # pipeline is dispatch-bound on tunneled single-chip setups (~1 s
+    # blocking round-trip per step), so AutoTS chunks by default. 0
+    # disables the default (per-step host loops everywhere).
+    scan_chunk: int = 16
 
 
 class AutoTSResult(NamedTuple):
@@ -143,6 +149,20 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
     z = jnp.asarray(z)
     afir_traj = (np.asarray(afir_trajectory)
                  if afir_trajectory is not None else None)
+    if config.scan_chunk and config.scan_chunk > 1:
+        # default every stage to chunked-scan execution unless its config
+        # pinned a value itself (see AutoTSConfig.scan_chunk)
+        def _chunked(oc):
+            return (oc if oc.scan_chunk
+                    else dataclasses.replace(oc, scan_chunk=config.scan_chunk))
+        config = dataclasses.replace(
+            config,
+            afir_opt=_chunked(config.afir_opt),
+            saddle=_chunked(config.saddle),
+            endpoint_opt=_chunked(config.endpoint_opt),
+            neb=(config.neb if config.neb.scan_chunk
+                 else dataclasses.replace(config.neb,
+                                          scan_chunk=config.scan_chunk)))
     stage_seconds = {}
     _mark = [t0]
 
