@@ -29,6 +29,36 @@ import numpy as np
 _EST_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_estimates.json")
 
+# Committed cache of reference-side (torch CPU) timings. The reference
+# numbers are hardware-stable run to run on this box, and re-measuring
+# them live burned ~1300 s of every bench budget (the 98-atom SQM2
+# gradient alone is ~445 s) — which round 4 paid by self-skipping rows.
+# Cached rows carry "reference_cached": true so the artifact is explicit
+# about provenance; BENCH_REFRESH_REF=1 re-measures everything live.
+_REF_CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_ref_cache.json")
+
+
+def _ref_cached(key, measure_fn):
+    """-> (value, was_cached). Caches reference-side wall-clock numbers
+    across bench runs (see _REF_CACHE_FILE comment)."""
+    refresh = os.environ.get("BENCH_REFRESH_REF") == "1"
+    try:
+        with open(_REF_CACHE_FILE) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    if not refresh and key in cache:
+        return cache[key], True
+    val = measure_fn()
+    cache[key] = val
+    try:
+        with open(_REF_CACHE_FILE, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return val, False
+
 
 def _timeit(fn, reps=3):
     """Mean wall-clock of fn() over reps (fn must block on its result)."""
@@ -392,18 +422,21 @@ def bench_sqm2_scale_ab():
                                     charge=0, spin=0)
                 return rc.total_gradient(c_np)
 
-            with contextlib.redirect_stdout(io.StringIO()):
+            def ref_timed():
                 # ONE timed call: the reference reconstructs its
                 # calculator per call anyway (no warm-up state), and at
-                # 98 atoms each call costs ~445 s — repeats would burn
-                # the whole bench budget on the reference side
-                t0 = time.perf_counter()
-                ref_one()
-                ref_ms = (time.perf_counter() - t0) * 1e3
+                # 98 atoms each call costs ~445 s
+                with contextlib.redirect_stdout(io.StringIO()):
+                    t0 = time.perf_counter()
+                    ref_one()
+                    return (time.perf_counter() - t0) * 1e3
+
+            ref_ms, cached = _ref_cached(f"sqm2_grad_{name}_ms", ref_timed)
             rows.append({"metric": f"sqm2_grad_{name}",
                          "value": round(ours_ms, 4),
                          "unit": "ms/gradient (ours, TPU f64)",
                          "reference_ms": round(ref_ms, 2),
+                         "reference_cached": cached,
                          "vs_reference": round(ref_ms / ours_ms, 1)})
         return {"metric": "sqm2_scale_ab", "value": rows[-1]["value"],
                 "unit": rows[-1]["unit"], "rows": rows}
@@ -459,6 +492,14 @@ def bench_autots_flagship():
         res = autots(calc, jnp.asarray(coords, jnp.float64),
                      jnp.asarray(z), cfg)
         wall_s = time.perf_counter() - t0
+        if not (np.isfinite(res.barrier_forward)
+                and np.isfinite(res.barrier_backward)):
+            # FAIL LOUDLY (row-level "error") instead of reporting nan
+            # barriers as if they were a timing result (round-4 weakness)
+            raise RuntimeError(
+                "flagship produced non-finite barriers "
+                f"(fwd={res.barrier_forward}, bwd={res.barrier_backward}, "
+                f"n_imaginary={res.n_imaginary}, wall={wall_s:.0f}s)")
         return {"metric": "autots_flagship_diels_alder_18atom_sqm2_f64",
                 "value": round(wall_s, 1), "unit": "s end-to-end",
                 "stage_seconds": res.stage_seconds,
@@ -543,17 +584,24 @@ def bench_reference_nebmain_e2e_ab():
     import tempfile
 
     n_steps = 3
-    with tempfile.TemporaryDirectory() as tmp:
-        shutil.copytree("/root/reference/test/aldol_rxn",
-                        os.path.join(tmp, "aldol_rxn"))
-        wall, _ = _run_reference_cli(
-            ["nebmain", "aldol_rxn", "-sqm2", "-ns", str(n_steps)],
-            cwd=tmp, timeout_s=1800)
+
+    def measure():
+        with tempfile.TemporaryDirectory() as tmp:
+            shutil.copytree("/root/reference/test/aldol_rxn",
+                            os.path.join(tmp, "aldol_rxn"))
+            wall, _ = _run_reference_cli(
+                ["nebmain", "aldol_rxn", "-sqm2", "-ns", str(n_steps)],
+                cwd=tmp, timeout_s=1800)
+        return wall
+
+    wall, cached = _ref_cached(f"nebmain_sqm2_aldol_ns{n_steps}_wall_s",
+                               measure)
     n_images = 17
     ms = wall / (n_images * n_steps) * 1e3
     return {"metric": "reference_nebmain_sqm2_aldol_e2e_torchcpu",
             "value": round(ms, 3), "unit": "ms/image/step",
             "n_images": n_images, "n_steps": n_steps,
+            "reference_cached": cached,
             "wall_s": round(wall, 2)}
 
 
