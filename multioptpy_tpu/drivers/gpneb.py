@@ -43,15 +43,36 @@ class GPNEBResult(NamedTuple):
     ts_index: int
 
 
-def gpneb(calc, path0, z, config=GPNEBConfig(), bias_engine=None):
-    """Run GP-accelerated NEB on an (I,N,3) initial path."""
+def gpneb(calc, path0, z, config=GPNEBConfig(), bias_engine=None,
+          mesh=None, mesh_axis="batch"):
+    """Run GP-accelerated NEB on an (I,N,3) initial path.
+
+    `mesh`: optional 1-D jax.sharding.Mesh — the expensive part of GPNEB
+    is the once-per-round TRUE evaluation fan-out over the band (the GP
+    solve itself is tiny, ref: pathopt_gpneb_force.py:154); with a mesh
+    the image axis is sharded over its devices for both the true
+    evaluations and the surrogate relaxation (GSPMD partitions the
+    vmapped evals; the NEB rolls become collective permutes). Image
+    count must divide the mesh size.
+    """
     path = jnp.asarray(path0)
     z = jnp.asarray(z)
     n_images, n_atoms, _ = path.shape
     d = n_atoms * 3
     dtype = path.dtype
 
-    def true_eval(p):
+    img_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = int(mesh.shape[mesh_axis])
+        if n_images % n_dev:
+            raise ValueError(
+                f"gpneb: {n_images} images not divisible over "
+                f"{n_dev} devices")
+        img_sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        path = jax.device_put(path, img_sharding)
+
+    def _true_eval_impl(p):
         def one(x):
             e, g = calc.energy_and_gradient(x, z)
             if bias_engine is not None and len(bias_engine):
@@ -59,6 +80,11 @@ def gpneb(calc, path0, z, config=GPNEBConfig(), bias_engine=None):
                 e, g = e + be, g + bg
             return e, g
         return jax.vmap(one)(p)
+
+    if img_sharding is not None:
+        true_eval = jax.jit(_true_eval_impl, in_shardings=img_sharding)
+    else:
+        true_eval = _true_eval_impl
 
     gp = GpState(jnp.zeros((config.max_history, d), dtype),
                  jnp.zeros((config.max_history,), dtype),

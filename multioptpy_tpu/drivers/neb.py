@@ -1496,3 +1496,60 @@ def aneb(calc, path0, z, config=NEBConfig(), bias_engine=None,
             continue                 # keep relaxing at this size
         path = jnp.asarray(grown)
     return res
+
+
+def aneb_sharded(calc, path0, z, config=NEBConfig(), bias_engine=None,
+                 interpolation_num=1, frequency=5, max_images=64,
+                 mesh=None, axis="batch", round_to=None):
+    """Adaptive NEB with the band sharded over a device mesh.
+
+    Same `-aneb` semantics as `aneb()` (densify around energy maxima
+    every `frequency` iterations with optimizer reset, ref: neb.py:610
+    _exec_adaptive_neb), but each fixed-size segment runs through
+    `neb_sharded` (image axis over the mesh, ppermute halos). The
+    insertion itself is a host-side re-partition between sharded
+    segments; because the image axis must divide the mesh, each grown
+    band is arc-length resampled up to the next mesh multiple (the
+    insertion counts are a densification heuristic, so the rounding
+    keeps the physics while keeping shapes shardable).
+    """
+    from dataclasses import replace
+
+    from multioptpy_tpu.interpolation import linear_resample
+    from multioptpy_tpu.parallel.mesh import ensemble_mesh
+
+    if mesh is None:
+        mesh = ensemble_mesh(axis=axis)
+    n_dev = int(mesh.shape[axis])
+    # `round_to` pins the image-count rounding independently of the mesh
+    # size (parity tests compare meshes of different sizes on identical
+    # host control flow); default = the mesh size, the minimum that
+    # keeps shapes shardable
+    mult = int(round_to) if round_to else n_dev
+    mult = max(mult, n_dev)
+
+    def to_multiple(p):
+        n = p.shape[0]
+        target = max(-(-n // mult) * mult, mult)
+        return p if target == n else linear_resample(p, target)
+
+    path = to_multiple(jnp.asarray(path0))
+    res = None
+    steps_done = 0
+    while steps_done < config.n_steps:
+        seg = min(frequency, config.n_steps - steps_done)
+        seg_cfg = replace(
+            config, n_steps=seg,
+            climbing_start=max(0, config.climbing_start - steps_done))
+        res = neb_sharded(calc, path, z, seg_cfg, mesh=mesh, axis=axis,
+                          bias_engine=bias_engine)
+        steps_done += int(res.n_iterations)
+        if bool(res.converged) or steps_done >= config.n_steps:
+            break
+        grown = aneb_insert(np.asarray(res.path), np.asarray(res.energies),
+                            interpolation_num)
+        if len(grown) == len(res.path) or len(grown) > max_images:
+            path = res.path
+            continue
+        path = to_multiple(jnp.asarray(grown))
+    return res
