@@ -724,8 +724,25 @@ def make_step_fn(calc, z, bias_engine=None, config=OptimizeConfig(),
         if saddle_order == 0 and kind == "rfo":
             reject = (~state.converged) & ~conv_now & \
                 (e_new > state.energy + 1e-14)
+            # LEARN from the failed trial: update the Hessian with the
+            # measured (s, y) of the rejected step. Without this, a
+            # spurious quasi-Newton negative eigenvalue whose gradient
+            # overlap is numerical noise pins the RS-RFO secular shift,
+            # every trial step rides the fake mode uphill, and the
+            # reject/shrink loop repeats to trust = 0 without ever
+            # correcting the mode (round-5 ethane stall diagnosis: FSB
+            # mode at -0.164 with |g_t| = 1.5e-6, step entirely along
+            # it, dE > 0 at every radius). A BFGS update with the real
+            # uphill data flips that curvature positive in one shot.
+            s_trial = mv_flat
+            y_trial = (raw_g_new - state.raw_gradient).reshape(-1)
+            upd_ok = jnp.all(jnp.isfinite(y_trial)) & \
+                (jnp.dot(y_trial, s_trial) > 1e-14)
+            h_learn = jnp.where(upd_ok,
+                                update_hessian(h, s_trial, y_trial, "bfgs"),
+                                h)
             rejected_state = state._replace(
-                hessian=h,  # keep curvature info learned this iteration
+                hessian=h_learn,
                 # zero the (s, y) pair so the same update isn't re-applied
                 prev_coords=state.coords,
                 prev_raw_gradient=state.raw_gradient,
@@ -849,7 +866,10 @@ def _optimize_chunked(step_raw, state, config, record_trajectory=False,
                                 meta={"iteration": it,
                                       "method": config.method})
         if bool(stopped):
-            print("# runaway detected (|E| > 1e8 or non-finite) - aborting")
+            print(f"# runaway detected (|E| > 1e8 or non-finite) in "
+                  f"method={config.method} saddle_order="
+                  f"{config.saddle_order} around iteration {it} - "
+                  "keeping the last finite state")
             break
         if bool(state.converged):
             break

@@ -29,9 +29,11 @@ from multioptpy_tpu.workflows.autots import refine_saddle
 A2B = 1.0 / 0.52917721067
 Z = (6, 7, 1)
 
-E_HCN = -0.9577236011950425
-E_HNC = -0.935960440781038
-E_TS = -0.7758923357245852
+# pinned stationary-point energies of the round-5 SQM2 PES (rep_cn +
+# rep_hh_gem model form; re-pinned when the calibration changes)
+E_HCN = -0.9067770088720954
+E_HNC = -0.8863350532961091
+E_TS = -0.7392955671568175
 
 
 @pytest.fixture(scope="module")
@@ -82,7 +84,7 @@ def test_twopshs_crosses_and_refines_to_first_order_saddle(system):
     """Product-directed sphere growth HCN -> HNC crosses a barrier and the
     crossing refines to a CONVERGED first-order saddle of the PES (this
     PES routes the double-ended frontier over the wide-arc H-migration
-    saddle at -0.75529, above the tight bend TS)."""
+    saddle at -0.68676 on the round-5 PES, above the tight bend TS)."""
     from multioptpy_tpu.drivers.twopshs import twopshs
 
     calc, z, hcn, hnc, _ = system
@@ -92,7 +94,7 @@ def test_twopshs_crosses_and_refines_to_first_order_saddle(system):
     assert bool(rt.converged)
     assert _n_imag(calc, rt.coords, z) == 1
     assert float(rt.energy) > max(E_HCN, E_HNC)
-    assert float(rt.energy) == pytest.approx(-0.755289, abs=1e-4)
+    assert float(rt.energy) == pytest.approx(-0.686762, abs=1e-4)
 
 
 def test_gnt_guess_refines_to_tight_ts(system):
