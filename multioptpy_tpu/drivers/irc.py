@@ -230,16 +230,16 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
     (3.4-equivalent stack). Branches run as a batch of 2 in one vmapped
     scan — the TPU replacement for the reference's sequential fwd/bwd loop
     (ref: irc.py:298)."""
+    from multioptpy_tpu.ops import hosteval
+
     ts_coords = jnp.asarray(ts_coords)
     z = jnp.asarray(z)
     if hessian is None:
-        hessian = calc.hessian(ts_coords, z)
-        if bias_engine is not None and len(bias_engine):
-            hessian = hessian + bias_engine.hessian(ts_coords)
+        hessian = hosteval.hessian(calc, ts_coords, z, bias_engine)
 
-    e_ts, _ = calc.energy_and_gradient(ts_coords, z)
-    x_f, x_b = initial_displacements(hessian, ts_coords, z,
-                                    config.init_displacement)
+    e_ts, _ = hosteval.energy_and_gradient(calc, ts_coords, z)
+    x_f, x_b = jax.jit(initial_displacements, static_argnums=3)(
+        hessian, ts_coords, z, config.init_displacement)
     step = make_irc_step(calc, z, config, bias_engine)
 
     # The trajectory runs as SEGMENTS of a few scan steps per device call
@@ -278,13 +278,15 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
     n_done = 0
     while n_done < config.n_steps:
         carry, (p_seg, e_seg, g_seg) = run_segment(carry)
-        jax.block_until_ready(carry[0])
+        # one blocking transfer per segment (tunneled round trips)
+        p_np, e_np, g_np, done_np = jax.device_get(
+            (p_seg, e_seg, g_seg, carry[2]))
         take = min(seg, config.n_steps - n_done)
-        path_chunks.append(np.asarray(p_seg[:, :take]))
-        e_chunks.append(np.asarray(e_seg[:, :take]))
-        g_chunks.append(np.asarray(g_seg[:, :take]))
+        path_chunks.append(p_np[:, :take])
+        e_chunks.append(e_np[:, :take])
+        g_chunks.append(g_np[:, :take])
         n_done += take
-        if bool(jnp.all(carry[2])):
+        if bool(np.all(done_np)):
             break
     paths = np.concatenate(path_chunks, axis=1)
     energies = np.concatenate(e_chunks, axis=1)
@@ -344,12 +346,12 @@ def meta_irc(calc, coords, z, config=IRCConfig(), bias_engine=None):
     n_done = 0
     while n_done < config.n_steps:
         carry, (p_seg, e_seg) = run_segment(carry)
-        jax.block_until_ready(carry[0])
+        p_np, e_np, done_np = jax.device_get((p_seg, e_seg, carry[2]))
         take = min(seg, config.n_steps - n_done)
-        p_chunks.append(np.asarray(p_seg[:take]))
-        e_chunks.append(np.asarray(e_seg[:take]))
+        p_chunks.append(p_np[:take])
+        e_chunks.append(e_np[:take])
         n_done += take
-        if bool(carry[2]):
+        if bool(done_np):
             break
     path = np.concatenate(p_chunks, axis=0)
     es = np.concatenate(e_chunks, axis=0)

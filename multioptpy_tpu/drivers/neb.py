@@ -901,7 +901,9 @@ def _neb_chunked(calc, z, config, bias_engine, path, fire_state):
         p0, f0 = path, fire_state
         path, fire_state, e_h, fm_h, grads = seg_runner(length)(
             path, fire_state, its)
-        fm_np = np.asarray(fm_h)          # blocks on the segment
+        # one blocking transfer per segment (each separate read pays a
+        # ~1 s round trip on the tunneled single-chip setup)
+        fm_np, e_h_np = jax.device_get((fm_h, e_h))
         hit = np.nonzero(fm_np < config.fmax)[0]
         if hit.size and int(hit[0]) + 1 < length:
             # converged mid-segment: rerun the exact prefix so the
@@ -909,7 +911,8 @@ def _neb_chunked(calc, z, config, bias_engine, path, fire_state):
             length = int(hit[0]) + 1
             path, fire_state, e_h, fm_h, grads = seg_runner(length)(
                 p0, f0, its[:length])
-        e_hist.extend(np.asarray(e_h))
+            e_h_np = jax.device_get(e_h)
+        e_hist.extend(e_h_np)
         energies = e_h[-1]
         if hit.size:
             converged = True

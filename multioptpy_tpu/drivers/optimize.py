@@ -241,11 +241,11 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
     coords = jnp.asarray(coords)
     n = coords.shape[0]
     dtype = coords.dtype
-    e, g = calc.energy_and_gradient(coords, z)
-    raw_g = g
-    if bias_engine is not None and len(bias_engine):
-        be, bg = bias_engine.energy_and_gradient(coords)
-        e, g = e + be, g + bg
+    # one compiled program for the first eval (eager op-by-op dispatch is
+    # ~free on a local chip but dominated driver glue on the tunneled
+    # setup — see ops/hosteval.py)
+    from multioptpy_tpu.ops import hosteval
+    e, g, raw_g = hosteval.eg_with_raw(calc, coords, z, bias_engine)
 
     if hessian0 is None:
         kind0, _ = _parse_method(config.method)
@@ -262,9 +262,7 @@ def init_state(coords, z, calc, bias_engine=None, config=OptimizeConfig(),
         elif use_exact:
             # cheap for on-device backends; spares quasi-Newton the many
             # steps needed to learn a wide curvature spectrum from identity
-            hessian0 = calc.hessian(coords, z)
-            if bias_engine is not None and len(bias_engine):
-                hessian0 = hessian0 + bias_engine.hessian(coords)
+            hessian0 = hosteval.hessian(calc, coords, z, bias_engine)
         else:
             hessian0 = jnp.eye(3 * n, dtype=dtype)
 
@@ -843,11 +841,17 @@ def _optimize_chunked(step_raw, state, config, record_trajectory=False,
     n_chunks = -(-config.nsteps // chunk)
     for ci in range(n_chunks):
         with stage("step"):
-            state, stopped, e_h, conv_h, c_h = run_chunk(state)
-            e_h = np.asarray(e_h)          # blocks on the chunk
+            state, stopped_d, e_h_d, conv_d, c_h_d = run_chunk(state)
+            # ONE blocking transfer for everything the host inspects:
+            # each separate blocking read pays a full round trip on the
+            # tunneled single-chip setup (~1 s), and the per-chunk loop
+            # was paying 4-5 of them
+            fetch = (stopped_d, e_h_d, conv_d) + (
+                (c_h_d,) if record_trajectory else ())
+            got = jax.device_get(fetch)
+            stopped, e_h, conv_np = got[0], got[1], got[2]
         # how many of this chunk's steps count toward the nsteps budget
         take = min(chunk, config.nsteps - ci * chunk)
-        conv_np = np.asarray(conv_h)
         if conv_np.any():
             # report the iteration count where convergence latched
             take = min(take, int(np.argmax(conv_np)) + 1)
@@ -855,7 +859,7 @@ def _optimize_chunked(step_raw, state, config, record_trajectory=False,
         energies.extend(float(e) for e in e_h[:take])
         with stage("host"):
             if record_trajectory:
-                traj.extend(np.asarray(c) for c in np.asarray(c_h)[:take])
+                traj.extend(np.asarray(c) for c in got[3][:take])
             if callback is not None:
                 callback(it, state)
             if (checkpoint_path and checkpoint_every
@@ -871,7 +875,7 @@ def _optimize_chunked(step_raw, state, config, record_trajectory=False,
                   f"{config.saddle_order} around iteration {it} - "
                   "keeping the last finite state")
             break
-        if bool(state.converged):
+        if bool(conv_np[-1]):   # latched flag; == state.converged
             break
         if stop_file and os.path.exists(stop_file):
             break

@@ -126,8 +126,10 @@ def d3_coordination_numbers(coords, z, k1=16.0, k2=4.0 / 3.0):
     follows the published formula instead."""
     from multioptpy_tpu.periodic import COVALENT_RADII_1
     n = coords.shape[0]
-    rcov = jnp.asarray(np.asarray(COVALENT_RADII_1)[np.asarray(z)],
-                       coords.dtype)
+    # tracer-safe table lookup: z may be a traced int array when the
+    # caller is itself jitted (e.g. the jitted model-Hessian closure)
+    rcov = jnp.asarray(np.asarray(COVALENT_RADII_1),
+                       coords.dtype)[jnp.asarray(z)]
     diff = coords[:, None, :] - coords[None, :, :]
     r = jnp.sqrt(jnp.sum(diff * diff, axis=-1)
                  + jnp.eye(n, dtype=coords.dtype))

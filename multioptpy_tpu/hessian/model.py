@@ -458,7 +458,10 @@ def model_hessian(coords, z, kind="lindh", project=True, primitives=None,
             primitives = detect_primitives(np.asarray(coords), z)
     bonds, angles, torsions = primitives
     fn = make_model_hessian_fn(z, bonds, angles, torsions, kind, project)
-    return fn(coords, gradient)
+    # one compiled program instead of eager op-by-op dispatch (the
+    # assembly is ~100 ops; through the tunneled single-chip setup each
+    # eager op pays a round trip — see ops/hosteval.py)
+    return jax.jit(fn)(coords, gradient)
 
 
 def morse_hessian(coords, z, de=0.10, a=0.20):

@@ -18,7 +18,6 @@ from typing import NamedTuple, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from multioptpy_tpu.analysis import normal_modes
 from multioptpy_tpu.analysis.vibrations import count_imaginary
 from multioptpy_tpu.drivers.irc import IRCConfig, IRCResult, irc
 from multioptpy_tpu.drivers.neb import NEBConfig, idpp_path, interpolate_linear, neb
@@ -283,12 +282,15 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
             triples.append((res3.coords, float(res3.energy),
                             bool(res3.converged), int(idx)))
 
+    from multioptpy_tpu.ops import hosteval
     refined = []   # (coords, energy, n_imag, hessian, converged, neb_idx)
     for coords3, e3, conv3, idx in triples:
         _vlog("step3: exact Hessian + normal modes")
-        h = calc.hessian(coords3, z)
-        nm = normal_modes(h, coords3, z)
-        ni = count_imaginary(nm.frequencies_cm1)
+        # fused single-program Hessian + frequencies (eager glue was the
+        # dispatch-latency hot spot on the tunneled chip, hosteval.py);
+        # unbiased, matching the prior step-3 analysis semantics
+        h, freqs = hosteval.hessian_and_modes(calc, coords3, z)
+        ni = count_imaginary(freqs)
         # consolidate duplicates: identical refined TSs collapse
         # (ref: autots.py:935 consolidate_ts / v2 dedup)
         c_np = np.asarray(coords3)
@@ -337,8 +339,8 @@ def autots(calc, reactant, z, config=AutoTSConfig(), product_coords=None,
             if not ok:
                 _vlog(f"step4: endpoint {which} diverged — keeping the "
                       "raw IRC terminus")
-    e_f = float(calc.energy(end_f, z))
-    e_b = float(calc.energy(end_b, z))
+    e_f = float(hosteval.energy(calc, end_f, z))
+    e_b = float(hosteval.energy(calc, end_b, z))
     _stage_done("step4_irc")
 
     return AutoTSResult(
