@@ -52,6 +52,22 @@ def mass_weighted_modes(hessian, coords, z):
     return w, v, sm
 
 
+def _lqa_modes(hessian, coords, sm):
+    """TR/rot-projected mass-weighted eigenmodes for the LQA/HPC
+    integrators, via the deflated solver (TPU-f64-safe; see
+    mass_weighted_modes and ops/eigh64.eigh_deflated)."""
+    h_mw = hessian / sm[:, None] / sm[None, :]
+    h_mw = 0.5 * (h_mw + jnp.swapaxes(h_mw, -1, -2))
+    if coords.shape[0] > 1:
+        from multioptpy_tpu.geometry import tr_rot_projector
+        from multioptpy_tpu.ops.eigh64 import eigh_deflated
+        masses = (sm.reshape(-1, 3)[:, 0]) ** 2
+        p = tr_rot_projector(coords, masses)
+        h_mw = project_hessian_tr_rot(h_mw, coords, masses)
+        return eigh_deflated(h_mw, p)
+    return _eigh_fast(h_mw)
+
+
 def initial_displacements(hessian, coords, z, step_ang_amu=0.1):
     """+/- displacement along the imaginary mode at a saddle
     (ref: irc.py:93-170). Returns (x_fwd, x_bwd), both (N,3)."""
@@ -113,12 +129,19 @@ def make_irc_step(calc, z, config=IRCConfig(), bias_engine=None):
             dq = ds * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
         elif method == "lqa":
             # exact integration of dq/dt = -(g + H dq) on the local quadratic
-            # (Page-McIver); t chosen so |dq(t)| = ds by bisection
+            # (Page-McIver); t chosen so |dq(t)| = ds by bisection.
+            # The eigh runs on the TR/rot-PROJECTED mass-weighted Hessian
+            # through the deflated solver: the RAW h_mw's near-degenerate
+            # near-zero TR/rot cluster NaNs the TPU's emulated f64 QR
+            # (round-5 flagship diagnosis: nan IRC endpoints -> nan
+            # barriers while n_imaginary was fine). Projection is also
+            # the right physics — rigid-body motion must not enter the
+            # IRC step; dq_of_t's small-|w| limit handles the deflated
+            # ~0 modes whose g components are machine-zero.
             h = calc.hessian(coords, z)
             if bias_engine is not None and len(bias_engine):
                 h = h + bias_engine.hessian(coords)
-            h_mw = h / sm[:, None] / sm[None, :]
-            w, v = _eigh_fast(0.5 * (h_mw + h_mw.T))
+            w, v = _lqa_modes(h, coords, sm)
             g_t = v.T @ g_mw
 
             def dq_of_t(t):
@@ -159,8 +182,8 @@ def make_irc_step(calc, z, config=IRCConfig(), bias_engine=None):
                 h = calc.hessian(coords_loc, z)
                 if bias_engine is not None and len(bias_engine):
                     h = h + bias_engine.hessian(coords_loc)
-                h_mw = h / sm[:, None] / sm[None, :]
-                w, vv = _eigh_fast(0.5 * (h_mw + h_mw.T))
+                # deflated projected eigh — see the "lqa" branch comment
+                w, vv = _lqa_modes(h, coords_loc, sm)
                 g_t = vv.T @ g_mw_loc
 
                 def dq_of_t(t):
@@ -256,12 +279,18 @@ def irc(calc, ts_coords, z, hessian=None, config=IRCConfig(),
         coords, prev_e, done = carry
         coords_new, e, g = step(coords)
         gnorm = jnp.linalg.norm(g)
+        # a non-finite step must freeze the branch AT THE LAST GOOD
+        # POINT: NaN fails every comparison, so without this the branch
+        # would keep integrating NaN coordinates to the end and the
+        # caller's barriers would be nan (round-5 flagship diagnosis)
+        bad = ~(jnp.isfinite(e) & jnp.all(jnp.isfinite(coords_new)))
+        keep = done | bad
         # stop at the minimum: small gradient, or energy rise means the
         # fixed-length step crossed it (oscillation guard,
         # ref: IRC/lqa.py:239)
-        done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
-        coords_out = jnp.where(done, coords, coords_new)
-        e_out = jnp.where(done, prev_e, e)
+        done_new = keep | (gnorm < config.grad_threshold) | (e > prev_e)
+        coords_out = jnp.where(keep, coords, coords_new)
+        e_out = jnp.where(keep, prev_e, e)
         return (coords_out, e_out, done_new), (coords_out, e_out, g)
 
     @jax.jit
@@ -333,9 +362,12 @@ def meta_irc(calc, coords, z, config=IRCConfig(), bias_engine=None):
             xc, prev_e, done = c
             x_new, e, g = step(xc)
             gnorm = jnp.linalg.norm(g)
-            done_new = done | (gnorm < config.grad_threshold) | (e > prev_e)
-            x_out = jnp.where(done, xc, x_new)
-            e_out = jnp.where(done, prev_e, e)
+            # freeze at the last finite point (see irc() body)
+            bad = ~(jnp.isfinite(e) & jnp.all(jnp.isfinite(x_new)))
+            keep = done | bad
+            done_new = keep | (gnorm < config.grad_threshold) | (e > prev_e)
+            x_out = jnp.where(keep, xc, x_new)
+            e_out = jnp.where(keep, prev_e, e)
             return (x_out, e_out, done_new), (x_out, e_out)
 
         return jax.lax.scan(body, carry, None, length=seg)
