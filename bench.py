@@ -713,24 +713,31 @@ def bench_autots_mini_ab():
                            "config_autots_sqm2_ab.json")
     xyz_src = os.path.join(here, "examples", "ab", "hcn.xyz")
 
-    # --- reference side (subprocess, its own full driver) --------------
-    with tempfile.TemporaryDirectory() as tmp:
-        shutil.copy(xyz_src, os.path.join(tmp, "hcn.xyz"))
-        shutil.copy(cfg_src, os.path.join(tmp, "config_ab.json"))
-        open(os.path.join(tmp, "software_path.conf"), "w").close()
-        ref_wall, ref_tail = _run_reference_cli(
-            ["run_autots", "hcn.xyz", "-cfg", "config_ab.json"],
-            cwd=tmp, timeout_s=1800)
-    # the reference's step3 refinement diverges on its own torch SQM2 HCN
-    # TS (energies blow up to ~-1e18 Ha, observed across rsirfo_fsb /
-    # rsirfo_block_bofill / loose criteria); its driver then skips step4.
-    # Record the fact rather than hide it.
-    ref_refined = "did not converge" not in ref_tail
+    # --- reference side (subprocess, its own full driver; cached like
+    # every other reference-side CPU timing — hardware-stable run to run,
+    # and re-measuring cost ~132 s of every budget) ---------------------
+    def measure():
+        with tempfile.TemporaryDirectory() as tmp:
+            shutil.copy(xyz_src, os.path.join(tmp, "hcn.xyz"))
+            shutil.copy(cfg_src, os.path.join(tmp, "config_ab.json"))
+            open(os.path.join(tmp, "software_path.conf"), "w").close()
+            ref_wall, ref_tail = _run_reference_cli(
+                ["run_autots", "hcn.xyz", "-cfg", "config_ab.json"],
+                cwd=tmp, timeout_s=1800)
+        # the reference's step3 refinement diverges on its own torch SQM2
+        # HCN TS (energies blow up to ~-1e18 Ha, observed across
+        # rsirfo_fsb / rsirfo_block_bofill / loose criteria); its driver
+        # then skips step4. Record the fact rather than hide it.
+        return {"wall_s": ref_wall,
+                "refined": "did not converge" not in ref_tail}
+    ref, ref_cached = _ref_cached("run_autots_hcn_ab", measure)
+    ref_wall, ref_refined = ref["wall_s"], ref["refined"]
 
     our_wall, n_imag = _our_autots_mini()
     return {"metric": "autots_e2e_ab_hcn_sqm2",
             "value": round(our_wall, 2), "unit": "s end-to-end (ours)",
             "reference_wall_s": round(ref_wall, 2),
+            "reference_cached": ref_cached,
             "reference_refined_ts": ref_refined,
             "n_imaginary": n_imag,
             "vs_reference_e2e": round(ref_wall / our_wall, 2)}

@@ -33,6 +33,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--fast", action="store_true",
                    help="skip the flagship AutoTS row")
+    p.add_argument("--priority", action="store_true",
+                   help="warm the expensive AutoTS rows FIRST (mini, "
+                        "then flagship) so a wall-clock-bounded session "
+                        "caches the programs that matter most")
     args = p.parse_args()
 
     jobs = [
@@ -46,6 +50,10 @@ def main():
     ]
     if not args.fast:
         jobs.append(("autots_flagship", bench.bench_autots_flagship))
+    if args.priority:
+        front = [j for j in jobs
+                 if j[0] in ("autots_mini_ours", "autots_flagship")]
+        jobs = front + [j for j in jobs if j not in front]
 
     cache = "/root/repo/.jax_bench_cache"
     for name, fn in jobs:
